@@ -1,0 +1,216 @@
+"""Deduplication operators over the documents table.
+
+Five flavors (exact → fuzzy), as a large-scale training-data pipeline needs:
+
+1. exact           — hash groupBy on content (oracle-checked)
+2. keep-first      — exact dedup retaining min doc_id (oracle-checked)
+3. n-gram Jaccard  — fingerprint-blocked pairwise Jaccard (oracle-checked)
+4. MinHash + LSH   — banding candidates, Jaccard-verified (rows-only; the
+                     hash family is engine-specific)
+5. SimHash         — 64-bit simhash, 16-bit-band blocking, Hamming verify
+                     (rows-only)
+
+Scale notes: every flavor is blocking-based — candidate pairs come from an
+equi-join on a bucket key (fingerprint / LSH band / simhash band), never a
+cross join. At 100 TB the bucket join shuffles ~n_docs×bands rows of
+(key, id, small-payload); the quadratic work happens only within buckets,
+whose expected size is O(1) for near-uniform hash keys. Skewed buckets
+(e.g. empty-doc signatures) are pre-filtered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.functions.hashing import (
+    hamming64,
+    lsh_bands,
+    minhash_signature,
+    simhash64,
+)
+from als_pyspark_spark.functions.text import fingerprint, tokens, word_ngrams
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+_SHINGLE_N = 3
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = 4  # 16 = 4 bands × 4 rows; ~0.5 candidate prob at j≈0.7
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT MD5(text) AS text_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY MD5(text)
+""",
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id per group."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+@query(
+    "q_dedup_exact_survivors",
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+""",
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving rows after exact dedup (keep-first policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.first("n_chars").alias("n_chars")
+    ).drop("text")
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH shingled AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   generate_series(1, GREATEST(len(string_split(text, ' ')) - {_SHINGLE_N - 1}, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+               )
+           ) AS grams,
+           CASE WHEN len(string_split(text, ' ')) >= {_SHINGLE_N}
+                THEN list_min(list_transform(
+                    list_transform(
+                        generate_series(1, len(string_split(text, ' ')) - {_SHINGLE_N - 1}),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                    ), g -> MD5(g)))
+                ELSE MD5(text)
+           END AS fp
+    FROM documents
+)
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+         / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, g -> list_contains(b.grams, g))))
+         AS jaccard
+FROM shingled a JOIN shingled b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.5
+""",
+    tags=("dedup", "jaccard", "ngram"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs, blocked by winnowing fingerprint.
+
+    Blocking key = min-md5 3-gram fingerprint (functions/text.py); exact
+    Jaccard on distinct shingle sets verifies each candidate pair.
+    Integer set sizes → exact double division → oracle hash-matches.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    shingled = d.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
+        fingerprint(toks, _SHINGLE_N).alias("fp"),
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size("a.grams") + F.size("b.grams") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@query("q_dedup_minhash_lsh", oracle=None, tags=("dedup", "minhash", "lsh"))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → 16-hash signature → 4 bands →
+    bucket join → exact-Jaccard verification ≥ 0.5.
+
+    Rows-only check (xxhash64 family is Spark-specific); recall vs the
+    fingerprint-blocked oracle pairs is asserted in tests/test_dedup.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sig = d.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
+        minhash_signature(
+            F.array_distinct(word_ngrams(toks, _SHINGLE_N)), _NUM_HASHES
+        ).alias("sig"),
+    ).where(F.size("grams") > 0)
+    banded = sig.select(
+        "doc_id", "grams", F.explode(lsh_bands(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("band")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size("a.grams") + F.size("b.grams") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@query("q_dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash, blocked on 16-bit chunks
+    (a pair within Hamming distance 3 must share ≥1 of 4 chunks — the
+    standard pigeonhole blocking), verified with exact Hamming ≤ 3.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", simhash64(tokens(F.col("text"))).alias("sh"))
+    chunks = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftright(F.col("sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 3)
+    )

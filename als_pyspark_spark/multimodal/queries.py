@@ -1,0 +1,55 @@
+"""Registry entries for the multimodal plumbing.
+
+The fake feature extractor is deterministic byte math, so it gets an exact
+DuckDB oracle — proving the mapInPandas plumbing (schema, batching,
+binary round-trip) is correct end-to-end, not just "runs".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.multimodal.binary import extract_features, with_binary_payload
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+       'fake/utf8' AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+    tags=("multimodal", "metadata"),
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only projection over the multimodal table — column pruning
+    means the binary payload is never read for this query."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(d)
+    return mm.select("doc_id", F.col("meta.format").alias("format"), F.col("meta.n_bytes").alias("n_bytes"))
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       MD5(SUBSTRING(text, 1, 16)) AS head_hash
+FROM documents
+""",
+    tags=("multimodal", "pandas-udf"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (deterministic fake decode).
+
+    head_hash = md5 of the first 16 payload bytes — matches md5 of the
+    first 16 chars since the corpus is ASCII. fake_mean_luma is excluded
+    from the oracle (float); it is covered by tests/test_multimodal.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(with_binary_payload(d))
+    return feats.select("doc_id", "n_bytes", "head_hash")

@@ -1,0 +1,164 @@
+"""Aggregation surface beyond plain groupBy (SURVEY.md §2.5 "Absent" list:
+grouping sets / rollup / cube / global distinct / approx sketches).
+
+Scale notes: ROLLUP/CUBE expand each input row into its grouping-set
+combinations *before* the partial aggregate — map-side combine still applies.
+count_distinct shuffles the distinct keys (expand + two-phase agg);
+approx_count_distinct (HyperLogLog++) is the 100 TB path and is included as a
+rows-only query (sketch values are engine-specific, so no value oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_rollup_returns",
+    oracle="""
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+)
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with subtotals + grand total."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q_cube_order_status",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+       COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+)
+def q_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "q_distinct_counts",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "distinct"),
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct per group (reference A7 was a local set(),
+    ALS.py:286-296; this is the distributed expand+two-phase form)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_approx_distinct_users",
+    oracle=None,  # HLL sketch estimates are engine-specific by design
+    tags=("agg", "approx", "sketch"),
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality path —
+    fixed-size sketch state instead of a distinct shuffle. Rows-only check;
+    tests assert the estimate is within rsd of the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_stats_acctbal",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+       COUNT(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "stats"),
+)
+def q_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/count per segment (reference A6 analogue, ALS.py:629)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count("*")).alias("avg_bal"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "case"),
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN pivot-style conditional aggregation (reference P6 analogue:
+    the implicit-feedback r>0 branch, ALS.py:514-515)."""
+    o = load_table(spark, sf_dir, "orders")
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    return o.groupBy("o_orderpriority").agg(
+        one_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        one_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        one_if(F.col("o_totalprice") > 200000).alias("n_big"),
+    )

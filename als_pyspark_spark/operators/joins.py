@@ -1,0 +1,176 @@
+"""Join flavors the reference lacks (SURVEY.md §2.3 "Absent" list).
+
+The reference only has inner shuffled-hash joins on pair-RDD keys
+(reference ALS.py:158-176, 535-548, 622-624). Catalyst gives the rest:
+broadcast, semi, anti, outer, and range/as-of compositions.
+
+Scale notes: semi/anti joins avoid materializing the payload of the probe
+side; the as-of join here is expressed as join+argmax which Spark plans as
+a shuffled join + partial agg — at 100 TB you'd bound the range condition
+(e.g. 90-day lookback) to keep the join selective, which the query does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_semi_join_priority_orders",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+)
+GROUP BY o_orderpriority
+""",
+    tags=("join", "semi"),
+)
+def q_semi_join_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (TPC-H Q4 shape): orders having a high-quantity line."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_anti_join_silent_customers",
+    oracle="""
+SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+    tags=("join", "anti"),
+)
+def q_anti_join_silent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers that never ordered, counted per segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q_outer_join_order_counts",
+    oracle="""
+SELECT c.c_custkey AS c_custkey,
+       COUNT(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("join", "outer"),
+)
+def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + count that preserves order-less customers as 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_broadcast_nation_rollup",
+    oracle="""
+SELECT n.n_name AS n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("join", "broadcast"),
+)
+def q_broadcast_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: 25-row nation dim never shuffles the
+    customer fact. Verified BroadcastHashJoin in tests/test_plans.py."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_asof_last_order_before_event",
+    oracle="""
+SELECT e.event_id AS event_id,
+       MAX(STRFTIME(o.o_orderdate, '%Y-%m-%d %H:%M:%S')) AS last_orderdate
+FROM events e
+JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+WHERE e.event_type = 'purchase'
+GROUP BY e.event_id
+""",
+    tags=("join", "asof", "range"),
+)
+def q_asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase event, the most recent order date of
+    that user at event time. Expressed as range join + argmax — Spark has no
+    native ASOF, but equi-key + range predicate + max composes it exactly.
+
+    Scale: the equi key (user) carries the shuffle; the range predicate is
+    evaluated post-probe. For 100 TB add a bounded lookback window to the
+    range predicate so the per-key fan-out stays O(window).
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+        .groupBy("event_id")
+        .agg(
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias(
+                "last_orderdate"
+            )
+        )
+    )
+
+
+@query(
+    "q_self_join_same_day_orders",
+    oracle="""
+SELECT a.o_orderkey AS first_order, b.o_orderkey AS second_order
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderdate = b.o_orderdate
+ AND a.o_orderkey < b.o_orderkey
+""",
+    tags=("join", "self"),
+)
+def q_self_join_same_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self equi-join with inequality tie-break: same customer+day pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderdate") == F.col("b.o_orderdate"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_orderkey").alias("first_order"),
+        F.col("b.o_orderkey").alias("second_order"),
+    )

@@ -1,0 +1,147 @@
+"""Scalar function surface: string / date / math / JSON (reference N8-N12
+are the only scalar ops it has, SURVEY.md §2.7; everything here is the
+built-in pyspark.sql.functions JVM path — no Python UDFs in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_name, 1, 5) AS name_prefix,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       REPLACE(p_type, ' ', '_') AS type_snake,
+       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green
+FROM part
+WHERE p_partkey < 500
+""",
+    tags=("scalar", "string"),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (reference only has split, N12 ALS.py:591)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_name").contains("green"), 1).otherwise(0).cast("long").alias("has_green"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS month_revenue
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("scalar", "date", "agg"),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction + monthly aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("month_revenue"),
+        )
+    )
+
+
+@query(
+    "q_date_trunc_week",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d') AS week_start,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+    tags=("scalar", "date", "agg"),
+)
+def q_date_trunc_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc to week + count (batch twin of the streaming tumbling
+    window in streaming/events.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week_start")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SQRT(l_extendedprice) AS DOUBLE) AS price_sqrt,
+       CAST(l_extendedprice * l_extendedprice AS DOUBLE) AS price_sq,
+       ABS(l_discount - 0.05) AS disc_dev,
+       CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+FROM lineitem
+WHERE l_orderkey < 200
+""",
+    tags=("scalar", "math"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions on doubles; sqrt is IEEE-exact so hashes match."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bucket"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+@query(
+    "q_json_events",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("scalar", "json", "agg"),
+)
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column.
+
+    Spark side uses the real JSON path (get_json_object); the DuckDB oracle
+    uses a regex on the same fixed-shape payload — equivalent here, and it
+    keeps the oracle independent of DuckDB's JSON extension.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )

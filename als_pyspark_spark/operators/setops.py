@@ -1,0 +1,82 @@
+"""Set operations (absent from the reference entirely)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+
+def _buyers_of(spark: SparkSession, sf_dir: str, returnflag: str) -> DataFrame:
+    """Custkeys whose orders contain a line with the given return flag."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == returnflag)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+_BUYERS_CTE = """
+WITH r_buyers AS (
+    SELECT DISTINCT o_custkey FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+), n_buyers AS (
+    SELECT DISTINCT o_custkey FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'N')
+)
+"""
+
+
+@query(
+    "q_intersect_buyers",
+    oracle=_BUYERS_CTE
+    + "SELECT o_custkey FROM r_buyers INTERSECT SELECT o_custkey FROM n_buyers",
+    tags=("setop", "intersect"),
+)
+def q_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both returned and kept lineitems."""
+    return _buyers_of(spark, sf_dir, "R").intersect(_buyers_of(spark, sf_dir, "N"))
+
+
+@query(
+    "q_except_buyers",
+    oracle=_BUYERS_CTE
+    + "SELECT o_custkey FROM r_buyers EXCEPT SELECT o_custkey FROM n_buyers",
+    tags=("setop", "except"),
+)
+def q_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: return-only customers."""
+    return _buyers_of(spark, sf_dir, "R").exceptAll(_buyers_of(spark, sf_dir, "N")).distinct()
+
+
+@query(
+    "q_union_all_keys",
+    oracle="""
+SELECT kind, COUNT(*) AS n FROM (
+    SELECT 'customer' AS kind, c_custkey AS k FROM customer
+    UNION ALL
+    SELECT 'supplier' AS kind, s_suppkey AS k FROM supplier
+    UNION ALL
+    SELECT 'part' AS kind, p_partkey AS k FROM part
+) GROUP BY kind
+""",
+    tags=("setop", "union"),
+)
+def q_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across three heterogeneous tables, tagged and counted."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_custkey").alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("k")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.lit("part").alias("kind"), F.col("p_partkey").alias("k")
+    )
+    return c.unionAll(s).unionAll(p).groupBy("kind").agg(F.count("*").alias("n"))

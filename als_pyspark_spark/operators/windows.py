@@ -1,0 +1,147 @@
+"""Window functions & grouped top-k (absent from the reference, SURVEY.md
+§2.6 — it only has within-partition Python sorts, InBlock.py:50-51).
+
+Scale notes: windows shuffle once on partitionBy keys; per-key top-k via
+row_number is the scalable replacement for the reference's driver-side
+collect-and-sort. Running sums use DECIMAL so the oracle hash matches
+independent of the engines' window-frame accumulation strategy (DuckDB uses
+segment trees — double association order differs from Spark's running state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_window_topk_orders_per_customer",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, rk
+FROM (
+    SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rk
+    FROM orders
+) WHERE rk <= 3
+""",
+    tags=("window", "topk"),
+)
+def q_window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number window).
+
+    Same shape as top-k recommendation output (ml/als.py); deterministic
+    tie-break on o_orderkey.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "q_window_running_spend",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM orders
+""",
+    tags=("window", "running"),
+)
+def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "q_window_lag_gap_days",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       DATEDIFF('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+                o_orderdate) AS days_since_prev
+FROM orders
+""",
+    tags=("window", "lag"),
+)
+def q_window_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: days between consecutive orders of a customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).cast("long").alias("days_since_prev"),
+    )
+
+
+@query(
+    "q_global_top25_lineitems",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 25
+""",
+    tags=("sort", "limit", "topk"),
+)
+def q_global_top25_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT → TakeOrderedAndProject (no full sort)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(25)
+    )
+
+
+@query(
+    "q_window_rank_parts_by_size",
+    oracle="""
+SELECT p_brand,
+       p_partkey,
+       RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_rank,
+       DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS dense_size_rank
+FROM part
+""",
+    tags=("window", "rank"),
+)
+def q_window_rank_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK with ties (many parts share a size per brand)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("long").alias("size_rank"),
+        F.dense_rank().over(w).cast("long").alias("dense_size_rank"),
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over the embeddings table (ARRAY<FLOAT>, 64-dim).
+
+Three tiers, as an ANN stack needs:
+
+1. brute-force cosine top-k  — exact baseline; broadcast the (small) query
+   set against the corpus, JVM-side dot products, per-query window top-k.
+2. random-hyperplane LSH     — sign-bit bucket per plane-block; candidates
+   only within matching buckets. The 100 TB path: probe cost ∝ bucket size.
+3. embedding near-dup        — cosine ≥ threshold pairs via LSH blocking.
+
+Scale notes: the brute-force tier is O(|queries| × |corpus|) — correct only
+because |queries| is small and broadcast (no shuffle of the corpus). The LSH
+tier is the scale path; recall vs tier 1 is asserted in tests. Hyperplanes
+are deterministic literals (seeded numpy on the driver — a few KiB, shipped
+in the plan, not a collect).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.functions.arrays import cosine, dot, l2_norm
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+_DIM = 64
+_N_QUERIES = 5
+_TOP_K = 10
+_N_PLANES = 8  # per block
+_N_BLOCKS = 4  # OR-amplification: candidate if ANY block matches
+
+
+def _hyperplanes(seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((_N_BLOCKS, _N_PLANES, _DIM))
+
+
+@query(
+    "q_ann_bruteforce_top10",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+), scored AS (
+    SELECT q.query_id,
+           e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+    FROM q JOIN embeddings e ON e.vec_id != q.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rk <= {_TOP_K}
+""",
+    tags=("similarity", "ann", "bruteforce"),
+)
+def q_ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 5 vectors (ids only — float scores
+    are engine-precision-specific, the neighbor SET is not)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _bucket_expr(emb: F.Column, block: np.ndarray, block_idx: int) -> F.Column:
+    """Sign-bit bucket id of one hyperplane block: Σ (dot>0) << plane."""
+    acc = F.lit(0)
+    for p, plane in enumerate(block):
+        d = dot(emb, F.array(*[F.lit(float(v)) for v in plane]))
+        acc = acc + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return F.concat_ws(":", F.lit(str(block_idx)), acc.cast("string"))
+
+
+def _with_buckets(e: DataFrame) -> DataFrame:
+    planes = _hyperplanes()
+    buckets = F.array(
+        *[_bucket_expr(F.col("embedding"), planes[i], i) for i in range(_N_BLOCKS)]
+    )
+    return e.withColumn("bucket", F.explode(buckets))
+
+
+@query("q_ann_lsh_top10", oracle=None, tags=("similarity", "ann", "lsh"))
+def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10: candidates share a random-hyperplane bucket
+    in ≥1 of 4 blocks; exact cosine re-rank within candidates.
+
+    Rows-only check; recall vs q_ann_bruteforce_top10 asserted in tests
+    (expected ≳0.8 for 4×8-bit OR-amplified hyperplane LSH on 64-dim).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_buckets(e)
+    queries = _with_buckets(e.where(F.col("vec_id") < _N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    cand = (
+        F.broadcast(queries)
+        .join(corpus, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_rounded"))
+    )
+
+
+@query(
+    "q_embedding_norm_stats",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(ROUND(AVG(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))), 4) AS DOUBLE) AS avg_norm
+FROM embeddings
+GROUP BY label
+""",
+    tags=("similarity", "stats"),
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics (zip_with/aggregate array math —
+    reference N8's np.dot re-expressed JVM-side)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", l2_norm(F.col("embedding")).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 4).cast("double").alias("avg_norm"),
+        )
+    )
+
+
+@query("q_embedding_neardup_pairs", oracle=None, tags=("similarity", "dedup", "lsh"))
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.9), LSH-blocked — the
+    embedding flavor of dedup for a training-data pipeline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = _with_buckets(e)
+    a = b.alias("a")
+    c = b.alias("b")
+    pairs = (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .distinct()
+        .where(F.col("cos") >= 0.9)
+    )
+    return pairs

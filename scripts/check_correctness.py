@@ -1,0 +1,96 @@
+"""Local mirror of the driver's correctness gate: run every registry query
+on Spark and its DuckDB oracle side-by-side, compare row count, column
+names, and order-insensitive values.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from als_pyspark_spark.registry import load_all_queries
+from als_pyspark_spark.session import build_session
+from als_pyspark_spark.sources.tables import TABLES
+
+
+def canon(rows, ndigits=9):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(round(v, ndigits))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = build_session("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, q in sorted(load_all_queries().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.build(spark, sf_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if q.oracle is None:
+            print(f"ok(rows-only)  {name}: {len(s_rows)} rows  [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append((name, f"cols {s_cols} != {d_cols}"))
+            print(f"FAIL  {name}: columns {s_cols} vs {d_cols}")
+            continue
+        # align duckdb column order to spark's
+        idx = [d_cols.index(c) for c in s_cols]
+        d_rows = [tuple(r[i] for i in idx) for r in d_rows]
+        cs, cd = canon(s_rows), canon(d_rows)
+        if len(cs) != len(cd):
+            failures.append((name, f"rowcount {len(cs)} != {len(cd)}"))
+            print(f"FAIL  {name}: rowcount {len(cs)} vs {len(cd)}")
+        elif cs != cd:
+            diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+            failures.append((name, f"values differ, e.g. {diff}"))
+            print(f"FAIL  {name}: values differ, e.g. {diff}")
+        else:
+            print(f"OK    {name}: {len(cs)} rows match  [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures")
+    for n, msg in failures:
+        print(f"  {n}: {msg[:400]}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
