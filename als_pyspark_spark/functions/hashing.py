@@ -6,6 +6,13 @@ computation is embarrassingly parallel and adds no exchange. The ONLY
 shuffle in the LSH dedup pipeline is the band-bucket groupBy — whose
 cardinality is ~n_docs × n_bands with near-uniform hash keys (no skew).
 
+Catalyst-tree discipline: Column expressions are TREES, not DAGs — writing
+``sum(f(x) for b in range(64))`` embeds 64 copies of ``x``'s whole subtree
+and the optimizer walks each copy (a 5-row simhash join took minutes that
+way). Every function here therefore iterates with higher-order functions
+over ``sequence(0, n)`` so each input subtree occurs exactly once, keeping
+expression size O(1) in bit width / hash count.
+
 The reference has no analogue (its only hashing is the bit-packing
 LocalIndexEncoder, util/encoder.py:10-24 — a different job that Tungsten
 does internally). xxhash64 is Spark's built-in 64-bit hash (JVM,
@@ -23,48 +30,59 @@ def seeded_hash(col: Column, seed: int) -> Column:
     return F.xxhash64(F.concat(F.lit(f"s{seed}:"), col))
 
 
+def _bit(x: Column, b: Column) -> Column:
+    """Bit ``b`` of long ``x`` (shift amount as a Column, so bit loops can
+    run inside transform/aggregate instead of unrolled Python)."""
+    return F.call_function("shiftright", x, b).bitwiseAND(F.lit(1))
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: array of `num_hashes` minima over the shingle set.
 
-    Empty shingle sets get a sentinel signature of Long.MaxValue so they
-    never collide with real content.
+    One pass per hash function via nested transform — the `shingles`
+    subtree occurs once, so callers may pass a full shingling expression
+    without blowing up the plan. Empty shingle sets get a sentinel
+    signature of Long.MaxValue so they never collide with real content.
     """
-    sentinel = F.lit(2**63 - 1)
-    mins = F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(shingles, lambda s, i=i: seeded_hash(s, i))),
-                sentinel,
-            )
-            for i in range(num_hashes)
-        ]
+    sentinel = F.lit(2**63 - 1).cast("long")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.xxhash64(
+                        F.concat(F.lit("s"), i.cast("string"), F.lit(":"), s)
+                    ),
+                )
+            ),
+            sentinel,
+        ),
     )
-    return mins
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     """Split a signature into band keys: array of 'bandIdx:hash(bandSlice)'.
 
     Docs sharing ANY band key are near-dup candidates (standard banding:
-    P[candidate] = 1-(1-j^r)^b for Jaccard j).
+    P[candidate] = 1-(1-j^r)^b for Jaccard j). ``slice`` keeps the
+    signature subtree single-occurrence per band; callers pass an
+    attribute reference anyway.
     """
-    return F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(str(b)),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(signature, b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).cast("string"),
-            )
-            for b in range(num_bands)
-        ]
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.xxhash64(
+                F.array_join(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band).cast(
+                        "array<string>"
+                    ),
+                    ",",
+                )
+            ).cast("string"),
+        ),
     )
 
 
@@ -73,44 +91,42 @@ _NBITS = 64
 
 def simhash64(toks: Column) -> Column:
     """64-bit SimHash over tokens: per bit, sum ±1 votes of each token's
-    xxhash64 bit, take the sign. Computed as one aggregate over the token
-    array with a 64-int accumulator — single projection, no shuffle.
-
-    Bit positions are unrolled with Python-int literals because Spark's
-    shiftleft/shiftright take a literal bit count, not a Column.
+    xxhash64 bit, take the sign. One aggregate over the token array with a
+    64-long accumulator — single projection, no shuffle, and every subtree
+    (token hash, vote array) occurs exactly once in the expression tree.
     """
-    zero = F.array(*[F.lit(0) for _ in range(_NBITS)])
+    bits = F.sequence(F.lit(0), F.lit(_NBITS - 1))
+    zero = F.array_repeat(F.lit(0).cast("long"), _NBITS)
 
     def step(acc: Column, t: Column) -> Column:
         h = F.xxhash64(t)
-        bits = F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for b in range(_NBITS)
-            ]
+        votes_of_t = F.transform(
+            bits,
+            lambda b: F.when(_bit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
         )
-        return F.zip_with(acc, bits, lambda x, y: x + y)
+        return F.zip_with(acc, votes_of_t, lambda x, y: x + y)
 
     votes = F.aggregate(toks, zero, step)
-    # Assemble Σ (vote_b > 0) << b. Bit 63 is the sign bit of a long:
-    # its weight is Long.MIN_VALUE, added as the matching negative literal.
-    terms = [
-        F.when(
-            F.element_at(votes, b + 1) > 0,
-            F.lit(-(2**63) if b == 63 else (1 << b)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(_NBITS)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    # Assemble Σ (vote_b > 0) << b. Bit 63 is the sign bit of a long: its
+    # weight is Long.MIN_VALUE, added as the matching negative literal.
+    weights = F.array(
+        *[F.lit(-(2**63) if b == _NBITS - 1 else (1 << b)).cast("long") for b in range(_NBITS)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
-    """Hamming distance between two 64-bit SimHashes via popcount of XOR."""
+    """Hamming distance between two 64-bit SimHashes via popcount of XOR,
+    as one aggregate over bit positions (inputs occur once each)."""
     x = a.bitwiseXOR(b)
-    out = F.lit(0)
-    for i in range(_NBITS):
-        out = out + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int")
-    return out.cast("long")
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(_NBITS - 1)), lambda i: _bit(x, i).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

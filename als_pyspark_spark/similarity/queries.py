@@ -29,13 +29,19 @@ from als_pyspark_spark.sources.tables import load_table
 _DIM = 64
 _N_QUERIES = 5
 _TOP_K = 10
-_N_PLANES = 8  # per block
-_N_BLOCKS = 4  # OR-amplification: candidate if ANY block matches
+# Hyperplane-LSH (r planes per block, b OR'd blocks) is a recall/cost dial:
+# P[candidate] = 1-(1-p^r)^b with p = 1-θ/π. Two operating points:
+# - ANN top-k on this corpus: true neighbors sit at cos≈0.3 (p≈0.60), so
+#   precision-heavy blocks miss them; 4×12 gives expected recall ≈0.8.
+# - near-dup (cos≥0.9, p≈0.86): 8-bit blocks keep buckets tiny (n/256)
+#   while 1-(1-0.86^8)^4 ≈ 0.74 of true dups still collide.
+_ANN_PLANES, _ANN_BLOCKS = 4, 12
+_DUP_PLANES, _DUP_BLOCKS = 8, 4
 
 
-def _hyperplanes(seed: int = 7) -> np.ndarray:
+def _hyperplanes(n_blocks: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((_N_BLOCKS, _N_PLANES, _DIM))
+    return rng.standard_normal((n_blocks, n_planes, _DIM))
 
 
 @query(
@@ -90,10 +96,10 @@ def _bucket_expr(emb: F.Column, block: np.ndarray, block_idx: int) -> F.Column:
     return F.concat_ws(":", F.lit(str(block_idx)), acc.cast("string"))
 
 
-def _with_buckets(e: DataFrame) -> DataFrame:
-    planes = _hyperplanes()
+def _with_buckets(e: DataFrame, n_planes: int, n_blocks: int) -> DataFrame:
+    planes = _hyperplanes(n_blocks, n_planes)
     buckets = F.array(
-        *[_bucket_expr(F.col("embedding"), planes[i], i) for i in range(_N_BLOCKS)]
+        *[_bucket_expr(F.col("embedding"), planes[i], i) for i in range(n_blocks)]
     )
     return e.withColumn("bucket", F.explode(buckets))
 
@@ -107,8 +113,8 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     (expected ≳0.8 for 4×8-bit OR-amplified hyperplane LSH on 64-dim).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = _with_buckets(e)
-    queries = _with_buckets(e.where(F.col("vec_id") < _N_QUERIES)).select(
+    corpus = _with_buckets(e, _ANN_PLANES, _ANN_BLOCKS)
+    queries = _with_buckets(e.where(F.col("vec_id") < _N_QUERIES), _ANN_PLANES, _ANN_BLOCKS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
     )
     cand = (
@@ -160,7 +166,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.9), LSH-blocked — the
     embedding flavor of dedup for a training-data pipeline."""
     e = load_table(spark, sf_dir, "embeddings")
-    b = _with_buckets(e)
+    b = _with_buckets(e, _DUP_PLANES, _DUP_BLOCKS)
     a = b.alias("a")
     c = b.alias("b")
     pairs = (

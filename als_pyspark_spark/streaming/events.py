@@ -1,0 +1,175 @@
+"""Structured Streaming over the events table (net-new vs the reference,
+which is a pure batch job — SURVEY.md §2.11).
+
+Jobs provided:
+
+- tumbling/sliding window aggregates with a watermark (late-data bound)
+- streaming exact dedup (dropDuplicates within the watermark)
+- session windows per user (gap-based)
+- custom stateful op via applyInPandasWithState (running per-user value sum
+  emitting only on change past a threshold)
+
+Each job's batch twin lives in operators/events.py with a DuckDB oracle;
+tests prove batch ≡ stream on the same input (trigger=availableNow drains
+the file source deterministically).
+
+Scale notes: state stores are keyed by (group key, window); the watermark
+bounds state size — without it, a 100 TB stream accumulates state forever.
+File-source streaming here stands in for Kafka: same API, different source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Post-conversion schema (ts already micros) — file-source streams need an
+# explicit schema. Raw parquet carries ts as int64 nanos (see sources/tables.py).
+RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with the same ts conversion
+    as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-source streams take a DIRECTORY; select just events.parquet
+    # from the shared sf_dir with a glob filter.
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour tumbling window counts+sums per event_type (twin of
+    q_events_tumbling_hourly)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """30-min slide over 1-hour windows — each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id bounded by the watermark —
+    the streaming twin of q_events_dedup_first's keep-one semantics."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def running_user_value(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    value total, emitting a row each time the total crosses another multiple
+    of `threshold`. The state is one (total, emitted_level) pair per user —
+    O(users) state, watermark-free by design (monotone counters).
+
+    This is the template for operators Spark lacks natively (reference has
+    nothing comparable; its only state is per-iteration RDD caching).
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("total", DoubleType()),
+            StructField("level", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("total", DoubleType()), StructField("level", LongType())]
+    )
+
+    def fn(key, pdf_iter, state):
+        total, level = state.get if state.exists else (0.0, 0)
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+        new_level = int(total // threshold)
+        state.update((total, new_level))
+        if new_level > level:
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total": [total], "level": [new_level]}
+            )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "NoTimeout"
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> DataFrame:
+    """Drain the stream with trigger=availableNow into a memory sink and
+    return the materialized result.
+
+    Mode notes: with availableNow the watermark only advances BETWEEN
+    micro-batches, so append-mode windowed aggregates would emit nothing on
+    a single-batch drain — callers pass mode='complete' for aggregations
+    and 'append' for row streams (dedup, stateful ops).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

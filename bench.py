@@ -1,0 +1,83 @@
+"""Benchmark harness: run the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs JVM-side, nothing
+collects to the driver), which is the shape a 100 TB run has: results land in
+a sink, not on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from als_pyspark_spark.registry import load_all_queries
+from als_pyspark_spark.session import build_session
+
+# Headline set: the scan/agg/join/window/topk core (TPC-H-ish), the extension
+# operators (dedup, similarity, text), and the ALS flagship — one per family,
+# weighted toward the queries that dominate at 100 TB (full-table shuffles).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q_window_topk_orders_per_customer",
+    "q_global_top25_lineitems",
+    "q_events_tumbling_hourly",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_ann_bruteforce_top10",
+    "q_text_quality",
+    "q_text_top_tokens",
+    "als_mse",
+]
+
+
+def force(df) -> int:
+    """Force full execution without driver collect (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all_queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = queries[name]
+        # warm nothing — each timing includes planning + execution, cold.
+        t0 = time.time()
+        force(q.build(spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

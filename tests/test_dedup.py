@@ -1,0 +1,83 @@
+"""Property tests for the dedup family (the oracle gate covers exact/
+jaccard; these cover LSH recall and signature invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.functions.hashing import hamming64, minhash_signature, simhash64
+from als_pyspark_spark.registry import load_all_queries
+
+QUERIES = load_all_queries()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # small synthetic corpus with planted near-dups
+    base = "spark join order batch stream window hash scan merge part table row"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, base.replace("join", "group")),  # near-dup of 1
+        (4, "totally different content about language models and tokens here"),
+        (5, base),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_identical_docs_identical_signature(docs):
+    from als_pyspark_spark.functions.text import tokens, word_ngrams
+
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(
+            F.array_distinct(word_ngrams(tokens(F.col("text")), 3)), 16
+        ).alias("sig"),
+    )
+    rows = {r.doc_id: tuple(r.sig) for r in sig.collect()}
+    assert rows[1] == rows[5]  # exact dup → identical signature
+    assert rows[1] != rows[4]  # different doc → different signature
+    # near-dup shares most minhash slots
+    shared = sum(a == b for a, b in zip(rows[1], rows[2]))
+    assert shared >= 8, f"near-dup only shares {shared}/16 minhash slots"
+
+
+def test_simhash_hamming_properties(docs):
+    from als_pyspark_spark.functions.text import tokens
+
+    sh = docs.select("doc_id", simhash64(tokens(F.col("text"))).alias("sh"))
+    rows = {r.doc_id: r.sh for r in sh.collect()}
+    assert rows[1] == rows[5]
+    pairs = docs.alias("a").join(docs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+    ham = {
+        (r["ad"], r["bd"]): r["h"]
+        for r in pairs.select(
+            F.col("a.doc_id").alias("ad"),
+            F.col("b.doc_id").alias("bd"),
+            hamming64(
+                simhash64(F.split("a.text", " ")), simhash64(F.split("b.text", " "))
+            ).alias("h"),
+        ).collect()
+    }
+    assert ham[(1, 5)] == 0
+    assert ham[(1, 2)] < ham[(1, 4)], "near-dup must be closer than unrelated"
+
+
+def test_minhash_lsh_recall_vs_blocked_jaccard(spark, sf_dir):
+    """LSH candidates must recover the fingerprint-blocked true pairs
+    (jaccard ≥ 0.5) with decent recall on the real corpus."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_ngram_jaccard"].build(spark, sf_dir).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_minhash_lsh"].build(spark, sf_dir).collect()
+    }
+    if truth:
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.7, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+    # every LSH pair is jaccard-verified by construction
+    for pair in QUERIES["q_dedup_minhash_lsh"].build(spark, sf_dir).collect():
+        assert pair.jaccard >= 0.5

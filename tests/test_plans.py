@@ -1,0 +1,84 @@
+"""Physical-plan assertions — the 100 TB design gates:
+
+- filters reach the parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema)
+- small dims broadcast (BroadcastHashJoin, no shuffle of the fact side)
+- global top-k avoids a full sort (TakeOrderedAndProject)
+- per-row signature ops add no exchange
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import load_all_queries
+from als_pyspark_spark.sources.tables import load_table
+
+QUERIES = load_all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_pushes_filters_to_scan(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"].build(spark, sf_dir)
+    plan = formatted(df)
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(
+            col in line for line in plan.splitlines() if "PushedFilters" in line
+        ), f"{col} not pushed: {plan}"
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    plan = formatted(QUERIES["q6_forecast_revenue"].build(spark, sf_dir))
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines, plan
+    # only the 4 needed columns of 11 are read
+    assert "l_extendedprice" in read_lines[0]
+    assert "l_returnflag" not in read_lines[0]
+    assert "l_orderkey" not in read_lines[0]
+
+
+def test_broadcast_join_used_for_nation(spark, sf_dir):
+    plan = plan_of(QUERIES["q_broadcast_nation_rollup"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["q_global_top25_lineitems"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_signatures_add_no_shuffle(spark, sf_dir):
+    from als_pyspark_spark.functions.hashing import minhash_signature, simhash64
+    from als_pyspark_spark.functions.text import tokens, word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id",
+        simhash64(tokens(F.col("text"))).alias("sh"),
+        minhash_signature(word_ngrams(tokens(F.col("text")), 3), 16).alias("sig"),
+    )
+    assert "Exchange" not in plan_of(df), "signature computation must not shuffle"
+
+
+def test_whole_stage_codegen_in_q1(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].build(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    assert "*(" in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

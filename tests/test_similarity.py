@@ -1,0 +1,45 @@
+"""ANN quality: LSH recall vs brute force; norm math sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.functions.arrays import cosine, dot, l2_norm
+from als_pyspark_spark.registry import load_all_queries
+
+QUERIES = load_all_queries()
+
+
+def test_array_math(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 2.0], [2.0, 4.0, 4.0])], "id long, a array<double>, b array<double>"
+    )
+    row = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm(F.col("a")).alias("na"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert row.d == 18.0
+    assert row.na == 3.0
+    assert abs(row.c - 1.0) < 1e-12  # parallel vectors
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = QUERIES["q_ann_bruteforce_top10"].build(spark, sf_dir).collect()
+    approx = QUERIES["q_ann_lsh_top10"].build(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.5, f"LSH avg recall {avg_recall:.2f} (per-query {recalls})"
+
+
+def test_bruteforce_excludes_self(spark, sf_dir):
+    for r in QUERIES["q_ann_bruteforce_top10"].build(spark, sf_dir).collect():
+        assert r.query_id != r.neighbor_id

@@ -1,0 +1,76 @@
+"""Structured Streaming: batch ≡ stream equivalence on the events table.
+
+The batch twins are oracle-checked (operators/events.py), so proving the
+stream drains to the same result transitively oracle-checks the streaming
+jobs too.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.operators.events import (
+    q_events_dedup_first,
+    q_events_tumbling_hourly,
+)
+from als_pyspark_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    running_user_value,
+    session_windows,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_hourly,
+)
+
+
+def _sorted_rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = tumbling_hourly(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_tumbling", mode="complete")
+    want = q_events_tumbling_hourly(spark, sf_dir)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_stream_dedup_equals_batch_keys(spark, sf_dir):
+    stream = streaming_dedup(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_dedup", mode="append")
+    want = q_events_dedup_first(spark, sf_dir)
+    # same surviving key set (dedup keeps an arbitrary-but-single row per id)
+    assert got.count() == want.count()
+    got_ids = {r.event_id for r in got.select("event_id").collect()}
+    want_ids = {r.event_id for r in want.select("event_id").collect()}
+    assert got_ids == want_ids
+
+
+def test_sliding_double_counts(spark, sf_dir):
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_sliding", mode="complete")
+    total_windowed = got.agg(F.sum("n_events")).collect()[0][0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # 1h window / 30min slide → every event in exactly 2 windows
+    assert total_windowed == 2 * n_events
+
+
+def test_session_windows(spark, sf_dir):
+    stream = session_windows(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_sessions", mode="complete")
+    assert got.count() > 0
+    # session bounds are ordered and per-user event counts add up
+    bad = got.where(F.col("session_start") > F.col("session_end")).count()
+    assert bad == 0
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == n_events
+
+
+def test_stateful_running_value(spark, sf_dir):
+    stream = running_user_value(read_events_stream(spark, sf_dir), threshold=1000.0)
+    got = run_to_memory(stream, "t_stateful", mode="append")
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.total >= 1000.0 * r.level >= 1000.0
