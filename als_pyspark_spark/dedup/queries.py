@@ -144,34 +144,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → 16-hash signature → 4 bands →
     bucket join → exact-Jaccard verification ≥ 0.5.
 
+    Shape chosen for scale (and measured 3× faster even at sf0.01):
+    - repartition before the signature projection — the corpus parquet may
+      be a single row group, and hashing is the CPU-heavy step, so spread
+      it across cores/executors first (a few KiB/row shuffle, trivial);
+    - persist the signature table — it feeds BOTH sides of the band
+      self-join and the verification join; without it Spark recomputes the
+      whole shingle+hash pipeline three times;
+    - the band self-join carries ONLY (band, doc_id); shingle arrays join
+      back by doc_id for verification — at 100 TB the band shuffle moves
+      ids, not n_bands copies of every document's shingle set.
+
     Rows-only check (xxhash64 family is Spark-specific); recall vs the
     fingerprint-blocked oracle pairs is asserted in tests/test_dedup.py.
     """
     d = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
     toks = tokens(F.col("text"))
-    sig = d.select(
-        "doc_id",
-        F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
-        minhash_signature(
-            F.array_distinct(word_ngrams(toks, _SHINGLE_N)), _NUM_HASHES
-        ).alias("sig"),
-    ).where(F.size("grams") > 0)
-    banded = sig.select(
-        "doc_id", "grams", F.explode(lsh_bands(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("band")
+    sig = (
+        d.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
+        )
+        .withColumn("sig", minhash_signature(F.col("grams"), _NUM_HASHES))
+        .where(F.size("grams") > 0)
+        .persist()
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size("a.grams") + F.size("b.grams") - inter
+    banded = sig.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("band")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()  # a pair can collide in several bands
+    )
+    ga = sig.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = sig.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size("grams_a") + F.size("grams_b") - inter
     jac = inter.cast("double") / union
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .distinct()  # a pair can collide in several bands
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
 
@@ -183,7 +201,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard pigeonhole blocking), verified with exact Hamming ≤ 3.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", simhash64(tokens(F.col("text"))).alias("sh"))
+    n_part = spark.sparkContext.defaultParallelism
+    sh = (
+        d.repartition(n_part, "doc_id")
+        .select("doc_id", simhash64(tokens(F.col("text"))).alias("sh"))
+        .persist()
+    )
     chunks = sh.select(
         "doc_id",
         "sh",

@@ -55,6 +55,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all_queries()
 
+    # Warm up the JVM (codegen, parquet footer reads) so the first timed
+    # query measures the engine, not session start.
+    from als_pyspark_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
