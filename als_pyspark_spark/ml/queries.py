@@ -136,3 +136,40 @@ def als_top3_recs_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.col("rec.item").alias("item"),
     )
+
+
+@query("als_implicit_top3", oracle=None, tags=("als", "ml", "implicit"))
+def als_implicit_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS (confidence c = 1 + alpha*r) top-3 per user.
+
+    This path is DEAD in the reference — compute_y_t_y crashes on Python
+    syntax (defect D1, reference ALS.py:562-578), so implicit_prefs=True
+    never ran there. Here it's MLlib's working implementation."""
+    r = ratings(spark, sf_dir)
+    eng = ALSEngine(
+        ALSParams(rank=10, max_iter=5, reg_param=0.1, seed=42, implicit_prefs=True, alpha=10.0)
+    ).train(r)
+    recs = eng.recommend_for_all_users(3)
+    return recs.select("user", F.posexplode("recommendations").alias("pos", "rec")).select(
+        "user", F.col("pos").cast("long").alias("pos"), F.col("rec.item").alias("item")
+    )
+
+
+@query("als_nonnegative_factor_bounds", oracle=None, tags=("als", "ml", "nnls"))
+def als_nonnegative_factor_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonnegative ALS factor bounds: with nonnegative=True every factor
+    element must be >= 0 (min_factor proves it).
+
+    Also dead in the reference — its NNLSSolver returns scipy's (x, rnorm)
+    tuple instead of x (defect D3, reference Solver.py:99-101), corrupting
+    every downstream factor. MLlib's projected-gradient NNLS works."""
+    r = ratings(spark, sf_dir)
+    eng = ALSEngine(
+        ALSParams(rank=5, max_iter=5, reg_param=0.1, seed=42, nonnegative=True)
+    ).train(r)
+    both = eng.user_factors.unionAll(eng.item_factors)
+    elem = both.select(F.explode("features").alias("f"))
+    return elem.agg(
+        F.min("f").cast("double").alias("min_factor"),
+        F.count("*").alias("n_elements"),
+    )

@@ -145,3 +145,28 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n,
+       MIN(vec_id) AS min_id,
+       (list_sort(list(vec_id)))[1:3] AS first3
+FROM embeddings
+GROUP BY label
+""",
+    tags=("scalar", "array", "agg"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + manipulation as first-class values: per label,
+    the sorted first-3 vec_ids (collect_list → array_sort → slice).
+    ArrayType columns are a capability the reference lacks outright
+    (SURVEY.md §1.4 'types the reference does not have')."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("min_id"),
+        F.slice(F.array_sort(F.collect_list("vec_id")), 1, 3).alias("first3"),
+    )

@@ -56,6 +56,42 @@ def q_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_except_all_repeat_custkeys",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT c_custkey FROM customer
+""",
+    tags=("setop", "exceptall"),
+)
+def q_except_all_repeat_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): each custkey survives with
+    multiplicity n_orders - 1 — the bag-difference operator plain EXCEPT
+    can't express."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+@query(
+    "q_intersect_all_statuses",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    tags=("setop", "intersectall"),
+)
+def q_intersect_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: custkeys kept min(m, n) times across the two order
+    subsets — multiset intersection."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    p = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersectAll(p)
+
+
+@query(
     "q_union_all_keys",
     oracle="""
 SELECT kind, COUNT(*) AS n FROM (

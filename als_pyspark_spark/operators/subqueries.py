@@ -1,0 +1,255 @@
+"""Subquery-shaped queries: EXISTS / NOT EXISTS / IN / NOT IN / scalar /
+correlated-decorrelated — the classic relational surface the reference
+lacks entirely (its only joins are pair-RDD equi joins, SURVEY.md §2.3).
+
+Each SQL subquery form is expressed as the DataFrame plan Catalyst itself
+decorrelates to — left-semi for EXISTS/IN, left-anti for NOT EXISTS/NOT IN,
+aggregate-then-join for correlated scalar subqueries. Writing the join form
+directly keeps the plan explicit and identical at any scale.
+
+Float-determinism: threshold comparisons against an AVG are rearranged to
+multiplication form (x * count > sum, all DECIMAL-exact) so borderline rows
+cannot flip between engines from double-summation order.
+
+Scale notes (100 TB): the EXISTS/IN probes are semi joins on the fact
+table's natural key (shuffle once, no row multiplication — semi joins
+can't explode); the exclusion sets (NOT IN) are dimension-sized and
+broadcast. The correlated-scalar rewrite is a partial+final agg on the
+correlation key followed by a co-keyed join — the same two-shuffle shape
+Catalyst plans for the SQL form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+_QTY = "decimal(12,2)"
+_PRICE = "decimal(12,2)"
+
+
+@query(
+    "q4_exists_returned_orders",
+    oracle="""
+SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o.o_orderpriority
+""",
+    tags=("subquery", "exists", "semi"),
+)
+def q4_exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join.
+
+    The semi join probes on o_orderkey and cannot duplicate order rows no
+    matter how many matching lineitems exist — the property that makes
+    EXISTS safe at any fan-out.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_notin_excluded_suppliers",
+    oracle="""
+SELECT p.p_brand AS p_brand, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p.p_brand
+""",
+    tags=("subquery", "notin", "anti", "broadcast"),
+)
+def q_notin_excluded_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion set → broadcast left-anti join.
+
+    The exclusion set (negative-balance suppliers) is dimension-sized, so
+    it broadcasts; the fact side never shuffles for the anti join.
+    s_suppkey is non-null, so anti join and NOT IN agree (the NULL
+    trap in NOT IN doesn't arise).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    excluded = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, p.p_partkey == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_below_avg_qty_revenue",
+    oracle=f"""
+WITH per_part AS (
+    SELECT l_partkey AS pk,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN per_part a ON a.pk = l.l_partkey
+WHERE p.p_size < 10
+  AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * a.cnt < a.sum_qty
+""",
+    tags=("subquery", "correlated", "scalar", "agg"),
+)
+def q17_below_avg_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery
+    (l_quantity < 0.2 * AVG(l_quantity) per part), decorrelated to
+    aggregate-then-join.
+
+    The threshold is rearranged to 5·qty·cnt < sum_qty in exact DECIMAL, so
+    no double AVG ever decides a borderline row differently per engine.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(_QTY)).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .join(per_part, F.col("pk") == l.l_partkey)
+        .where(
+            (F.col("p_size") < 10)
+            & (F.col("l_quantity").cast(_QTY) * 5 * F.col("cnt") < F.col("sum_qty"))
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(_PRICE)).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_scalar_subquery_above_avg",
+    oracle="""
+SELECT COUNT(*) AS n_above,
+       MIN(p_partkey) AS min_key,
+       MAX(p_partkey) AS max_key
+FROM part
+WHERE CAST(p_retailprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM part)
+      > (SELECT SUM(CAST(p_retailprice AS DECIMAL(12,2))) FROM part)
+""",
+    tags=("subquery", "scalar", "broadcast"),
+)
+def q_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (price > global average), as the
+    1-row-aggregate broadcast-cross-join Catalyst plans for it. The
+    average is compared in multiplication form (price·n > sum) — exact
+    DECIMAL on both engines."""
+    p = load_table(spark, sf_dir, "part")
+    stats = p.agg(
+        F.sum(F.col("p_retailprice").cast(_PRICE)).alias("total"),
+        F.count("*").alias("n"),
+    )
+    return (
+        p.crossJoin(F.broadcast(stats))
+        .where(F.col("p_retailprice").cast(_PRICE) * F.col("n") > F.col("total"))
+        .agg(
+            F.count("*").alias("n_above"),
+            F.min("p_partkey").alias("min_key"),
+            F.max("p_partkey").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "q18_in_big_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+SELECT c.c_name AS c_name,
+       o.o_orderkey AS o_orderkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, o.o_orderkey
+""",
+    tags=("subquery", "in", "semi", "having"),
+)
+def q18_in_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery → semi join
+    against the aggregated key set."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_QTY)).alias("sq"))
+        .where(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_QTY)).cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "q22_wealthy_inactive_customers",
+    oracle="""
+WITH pos AS (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s, COUNT(*) AS n
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey AS c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+    tags=("subquery", "notexists", "anti", "scalar"),
+)
+def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS anti join + scalar-average threshold
+    (above-average balance, never ordered), grouped by nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_PRICE)).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast(_PRICE) * F.col("n") > F.col("s"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_PRICE)).cast("double").alias("totacctbal"),
+        )
+    )

@@ -145,3 +145,34 @@ def q_window_rank_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("size_rank"),
         F.dense_rank().over(w).cast("long").alias("dense_size_rank"),
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+SELECT c_custkey,
+       c_nationkey,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+""",
+    tags=("window", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) per
+    nation, ordered by balance with a deterministic key tie-break.
+
+    percent_rank and cume_dist are exact small-integer divisions — the
+    same double on both engines, so they hash-match without rounding.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )

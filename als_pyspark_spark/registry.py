@@ -55,7 +55,10 @@ def load_all_queries() -> dict[str, Query]:
     import als_pyspark_spark.operators.aggregates  # noqa: F401
     import als_pyspark_spark.operators.setops  # noqa: F401
     import als_pyspark_spark.operators.scalar_funcs  # noqa: F401
+    import als_pyspark_spark.operators.subqueries  # noqa: F401
+    import als_pyspark_spark.operators.grouping  # noqa: F401
     import als_pyspark_spark.operators.events  # noqa: F401
+    import als_pyspark_spark.sources.sinks  # noqa: F401
     import als_pyspark_spark.ml.queries  # noqa: F401
     import als_pyspark_spark.dedup.queries  # noqa: F401
     import als_pyspark_spark.similarity.queries  # noqa: F401

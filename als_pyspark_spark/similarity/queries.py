@@ -161,6 +161,74 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 16  # coarse centroids
+_IVF_NPROBE = 8  # clusters probed per query
+
+
+@query("q_ann_ivf_top10", oracle=None, tags=("similarity", "ann", "ivf"))
+def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: seeded KMeans coarse quantizer → inverted lists by
+    cluster id → probe the nprobe nearest centroids per query → exact
+    cosine re-rank within the probed lists.
+
+    The scale path beside hyperplane LSH: at 100 TB the corpus is
+    partitioned by cluster id (the inverted index), each query touches
+    nprobe/k of the data, and the centroid table (k×dim floats) is a
+    literal in the plan — never a driver-side loop over the corpus.
+    Rows-only check; recall vs brute force asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feat = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=_IVF_K, seed=42, featuresCol="features", predictionCol="cluster").fit(feat)
+    assigned = model.transform(feat).select("vec_id", "embedding", "cluster").persist()
+
+    # centroid literal table: k rows of (cluster_id, centroid ARRAY<DOUBLE>)
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    q = assigned.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # nprobe nearest centroids per query (k×|queries| tiny cross join)
+    probe_w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("qe", "centroid", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(probe_w))
+        .where(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "qe", "cluster")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_rounded"))
+    )
+
+
 @query("q_embedding_neardup_pairs", oracle=None, tags=("similarity", "dedup", "lsh"))
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.9), LSH-blocked — the

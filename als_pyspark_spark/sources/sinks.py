@@ -1,0 +1,126 @@
+"""Sink coverage: parquet (partitioned), CSV, JSON write→read round-trips.
+
+The reference has NO writes at all — its only sink is a driver collect/print
+(SURVEY.md §2.1 S3). A real engine needs durable sinks; each query here
+writes a derived table to a scratch directory in the requested format, reads
+it back, and aggregates — so the oracle (which runs on the ORIGINAL parquet)
+only matches if the round-trip is lossless.
+
+Scale notes (100 TB):
+- ``partitionBy`` on a low-cardinality column gives partition pruning to
+  every downstream reader — the standard layout for fact tables.
+- Writers run fully distributed (one file per task per partition value);
+  nothing funnels through the driver.
+- CSV/JSON carry only exactly-representable values here (ints, strings,
+  DECIMAL-derived money) — float round-trip through text is the classic
+  lossy trap, so money goes through the text formats as fixed-point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+_PRICE = "decimal(12,2)"
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@query(
+    "q_sink_partitioned_parquet",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+    tags=("sink", "parquet", "partitioned"),
+)
+def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write 1998+ lineitems partitioned by l_returnflag, read back, agg.
+
+    The read-back scan prunes to partition directories when filtered —
+    the layout every 100 TB fact table should have.
+    """
+    out = _scratch("sink_partitioned_parquet")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l.select("l_orderkey", "l_returnflag", F.col("l_quantity").cast(_PRICE).alias("qty")).write.mode(
+        "overwrite"
+    ).partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("qty").cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "q_sink_csv_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(o_custkey) AS custkey_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
+    tags=("sink", "csv"),
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent orders → CSV (header, explicit schema on read) → aggregate.
+    Money travels as DECIMAL text, ids as longs — lossless by construction."""
+    out = _scratch("sink_csv_roundtrip")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.col("o_totalprice").cast(_PRICE).alias("price")
+    ).write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2)"
+    ).option("header", True).csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_custkey").alias("custkey_sum"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "q_sink_json_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+FROM events
+GROUP BY event_type
+""",
+    tags=("sink", "json"),
+)
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events (id, type, extracted JSON int) → JSON lines → read back → agg.
+    Exercises both the JSON sink and get_json_object extraction."""
+    out = _scratch("sink_json_roundtrip")
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id BIGINT, event_type STRING, k BIGINT").json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("k_sum"),
+    )

@@ -38,6 +38,10 @@ HEADLINE = [
     "q_ann_bruteforce_top10",
     "q_text_quality",
     "q_text_top_tokens",
+    "q4_exists_returned_orders",
+    "q17_below_avg_qty_revenue",
+    "q_grouping_sets_orders",
+    "q_ann_ivf_top10",
     "als_mse",
 ]
 

@@ -40,6 +40,23 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert avg_recall >= 0.5, f"LSH avg recall {avg_recall:.2f} (per-query {recalls})"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = QUERIES["q_ann_bruteforce_top10"].build(spark, sf_dir).collect()
+    approx = QUERIES["q_ann_ivf_top10"].build(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg_recall = sum(recalls) / len(recalls)
+    # nprobe/k = 8/16 bounds the work at half the corpus; on isotropic
+    # synthetic data recall tracks the probed fraction plus direction
+    # correlation — 0.5 is the floor, clustered real data does far better.
+    assert avg_recall >= 0.5, f"IVF avg recall {avg_recall:.2f} (per-query {recalls})"
+
+
 def test_bruteforce_excludes_self(spark, sf_dir):
     for r in QUERIES["q_ann_bruteforce_top10"].build(spark, sf_dir).collect():
         assert r.query_id != r.neighbor_id
