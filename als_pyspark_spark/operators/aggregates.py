@@ -162,3 +162,63 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_if(F.col("o_orderstatus") == "O").alias("n_open"),
         one_if(F.col("o_totalprice") > 200000).alias("n_big"),
     )
+
+
+@query(
+    "q_percentiles_totalprice",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "percentile"),
+)
+def q_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median, p90) per order status.
+
+    Both engines use the same linear interpolation on the same sorted
+    doubles — (1-f)·a + f·b over identical inputs is bit-identical, so
+    this hash-matches without rounding. (percentile_approx is a separate
+    rows-only sketch; this is the exact operator.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+@query("q_approx_percentile_sketch", oracle=None, tags=("agg", "approx", "sketch"))
+def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the 100 TB path where
+    exact percentile's full sort is unaffordable. Rows-only (sketch
+    outputs are engine-specific); bounds vs the exact operator are
+    asserted in tests."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_tablesample_stats",
+    oracle=None,
+    tags=("sample", "scan"),
+)
+def q_tablesample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 10% Bernoulli sample of lineitem (sample pushed into the
+    scan — rows are dropped before any downstream operator). Rows-only:
+    sampling RNGs are engine-specific by nature."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+    )

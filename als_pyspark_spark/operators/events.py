@@ -92,3 +92,103 @@ def q_events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_types"),
         )
     )
+
+
+@query(
+    "q_range_join_purchase_context",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       COUNT(v.event_id) AS n_views_before,
+       COALESCE(SUM(CAST(v.value AS DECIMAL(14,2))), CAST(0 AS DECIMAL(14,2)))::DOUBLE AS view_value
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+    tags=("events", "join", "range", "asof"),
+)
+def q_range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for each purchase, the user's view events in
+    the preceding hour — equality on user_id plus a time-range band.
+
+    Spark plans this as a sort-merge join on user_id with the range as a
+    join filter; at 100 TB the equality key bounds the shuffle and keeps
+    each range scan within one user's (small) event run. This is the
+    general form of the as-of join (q_asof_last_order_before_event is the
+    keep-latest special case).
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+        F.col("event_id").alias("v_id"),
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("v_id").alias("n_views_before"),
+        F.coalesce(
+            F.sum(F.col("v_value").cast("decimal(14,2)")), F.lit(0).cast("decimal(14,2)")
+        )
+        .cast("double")
+        .alias("view_value"),
+    )
+
+
+@query(
+    "q_timebucket_rollup",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "rollup", "timebucket"),
+)
+def q_timebucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: 5-minute leaf buckets
+    re-aggregated to hours. The oracle computes hours from RAW rows, so a
+    match proves the partial-aggregate reaggregation is lossless — the
+    property a continuous aggregate / materialized rollup relies on.
+
+    At 100 TB the leaf table is what you materialize (it's ~raw/300 in
+    rows); every coarser granularity is a cheap reaggregation of it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    leaf = (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).alias("v"),
+        )
+        .select(F.col("w.start").alias("bucket5"), "event_type", "n", "v")
+    )
+    return (
+        leaf.groupBy(
+            F.date_format(F.date_trunc("hour", "bucket5"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )

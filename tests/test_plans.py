@@ -82,3 +82,49 @@ def test_whole_stage_codegen_in_q1(spark, sf_dir):
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    plan = formatted(QUERIES["q19_disjunctive_revenue"].build(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "Or(" in l]
+    assert len(pushed) >= 2, f"OR-of-ANDs should push to lineitem AND part scans: {plan}"
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    plan = plan_of(QUERIES["q4_exists_returned_orders"].build(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_anti_join_for_not_in(spark, sf_dir):
+    plan = plan_of(QUERIES["q_notin_excluded_suppliers"].build(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    plan = plan_of(QUERIES["q_grouping_sets_orders"].build(spark, sf_dir))
+    assert plan.count("Expand") >= 1, plan
+    # one scan of orders, not one per grouping set
+    assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 1, plan
+
+
+def test_range_join_keeps_equality_key(spark, sf_dir):
+    # The user_id equality must be a join KEY (bounding the shuffle), with
+    # the time band as a post-join condition — not a pure theta join.
+    plan = plan_of(QUERIES["q_range_join_purchase_context"].build(spark, sf_dir))
+    assert "Nested" not in plan, f"range join degraded to nested loop: {plan}"
+
+
+def test_approx_percentile_within_bounds(spark, sf_dir):
+    exact = {
+        r.l_returnflag: r.m
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_median
+        for r in QUERIES["q_approx_percentile_sketch"].build(spark, sf_dir).collect()
+    }
+    for flag, m in exact.items():
+        assert abs(approx[flag] - m) / m < 0.10, f"{flag}: approx {approx[flag]} vs exact {m}"
