@@ -64,3 +64,38 @@ def q_pandas_udf_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("total_words"),
         F.max("max_tok").alias("max_token_len"),
     )
+
+
+@query(
+    "q_applyinpandas_top2_by_type",
+    oracle="""
+SELECT event_type, event_id, rk FROM (
+    SELECT event_type, event_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+    FROM events
+) WHERE rk <= 2
+""",
+    tags=("udf", "pandas", "groupedmap"),
+)
+def q_applyinpandas_top2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per event_type, rank by value in pandas
+    and keep the top 2 — deliberately replicating a window top-k so the
+    DuckDB oracle verifies the grouped-map boundary exactly.
+
+    This is the template for per-group logic Spark genuinely lacks
+    (per-group model fits, domain resampling): one Arrow batch per group,
+    output schema declared up front. For plain top-k, prefer the window
+    operator (operators/windows.py) — this exists to keep the
+    applyInPandas path exercised and verified.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
+        out = out.reset_index(drop=True)
+        out["rk"] = out.index + 1
+        return out[["event_type", "event_id", "rk"]]
+
+    return e.select("event_type", "event_id", "value").groupBy("event_type").applyInPandas(
+        top2, "event_type string, event_id long, rk long"
+    )

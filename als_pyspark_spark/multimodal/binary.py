@@ -74,6 +74,50 @@ def _fake_features(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_hash STRING"
+_FRAME_BYTES = 32  # fake frame stride
+_FRAME_STEP = 4  # sample every 4th frame
+_RESIZE_BYTES = 8  # fake resize: keep the first 8 bytes of a frame
+
+
+def decode_video_frame(payload: bytes, offset: int) -> "object":
+    """Real frame decoder stub — would be ffmpeg/av seek+decode."""
+    raise NotImplementedError(
+        "video decode requires ffmpeg/av, absent from this container; "
+        "sample_frames() uses deterministic byte slices instead"
+    )
+
+
+def sample_frames(multimodal: DataFrame) -> DataFrame:
+    """Frame-sample + resize over 'video' payloads via mapInPandas.
+
+    The fake pipeline treats the payload as fixed-stride frames
+    (_FRAME_BYTES), samples every _FRAME_STEP-th frame, 'resizes' by
+    keeping the first _RESIZE_BYTES bytes, and emits the md5 per sampled
+    frame — one-to-many per input row, the exact shape of a real
+    frame-extraction job (and byte-deterministic, so it carries a full
+    DuckDB oracle). Swap the slice for decode_video_frame + a real
+    resampler later; the Spark-side batching/schema doesn't change.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_doc, out_idx, out_hash = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                raw = bytes(payload)
+                n_frames = len(raw) // _FRAME_BYTES
+                for f in range(0, n_frames, _FRAME_STEP):
+                    chunk = raw[f * _FRAME_BYTES : f * _FRAME_BYTES + _RESIZE_BYTES]
+                    out_doc.append(doc_id)
+                    out_idx.append(f)
+                    out_hash.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_hash": out_hash}
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(multimodal: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, partition-parallel,
     schema-stable — swap _fake_features for a real decoder later."""

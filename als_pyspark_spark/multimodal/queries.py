@@ -53,3 +53,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     feats = extract_features(with_binary_payload(d))
     return feats.select("doc_id", "n_bytes", "head_hash")
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle="""
+SELECT d.doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       MD5(SUBSTRING(d.text, 1 + f * 32, 8)) AS frame_hash
+FROM documents d,
+     LATERAL (
+        SELECT UNNEST(generate_series(0, CAST(octet_length(encode(d.text)) // 32 AS INT) - 1, 4)) AS f
+     )
+""",
+    tags=("multimodal", "frames", "pandas-udf"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize over binary payloads (mapInPandas, one-to-many
+    per row). The fake decode is byte slicing, so the oracle recomputes the
+    exact same frames with SUBSTRING — plumbing verified end-to-end."""
+    from als_pyspark_spark.multimodal.binary import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(d))

@@ -1,0 +1,114 @@
+"""Physical-layout operators: bucketed co-located joins and salted skew
+joins — the two techniques that keep 100 TB joins healthy, demonstrated as
+oracle-checked queries (the layout must not change the answer).
+
+The reference hand-rolls exactly this idea: identical HashPartitioners on
+both sides make its block joins narrow (reference ALS.py:369-370 vs 535,
+548 — SURVEY.md §4 'co-partitioning'). Bucketing is the DataFrame-native,
+persisted form of the same contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+_PRICE = "decimal(12,2)"
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch"
+)
+_N_BUCKETS = 8
+_N_SALTS = 8
+
+
+@query(
+    "q_bucketed_colocated_join",
+    oracle="""
+SELECT o.o_orderstatus AS o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+    tags=("join", "bucketed", "physical"),
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem and orders bucketed by the join key, then join the
+    bucketed tables — Spark plans a shuffle-FREE sort-merge join (both
+    sides' bucketing satisfies the required distribution; asserted in
+    tests/test_plans.py). The persisted form of the reference's
+    co-partitioning trick, and how a 100 TB fact-fact join avoids
+    re-shuffling on every query."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast(_PRICE).alias("price")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for df, name, key in ((l, "bkt_lineitem", "l_orderkey"), (o, "bkt_orders", "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(_SCRATCH, name))
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    bl = spark.table("bkt_lineitem")
+    bo = spark.table("bkt_orders")
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_salted_skew_join",
+    oracle="""
+SELECT n.n_name AS n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("join", "salt", "skew", "physical"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: probe-side keys get a random-but-deterministic salt
+    (pmod(hash(row id), n)), the build side is exploded across all n salt
+    values, and the join runs on (key, salt) — splitting any hot key over
+    n reducers. The oracle is the PLAIN join: salting must never change
+    the answer, only the distribution.
+
+    (Here nation is broadcast-sized and AQE would handle real skew; the
+    query exists to keep the manual pattern exercised and correct for the
+    cases AQE can't fix, e.g. skewed aggregation keys feeding a
+    non-broadcastable join.)
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    salted_c = c.withColumn("salt", F.pmod(F.xxhash64("c_custkey"), F.lit(_N_SALTS)))
+    salted_n = n.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(_N_SALTS)]))
+    )
+    return (
+        salted_c.hint("shuffle_hash")
+        .join(
+            salted_n,
+            (salted_c.c_nationkey == salted_n.n_nationkey)
+            & (salted_c.salt == salted_n.salt),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_PRICE)).cast("double").alias("total_balance"),
+        )
+    )

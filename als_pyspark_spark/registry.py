@@ -58,7 +58,9 @@ def load_all_queries() -> dict[str, Query]:
     import als_pyspark_spark.operators.subqueries  # noqa: F401
     import als_pyspark_spark.operators.grouping  # noqa: F401
     import als_pyspark_spark.operators.tpch_more  # noqa: F401
+    import als_pyspark_spark.operators.physical  # noqa: F401
     import als_pyspark_spark.functions.pandas_udfs  # noqa: F401
+    import als_pyspark_spark.streaming.queries  # noqa: F401
     import als_pyspark_spark.operators.events  # noqa: F401
     import als_pyspark_spark.sources.sinks  # noqa: F401
     import als_pyspark_spark.ml.queries  # noqa: F401

@@ -128,3 +128,12 @@ def test_approx_percentile_within_bounds(spark, sf_dir):
     }
     for flag, m in exact.items():
         assert abs(approx[flag] - m) / m < 0.10, f"{flag}: approx {approx[flag]} vs exact {m}"
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    df = QUERIES["q_bucketed_colocated_join"].build(spark, sf_dir)
+    plan = plan_of(df)
+    # the join itself must not re-shuffle either bucketed side: the only
+    # Exchange allowed is the one under the final groupBy aggregate
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
