@@ -163,3 +163,34 @@ def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(30)
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single other
+# non-space char — the word/number/punct split every BPE pipeline applies
+# before merges. Plain character classes only, so Java regex (Spark) and
+# RE2 (DuckDB) agree exactly.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "q_text_bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+    tags=("text", "tokens", "bpe"),
+)
+def q_text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count beside the whitespace count — the
+    token-budget estimator of a training-data pipeline (pre-merge BPE
+    piece count upper-bounds the post-merge count)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )

@@ -11,20 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from als_pyspark_spark.plans.inspect import formatted, plan_of
 from als_pyspark_spark.registry import load_all_queries
 from als_pyspark_spark.sources.tables import load_table
 
 QUERIES = load_all_queries()
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def test_q6_pushes_filters_to_scan(spark, sf_dir):
