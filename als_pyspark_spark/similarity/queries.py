@@ -182,7 +182,9 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     feat = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
-    model = KMeans(k=_IVF_K, seed=42, featuresCol="features", predictionCol="cluster").fit(feat)
+    model = KMeans(
+        k=_IVF_K, seed=42, maxIter=8, featuresCol="features", predictionCol="cluster"
+    ).fit(feat)
     assigned = model.transform(feat).select("vec_id", "embedding", "cluster").persist()
 
     # centroid literal table: k rows of (cluster_id, centroid ARRAY<DOUBLE>)
