@@ -47,4 +47,14 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Checkpointing support (reference declares check_point_interval but
+    # never implements it — ALS.py:36,101 defect; MLlib's works but SKIPS
+    # silently unless a checkpoint dir exists). Lineage truncation is what
+    # keeps iterative jobs (ALS, KMeans) plannable past ~10 iterations.
+    if spark.sparkContext.getCheckpointDir() is None:
+        ckpt = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".scratch", "checkpoints"
+        )
+        spark.sparkContext.setCheckpointDir(os.path.abspath(ckpt))
+    return spark

@@ -1,0 +1,50 @@
+"""Plan-quality audit: print a one-line physical summary per registered
+query (join strategies, shuffle-exchange count, pushed filters on scans).
+
+Usage: python scripts/explain_audit.py [sf_dir] [query ...]
+
+This is the per-operator review loop the 100 TB design demands: a query
+whose summary shows an unexpected SortMergeJoin where a broadcast fits, or
+N exchanges where the partitioning should have been reused, gets fixed —
+tests/test_plans.py then pins the fixed shape.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from als_pyspark_spark.plans.inspect import exchange_count, join_kinds, pushed_filters
+from als_pyspark_spark.registry import load_all_queries
+from als_pyspark_spark.session import build_session
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = build_session("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for name, q in sorted(load_all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            df = q.build(spark, sf_dir)
+            joins = join_kinds(df)
+            nex = exchange_count(df)
+            npush = sum("[]" not in p for p in pushed_filters(df))
+            print(
+                f"{name:42s} exchanges={nex:2d} "
+                f"joins={','.join(joins) if joins else '-':60s} "
+                f"scans_with_pushdown={npush}"
+            )
+        except Exception as e:  # noqa: BLE001 — audit keeps going
+            print(f"{name:42s} ERROR {str(e)[:120]}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
