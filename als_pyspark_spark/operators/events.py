@@ -192,3 +192,47 @@ def q_timebucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "q_session_windows",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sess_id
+""",
+    tags=("events", "session", "window", "streaming-twin"),
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity) via the native
+    session_window operator — with an EXACT oracle: DuckDB rebuilds the
+    sessions from first principles (lag → gap marker → cumulative session
+    id), pinning Spark's merge semantics (new session iff gap >= duration;
+    session_end = last event + gap) rather than trusting them."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -170,3 +170,34 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_id"),
         F.slice(F.array_sort(F.collect_list("vec_id")), 1, 3).alias("first3"),
     )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_orderkey) FILTER (WHERE o_totalprice > 100000) AS first_big_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("scalar", "struct", "nested"),
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested STRUCT columns as first-class values: pack order fields into
+    a struct, operate on dotted fields, unpack for output. StructType is
+    another capability the reference lacks (SURVEY.md §1.4); max_by on a
+    struct demonstrates ordered aggregation over nested comparators."""
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderstatus",
+        F.struct(
+            F.col("o_totalprice").alias("price"), F.col("o_orderkey").alias("key")
+        ).alias("rec"),
+    )
+    return nested.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.max(F.col("rec.price")).alias("max_price"),
+        F.min(F.when(F.col("rec.price") > 100000, F.col("rec.key"))).alias("first_big_key"),
+    )

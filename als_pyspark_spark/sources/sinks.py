@@ -124,3 +124,31 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("k").alias("k_sum"),
     )
+
+
+@query(
+    "q_sink_orc_roundtrip",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_retail
+FROM part
+WHERE p_size >= 25
+GROUP BY p_brand
+""",
+    tags=("sink", "orc"),
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large parts → ORC (Spark's second columnar format) → read back →
+    aggregate. The oracle reads the ORIGINAL parquet, so a match proves the
+    ORC round-trip is lossless."""
+    out = _scratch("sink_orc_roundtrip")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 25)
+    p.select("p_partkey", "p_brand", F.col("p_retailprice").cast(_PRICE).alias("retail")).write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("retail").cast("double").alias("total_retail"),
+    )

@@ -60,3 +60,31 @@ def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_dedup(read_events_stream(spark, sf_dir))
     drained = run_to_memory(stream, name, mode="append")
     return drained.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+@query(
+    "q_stream_sliding_halfhour",
+    oracle="""
+WITH both_windows AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w, event_type FROM events
+)
+SELECT STRFTIME(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM both_windows
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window", "sliding"),
+)
+def q_stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30min slide) AS A STREAM, exact-oracled:
+    every event lands in exactly two windows, which the oracle enumerates
+    explicitly (bucket and bucket minus one slide)."""
+    from als_pyspark_spark.streaming.events import sliding_counts
+
+    name = "mem_stream_sliding_halfhour"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    return run_to_memory(stream, name, mode="complete")
