@@ -139,3 +139,72 @@ class ALSEngine:
     def recommend_for_all_items(self, k: int) -> DataFrame:
         assert self.model is not None, "call train() first"
         return self.model.recommendForAllItems(k)
+
+
+def train(
+    ratings: DataFrame,
+    rank: int = 10,
+    num_user_blocks: int = 10,
+    num_item_blocks: int = 10,
+    max_iter: int = 10,
+    reg_param: float = 0.1,
+    implicit_prefs: bool = False,
+    alpha: float = 1.0,
+    nonnegative: bool = False,
+    intermediate_rdd_storage_level: str = "MEMORY_AND_DISK",
+    final_rdd_storage_level: str = "MEMORY_AND_DISK",
+    check_point_interval: int = 10,
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Drop-in twin of the reference's ``NewALS.train`` (reference
+    ALS.py:24-37): same parameter names and defaults, same return shape —
+    ``(user_id_and_factors, item_id_and_factors)`` (reference ALS.py:191),
+    here as DataFrames ``(id, features ARRAY<FLOAT>)``.
+
+    Differences are exactly the reference's defects, fixed:
+    - ``seed`` is honored (the reference overwrites it with time(), D4);
+    - ``implicit_prefs=True`` works (reference crashes in compute_y_t_y, D1);
+    - ``nonnegative=True`` yields real factors (reference returns scipy's
+      (x, rnorm) tuple, D3);
+    - ``check_point_interval`` actually checkpoints (reference accepts and
+      ignores it, ALS.py:36,101) — provided the session has a checkpoint
+      dir (session.build_session sets one).
+
+    The storage-level strings accept any ``pyspark.StorageLevel`` name;
+    the expected input schema is ``(user, item, rating)`` like the
+    reference's Rating namedtuple (Rating.py:4-18).
+    """
+    eng = ALSEngine(
+        ALSParams(
+            rank=rank,
+            max_iter=max_iter,
+            reg_param=reg_param,
+            num_user_blocks=num_user_blocks,
+            num_item_blocks=num_item_blocks,
+            implicit_prefs=implicit_prefs,
+            alpha=alpha,
+            nonnegative=nonnegative,
+            check_point_interval=check_point_interval,
+            seed=seed,
+        )
+    )
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        numUserBlocks=num_user_blocks,
+        numItemBlocks=num_item_blocks,
+        implicitPrefs=implicit_prefs,
+        alpha=alpha,
+        nonnegative=nonnegative,
+        checkpointInterval=check_point_interval,
+        seed=seed,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        intermediateStorageLevel=intermediate_rdd_storage_level,
+        finalStorageLevel=final_rdd_storage_level,
+    )
+    eng.model = als.fit(ratings)
+    return eng.user_factors, eng.item_factors

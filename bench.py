@@ -42,6 +42,9 @@ HEADLINE = [
     "q17_below_avg_qty_revenue",
     "q_grouping_sets_orders",
     "q_ann_ivf_top10",
+    "q_session_windows",
+    "q_range_join_purchase_context",
+    "q_stream_tumbling_hourly",
     "als_mse",
 ]
 

@@ -116,3 +116,15 @@ def test_topk_recommendations(engine):
         )
     ).count()
     assert bad == 0
+
+
+def test_reference_train_signature(rated):
+    # the drop-in train() twin of NewALS.train: same names/defaults/return
+    # shape — a reference user can switch with an import change.
+    from als_pyspark_spark.ml.als import train
+
+    uf, itf = train(rated, rank=5, max_iter=3, reg_param=0.1, seed=7)
+    assert uf.columns == ["id", "features"]
+    assert itf.columns == ["id", "features"]
+    assert uf.count() > 0 and itf.count() > 0
+    assert uf.select(F.size("features")).distinct().collect()[0][0] == 5

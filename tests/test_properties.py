@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the numeric/text column kernels —
+the invariants hold for ALL inputs, not just the fixture corpus.
+
+Strategy: generate small input batches, run the Spark expression once per
+batch (createDataFrame → collect), and check against numpy/pure-Python
+ground truth. max_examples is kept small because each example is a Spark
+job; the value is the adversarial inputs hypothesis finds (empty arrays,
+duplicate tokens, negative values), not volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.functions.arrays import cosine, dot, l2_norm
+from als_pyspark_spark.functions.hashing import hamming64, minhash_signature, simhash64
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+@_settings
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=8))
+def test_dot_and_norm_match_numpy(spark, pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(dot("a", "b").alias("d"), l2_norm(F.col("a")).alias("n")).collect()[0]
+    assert row.d == pytest.approx(float(np.dot(a, b)), rel=1e-9, abs=1e-6)
+    assert row.n == pytest.approx(float(np.linalg.norm(a)), rel=1e-9, abs=1e-9)
+
+
+@_settings
+@given(st.lists(finite, min_size=1, max_size=8))
+def test_cosine_self_is_one(spark, vec):
+    if not any(v != 0 for v in vec):
+        return  # zero vector: cosine undefined
+    df = spark.createDataFrame([(vec, vec)], "a array<double>, b array<double>")
+    c = df.select(cosine("a", "b").alias("c")).collect()[0].c
+    assert c == pytest.approx(1.0, abs=1e-9)
+
+
+token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=8
+)
+
+
+@_settings
+@given(st.lists(token, min_size=1, max_size=12))
+def test_simhash_deterministic_and_order_insensitive_hamming(spark, toks):
+    # simhash is a bag-of-tokens statistic: permuting tokens must not
+    # change it, and hamming(x, x) must be 0.
+    df = spark.createDataFrame(
+        [(toks, list(reversed(toks)))], "a array<string>, b array<string>"
+    )
+    row = df.select(
+        simhash64(F.col("a")).alias("ha"),
+        simhash64(F.col("b")).alias("hb"),
+        hamming64(simhash64(F.col("a")), simhash64(F.col("b"))).alias("d"),
+    ).collect()[0]
+    assert row.ha == row.hb
+    assert row.d == 0
+
+
+@_settings
+@given(st.lists(token, min_size=0, max_size=10), st.lists(token, min_size=0, max_size=10))
+def test_minhash_equal_sets_equal_signatures(spark, xs, ys):
+    # signature depends only on the SET of shingles; supersets share ≥ as
+    # many minima as their Jaccard predicts in expectation (only the
+    # deterministic set-equality case is asserted exactly).
+    df = spark.createDataFrame(
+        [(xs + xs, xs), (ys, sorted(ys))],
+        "a array<string>, b array<string>",
+    )
+    rows = df.select(
+        minhash_signature(F.array_distinct("a"), 8).alias("sa"),
+        minhash_signature(F.array_distinct("b"), 8).alias("sb"),
+    ).collect()
+    for r in rows:
+        assert list(r.sa) == list(r.sb)
+
+
+@_settings
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_hamming_self_zero_any_long(spark, x):
+    df = spark.createDataFrame([(x,)], "x long")
+    d = df.select(hamming64(F.col("x"), F.col("x")).alias("d")).collect()[0].d
+    assert d == 0
+
+
+def test_hamming_known_distance(spark):
+    # flipping k low bits yields hamming k
+    df = spark.createDataFrame([(0, 0b1011)], "a long, b long")
+    assert df.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()[0].d == 3
