@@ -253,3 +253,86 @@ def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.col("c_acctbal").cast(_PRICE)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH costs AS (
+    SELECT l_partkey AS pk, l_suppkey AS sk,
+           MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price
+    FROM lineitem GROUP BY 1, 2
+), best AS (
+    SELECT pk, MIN(min_price) AS best_price FROM costs GROUP BY pk
+)
+SELECT c.pk AS p_partkey, c.sk AS s_suppkey,
+       CAST(c.min_price AS DOUBLE) AS best_price
+FROM costs c JOIN best b ON b.pk = c.pk AND c.min_price = b.best_price
+WHERE c.pk <= 200
+""",
+    tags=("subquery", "correlated", "minpergroup"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated 'equals the per-group minimum'
+    subquery, decorrelated to aggregate + join-back on (group, min). All
+    suppliers tying at the minimum survive — the semantics that
+    distinguish this from a window row_number top-1."""
+    l = load_table(spark, sf_dir, "lineitem")
+    costs = l.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice").cast(_PRICE)).alias("min_price"))
+    best = costs.groupBy("pk").agg(F.min("min_price").alias("best_price"))
+    return (
+        costs.join(best, "pk")
+        .where((F.col("min_price") == F.col("best_price")) & (F.col("pk") <= 200))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.col("sk").alias("s_suppkey"),
+            F.col("min_price").cast("double").alias("best_price"),
+        )
+    )
+
+
+@query(
+    "q21_multi_supplier_orders",
+    oracle="""
+SELECT l1.l_suppkey AS s_suppkey, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R')
+GROUP BY l1.l_suppkey
+""",
+    tags=("subquery", "exists", "notexists", "self"),
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the only supplier at fault — EXISTS (another
+    supplier touched the order) AND NOT EXISTS (another supplier also
+    returned on it), both correlated on the same table.
+
+    Decorrelated as ONE aggregate over the order (distinct supplier
+    count, distinct returning-supplier count) joined back — one shuffle
+    instead of two correlated probes; the standard rewrite for multi-
+    EXISTS on the same correlation key.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_ret_supp"
+        ),
+    )
+    r = l.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        r.join(per_order, "l_orderkey")
+        # another supplier exists on the order, and this is the ONLY
+        # supplier with a return on it
+        .where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )

@@ -176,3 +176,40 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@query(
+    "q_window_moving_avg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w AS DOUBLE) AS moving_avg3,
+       COUNT(*) OVER w AS frame_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frame", "movingavg"),
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: 3-order moving average per customer.
+
+    The average is exact-DECIMAL frame SUM, one double division by the
+    frame COUNT — decimal AVG itself rounds at engine-specific scales
+    (Spark scale 6 vs DuckDB's wider quotient), so SUM/COUNT is the
+    deterministic form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-2, 0)
+    )
+    frame_sum = F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w)
+    frame_n = F.count("*").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (frame_sum.cast("double") / frame_n).cast("double").alias("moving_avg3"),
+        frame_n.alias("frame_n"),
+    )
