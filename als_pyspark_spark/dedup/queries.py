@@ -237,3 +237,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "q_dedup_canonical",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT MD5(text)) AS raw_groups,
+       COUNT(DISTINCT MD5(LOWER(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS canon_groups
+FROM documents
+""",
+    tags=("dedup", "canonical", "exact"),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup: lowercase + strip non-alphanumerics
+    before hashing, catching case/punctuation variants plain exact dedup
+    misses — the cheap normalization layer every training-data pipeline
+    runs before fuzzy dedup. Output compares group counts under raw vs
+    canonical hashing (canon_groups <= raw_groups always; strictly fewer
+    when variants exist)."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("raw_groups"),
+        F.countDistinct(canon).alias("canon_groups"),
+    )

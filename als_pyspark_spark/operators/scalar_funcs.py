@@ -201,3 +201,65 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("rec.price")).alias("max_price"),
         F.min(F.when(F.col("rec.price") > 100000, F.col("rec.key"))).alias("first_big_key"),
     )
+
+
+@query(
+    "q_posexplode_tokens",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE doc_id < 20
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS pos,
+       toks[i] AS tok
+FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i)
+""",
+    tags=("scalar", "explode", "lateral"),
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode = lateral UNNEST WITH ORDINALITY: token positions as
+    first-class rows (0-based here, 1-based ordinality shifted in the
+    oracle)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+SELECT c.c_custkey,
+       o.o_orderkey IS NULL AS never_ordered,
+       COALESCE(o.o_totalprice, 0.0) AS price_or_zero,
+       c.c_custkey IS NOT DISTINCT FROM o.o_custkey AS nullsafe_eq
+FROM customer c
+LEFT JOIN (SELECT o_custkey, MIN(o_orderkey) AS o_orderkey,
+                  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS o_totalprice
+           FROM orders GROUP BY o_custkey) o
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey < 300
+""",
+    tags=("scalar", "null", "outer"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL discipline through an outer join: IS NULL flags, COALESCE
+    defaults, and null-safe equality (<=> / IS NOT DISTINCT FROM) — the
+    three-valued-logic corners every engine must agree on."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("o_orderkey"),
+            F.min(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("o_totalprice"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.col("o_orderkey").isNull().alias("never_ordered"),
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.col("c_custkey").eqNullSafe(F.col("o_custkey")).alias("nullsafe_eq"),
+    )

@@ -38,6 +38,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp semantics contract with the DuckDB oracle: all date_format/
+    # date_trunc/window results assume UTC. build_session pins this, but
+    # queries must also hold under a CALLER-OWNED session (the round driver
+    # builds its own), so pin it on the load path every query goes through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects. Read the raw int64 nanos and convert with exact integer
