@@ -99,3 +99,67 @@ def q_applyinpandas_top2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_type", "event_id", "value").groupBy("event_type").applyInPandas(
         top2, "event_type string, event_id long, rk long"
     )
+
+
+@query(
+    "q_variant_json_extract",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("scalar", "variant", "json"),
+)
+def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path: parse_json into a VARIANT column,
+    typed extraction with try_variant_get — the engine-native form of
+    schema-on-read JSON (vs string-based get_json_object in
+    q_sink_json_roundtrip)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_udtf_char_ngrams",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, LOWER(SUBSTRING(text, 1, 12)) AS head
+    FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS pos,
+       SUBSTRING(head, i, 3) AS gram
+FROM t, LATERAL (SELECT UNNEST(generate_series(1, GREATEST(len(head) - 2, 0))) AS i)
+""",
+    tags=("udf", "udtf", "text"),
+)
+def q_udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → N character-trigram
+    rows. UDTFs are the lateral-join escape hatch when the expansion
+    logic is genuinely procedural; the oracle recomputes the same grams
+    relationally, verifying the UDTF boundary exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos bigint, gram string")
+    class CharNgrams:
+        def eval(self, doc_id: int, head: str):
+            for i in range(max(len(head) - 2, 0)):
+                yield doc_id, i, head[i : i + 3]
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    heads = d.select("doc_id", F.lower(F.substring("text", 1, 12)).alias("head"))
+    heads.createOrReplaceTempView("udtf_heads")
+    spark.udtf.register("char_ngrams", CharNgrams)
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.gram FROM udtf_heads, "
+        "LATERAL char_ngrams(doc_id, head) t"
+    )
