@@ -74,3 +74,40 @@ def test_stateful_running_value(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert r.total >= 1000.0 * r.level >= 1000.0
+
+
+def test_stream_file_sink_with_checkpoint(spark, sf_dir, tmp_path):
+    """Streaming parquet FILE sink with a checkpoint location — the
+    exactly-once output path (memory sink covers semantics; this covers
+    the durable sink + checkpoint wiring a production stream uses)."""
+    import pyspark.sql.functions as F
+
+    from als_pyspark_spark.sources.tables import load_table
+    from als_pyspark_spark.streaming.events import read_events_stream
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    batch = load_table(spark, sf_dir, "events")
+    assert written.count() == batch.count()
+    # re-running with the same checkpoint must be a no-op (exactly-once)
+    q2 = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == batch.count()
