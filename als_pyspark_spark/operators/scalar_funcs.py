@@ -263,3 +263,61 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
         F.col("c_custkey").eqNullSafe(F.col("o_custkey")).alias("nullsafe_eq"),
     )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS from_map_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS from_map_o,
+       CAST(len(list_distinct(list(o_orderstatus))) AS INT) AS map_size
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("scalar", "map", "nested"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType as a first-class value: build a status→count map per
+    priority (map_from_entries over grouped counts), then extract typed
+    values with element_at and measure with map_keys. Output is scalars
+    (map extraction), so the oracle stays engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    mapped = per_status.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("status_counts")
+    )
+    return mapped.select(
+        "o_orderpriority",
+        F.coalesce(F.element_at("status_counts", "F"), F.lit(0)).alias("from_map_f"),
+        F.coalesce(F.element_at("status_counts", "O"), F.lit(0)).alias("from_map_o"),
+        F.size(F.map_keys(F.col("status_counts"))).alias("map_size"),
+    )
+
+
+@query(
+    "q_bit_aggs",
+    oracle="""
+SELECT l_returnflag,
+       BIT_AND(l_linenumber) AS all_and,
+       BIT_OR(l_linenumber) AS any_or,
+       BIT_XOR(l_orderkey) AS key_xor
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "bitwise"),
+)
+def q_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR) — order-insensitive by algebra, so
+    they hash-match without any determinism scaffolding; XOR over keys is
+    the classic cheap set-difference fingerprint."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("all_and"),
+        F.bit_or("l_linenumber").alias("any_or"),
+        F.bit_xor("l_orderkey").alias("key_xor"),
+    )
