@@ -112,3 +112,40 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(_PRICE)).cast("double").alias("total_balance"),
         )
     )
+
+
+@query(
+    "q_two_phase_salted_agg",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("agg", "salt", "skew", "physical"),
+)
+def q_two_phase_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: partial agg on (key, salt), final agg
+    on key — the mitigation when ONE grouping key carries a large share of
+    rows and a single reducer would bottleneck. The oracle is the plain
+    one-phase groupBy: salting must be answer-invariant.
+
+    (Catalyst's own partial+final HashAggregate handles ordinary skew;
+    explicit salting matters for pathological keys at 100 TB — hot users,
+    null-ish defaults — and for algebraic aggregates only. COUNT and SUM
+    re-aggregate with SUM in phase 2.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    partial = (
+        o.withColumn("salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_N_SALTS)))
+        .groupBy("o_custkey", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("o_totalprice").cast(_PRICE)).alias("ps"),
+        )
+    )
+    return partial.groupBy("o_custkey").agg(
+        F.sum("pn").alias("n_orders"),
+        F.sum("ps").cast("double").alias("total_spend"),
+    )

@@ -128,3 +128,22 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     # Exchange allowed is the one under the final groupBy aggregate
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    exact = {
+        r.l_returnflag: r.d
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.d
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.05).alias("d"))
+        .collect()
+    }
+    for flag, d in exact.items():
+        assert abs(approx[flag] - d) / d < 0.15, f"{flag}: approx {approx[flag]} vs exact {d}"
