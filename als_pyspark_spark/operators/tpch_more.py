@@ -202,3 +202,78 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+    tags=("join", "agg", "tpch", "histogram"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: aggregation OF an aggregation — orders per
+    customer (outer join keeps zero-order customers, COUNT(col) skips the
+    NULLs), then the histogram of those counts. The double-groupBy shape
+    no other query here has."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle="""
+SELECT n.n_name AS nation,
+       EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       CAST(SUM(
+           CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+           - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(2,1))
+       ) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY 1, 2
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by (supplier nation, year) — a
+    5-way join with a compound profit measure. The test schema has no
+    partsupp, so supply cost is modeled as 10% of p_retailprice (the
+    join/agg shape, which is what Q9 exercises, is unchanged)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("a"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast(_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(_PCT)
+    ) - F.col("p_retailprice").cast(_PRICE) * F.col("l_quantity").cast(_PRICE) * F.lit(
+        0.1
+    ).cast("decimal(2,1)")
+    return (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
