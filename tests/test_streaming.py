@@ -111,3 +111,32 @@ def test_stream_file_sink_with_checkpoint(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_stream_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the production escape hatch for sinks Spark lacks
+    natively (JDBC upsert, MERGE INTO) — each micro-batch arrives as a
+    normal DataFrame with a batch id. Assert all rows land exactly once."""
+    from als_pyspark_spark.sources.tables import load_table
+    from als_pyspark_spark.streaming.events import read_events_stream
+
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "event_type")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) >= 1
+    written = spark.read.parquet(out)
+    assert written.count() == load_table(spark, sf_dir, "events").count()
