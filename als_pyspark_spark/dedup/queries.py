@@ -263,3 +263,128 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("text")).alias("raw_groups"),
         F.countDistinct(canon).alias("canon_groups"),
     )
+
+
+# Shared edge definition for cluster resolution: the fingerprint-blocked
+# Jaccard pairs (deterministic on both engines — same blocking, same
+# threshold), i.e. exactly q_dedup_ngram_jaccard's output.
+_EDGE_CTE = f"""
+shingled AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   generate_series(1, GREATEST(len(string_split(text, ' ')) - {_SHINGLE_N - 1}, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+               )
+           ) AS grams,
+           CASE WHEN len(string_split(text, ' ')) >= {_SHINGLE_N}
+                THEN list_min(list_transform(
+                    list_transform(
+                        generate_series(1, len(string_split(text, ' ')) - {_SHINGLE_N - 1}),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                    ), g -> MD5(g)))
+                ELSE MD5(text)
+           END AS fp
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shingled a JOIN shingled b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+)
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+{_EDGE_CTE},
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+""",
+    tags=("dedup", "clusters", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the Jaccard
+    pair graph — the step that turns pairwise matches into dedup groups
+    (keep min doc_id per component, drop the rest).
+
+    Spark side: iterative min-label propagation on DataFrames — the
+    reference's iterate/persist/unpersist loop pattern (SURVEY.md §2.8
+    C1-C3) applied to our own operator instead of hidden inside MLlib.
+    Each round: label[n] ← min(label[n], min label of neighbors); stop at
+    fixpoint. Rounds = graph diameter (near-dup components are tiny, so
+    2-4). The DuckDB oracle computes the same components with a recursive
+    CTE — an EXACT check of an iterative distributed algorithm.
+
+    Scale notes: each iteration is one join + one groupBy on (node) —
+    shuffle-bounded by edge count; persist + unpersist per round truncates
+    lineage exactly as the reference does across ALS iterations
+    (reference ALS.py:121-135).
+    """
+    from als_pyspark_spark.functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    shingled = d.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
+        fingerprint(toks, _SHINGLE_N).alias("fp"),
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size("a.grams") + F.size("b.grams") - inter
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .persist()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+
+    for _ in range(20):  # bound >> any real near-dup component diameter
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("node", "label").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
