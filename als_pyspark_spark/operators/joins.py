@@ -12,7 +12,7 @@ a shuffled join + partial agg — at 100 TB you'd bound the range condition
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from als_pyspark_spark.registry import query
@@ -173,4 +173,65 @@ def q_self_join_same_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.o_orderkey").alias("first_order"),
         F.col("b.o_orderkey").alias("second_order"),
+    )
+
+
+@query(
+    "q_asof_sort_based",
+    oracle="""
+SELECT e.event_id AS event_id,
+       MAX(STRFTIME(o.o_orderdate, '%Y-%m-%d %H:%M:%S')) AS last_orderdate
+FROM events e
+JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+WHERE e.event_type = 'purchase'
+GROUP BY e.event_id
+""",
+    tags=("join", "asof", "window", "sortbased"),
+)
+def q_asof_sort_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SORT-BASED as-of strategy: union both inputs into one timeline
+    per key, carry the latest order date forward with a last-non-null
+    window, keep the event rows. Same oracle as the join+argmax form
+    (q_asof_last_order_before_event) — two physical strategies, one
+    semantics.
+
+    Scale tradeoff: the join+argmax form multiplies rows by per-key order
+    count before aggregating; this form is one sort per key partition
+    with NO row multiplication — the right shape when keys have deep
+    history (the classic merge-asof). Orders sort before events at equal
+    timestamps (kind 0 < 1), matching the <= bound.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    o = load_table(spark, sf_dir, "orders")
+    orders_rows = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    event_rows = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("odate"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc("t"), F.asc("kind"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    timeline = orders_rows.unionAll(event_rows).withColumn(
+        "last_odate", F.last("odate", ignorenulls=True).over(w)
+    )
+    return (
+        timeline.where((F.col("kind") == 1) & F.col("last_odate").isNotNull())
+        .groupBy("event_id")  # duplicate event ids exist in the source
+        .agg(
+            F.max(F.date_format("last_odate", "yyyy-MM-dd HH:mm:ss")).alias(
+                "last_orderdate"
+            )
+        )
     )
