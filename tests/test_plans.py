@@ -147,3 +147,22 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
     }
     for flag, d in exact.items():
         assert abs(approx[flag] - d) / d < 0.15, f"{flag}: approx {approx[flag]} vs exact {d}"
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    # build the partitioned layout, then prove a filtered read-back scans
+    # only the matching partition directory (PartitionFilters, not a full
+    # scan + post-filter)
+    QUERIES["q_sink_partitioned_parquet"].build(spark, sf_dir).collect()
+    import os
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "sink_partitioned_parquet",
+    )
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    plan = formatted(back)
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("l_returnflag" in l for l in pf_lines), plan
