@@ -6,7 +6,7 @@ streaming tests only have to prove batch≡stream equivalence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from als_pyspark_spark.registry import query
@@ -235,4 +235,50 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
             "n_events",
         )
+    )
+
+
+@query(
+    "q_time_weighted_value",
+    oracle="""
+WITH seg AS (
+    SELECT user_id,
+           CAST(value AS DECIMAL(14,2)) AS v,
+           CAST(EPOCH_US(LEAD(ts) OVER w) - EPOCH_US(ts) AS BIGINT) AS dur_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       CAST(CAST(SUM(v * dur_us) AS DOUBLE) / SUM(dur_us) AS DOUBLE) AS twa_value,
+       COUNT(*) AS n_segments
+FROM seg
+WHERE dur_us IS NOT NULL AND dur_us > 0
+GROUP BY user_id
+""",
+    tags=("events", "timeseries", "window", "twa"),
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the hypertable/metrics operator):
+    each observation holds its value until the next one, so the mean
+    weights by segment duration, not by sample count.
+
+    Determinism: value is exact DECIMAL, duration is integer microseconds
+    (lead(ts) - ts), their product sums exactly; ONE double division at
+    the end. Irregular sampling is exactly where plain AVG misleads and
+    TWA is required.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seg = e.select(
+        "user_id",
+        F.col("value").cast("decimal(14,2)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return seg.groupBy("user_id").agg(
+        (F.sum(F.col("v") * F.col("dur_us")).cast("double") / F.sum("dur_us"))
+        .cast("double")
+        .alias("twa_value"),
+        F.count("*").alias("n_segments"),
     )
