@@ -222,3 +222,33 @@ def q_tablesample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 1000.0 THEN 21
+                 ELSE CAST(FLOOR(value / 50.0) AS INT) + 1 END AS INT) AS bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("agg", "histogram", "binning"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per type (width_bucket
+    binning) — the one-pass distribution summary dashboards and data-
+    quality checks run over a fact stream. Bucket boundaries are exact
+    double comparisons, identical on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(1000.0), F.lit(20))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
