@@ -42,7 +42,7 @@ def longest_token_udf(text: pd.Series) -> pd.Series:
     oracle="""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_words,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
        MAX(list_max(list_transform(string_split(text, ' '), t -> len(t)))) AS max_token_len
 FROM documents
 GROUP BY source
@@ -105,7 +105,7 @@ def q_applyinpandas_top2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant_json_extract",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type

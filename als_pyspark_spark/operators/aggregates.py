@@ -144,9 +144,9 @@ def q_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_conditional_agg",
     oracle="""
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
 FROM orders
 GROUP BY o_orderpriority
 """,

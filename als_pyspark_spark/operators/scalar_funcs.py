@@ -153,7 +153,7 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT label,
        COUNT(*) AS n,
        MIN(vec_id) AS min_id,
-       (list_sort(list(vec_id)))[1:3] AS first3
+       array_to_string((list_sort(list(vec_id)))[1:3], ',') AS first3
 FROM embeddings
 GROUP BY label
 """,
@@ -168,7 +168,15 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").agg(
         F.count("*").alias("n"),
         F.min("vec_id").alias("min_id"),
-        F.slice(F.array_sort(F.collect_list("vec_id")), 1, 3).alias("first3"),
+        # array ops stay exercised (collect_list → array_sort → slice), but the
+        # OUTPUT is scalarized: the driver's pandas canonicalizer can't hash lists.
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("vec_id")), 1, 3),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("first3"),
     )
 
 

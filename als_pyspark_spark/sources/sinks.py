@@ -72,7 +72,7 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(o_custkey) AS custkey_sum,
+       CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
 FROM orders
 WHERE o_orderpriority = '1-URGENT'
@@ -103,7 +103,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
 FROM events
 GROUP BY event_type
 """,
