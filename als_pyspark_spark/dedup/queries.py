@@ -359,6 +359,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("node")
     ).persist()
 
+    converged = False
     for _ in range(20):  # bound >> any real near-dup component diameter
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -383,7 +384,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+
+    if not converged:
+        # Unconverged labels are WRONG labels (they diverge from the
+        # recursive-CTE oracle) — fail loudly rather than return them.
+        raise RuntimeError(
+            "connected-components min-label propagation did not converge "
+            "within 20 rounds; raise the bound for this corpus"
+        )
 
     return labels.select("node", "label").select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -246,7 +246,7 @@ WITH seg AS (
            CAST(value AS DECIMAL(14,2)) AS v,
            CAST(EPOCH_US(LEAD(ts) OVER w) - EPOCH_US(ts) AS BIGINT) AS dur_us
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC, value ASC)
 )
 SELECT user_id,
        CAST(CAST(SUM(v * dur_us) AS DOUBLE) / SUM(dur_us) AS DOUBLE) AS twa_value,
@@ -268,7 +268,12 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWA is required.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # value as the final tie-breaker: rows fully tied on (ts, event_id) exist
+    # in this table, and without it the lead() pairing — hence the TWA — is
+    # engine-dependent.
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id"), F.asc("value")
+    )
     seg = e.select(
         "user_id",
         F.col("value").cast("decimal(14,2)").alias("v"),

@@ -120,7 +120,9 @@ SELECT e.event_id AS event_id,
        MAX(STRFTIME(o.o_orderdate, '%Y-%m-%d %H:%M:%S')) AS last_orderdate
 FROM events e
 JOIN orders o
-  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate <= e.ts
+ AND o.o_orderdate >= e.ts - INTERVAL 10957 DAY
 WHERE e.event_type = 'purchase'
 GROUP BY e.event_id
 """,
@@ -132,13 +134,21 @@ def q_asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFram
     native ASOF, but equi-key + range predicate + max composes it exactly.
 
     Scale: the equi key (user) carries the shuffle; the range predicate is
-    evaluated post-probe. For 100 TB add a bounded lookback window to the
-    range predicate so the per-key fan-out stays O(window).
+    evaluated post-probe. The bounded lookback keeps the per-key fan-out
+    O(window) instead of O(full history). The constant is data-dependent:
+    this synthetic corpus puts the event clock (2024) ~23 years after the
+    order history (1995-2001), so the bound is 30 years to cover the gap —
+    on a real corpus it would be days; the predicate SHAPE is what scales.
     """
     e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     o = load_table(spark, sf_dir, "orders")
     return (
-        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+        e.join(
+            o,
+            (o.o_custkey == e.user_id)
+            & (o.o_orderdate <= e.ts)
+            & (o.o_orderdate >= e.ts - F.expr("INTERVAL 10957 DAYS")),
+        )
         .groupBy("event_id")
         .agg(
             F.max(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias(
