@@ -149,6 +149,44 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
         assert abs(approx[flag] - d) / d < 0.15, f"{flag}: approx {approx[flag]} vs exact {d}"
 
 
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """AQE skew-join must actually fire on a skewed shuffle join — the
+    runtime mitigation the 100 TB skew story leans on (PERF.md). We build a
+    join where one key carries ~99% of the probe rows, lower the AQE skew
+    thresholds to test-data scale, force a sort-merge join, and assert the
+    final adaptive plan marks the join skew=true."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # keep AQE from collapsing everything into one pre-join partition
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        skewed = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 == 0, F.col("id")).otherwise(F.lit(0)).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = skewed.join(dim, "k").groupBy("v").count()
+        joined.collect()
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "skew=true" in plan, f"AQE did not split the skewed partition: {plan}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     # build the partitioned layout, then prove a filtered read-back scans
     # only the matching partition directory (PartitionFilters, not a full

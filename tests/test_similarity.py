@@ -60,3 +60,51 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 def test_bruteforce_excludes_self(spark, sf_dir):
     for r in QUERIES["q_ann_bruteforce_top10"].build(spark, sf_dir).collect():
         assert r.query_id != r.neighbor_id
+
+
+def test_embedding_neardup_recall_floor(spark, sf_dir, tmp_path):
+    """Recall floor for the LSH-blocked embedding near-dup tier.
+
+    The synthetic embeddings are isotropic — no natural pairs reach
+    cos >= 0.9 — so we plant near-duplicates (small additive noise,
+    cos ~0.97+) in a scratch sf_dir and demand the blocked query
+    recovers most of the brute-force truth set."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    rng = np.random.default_rng(7)
+    planted = pdf.head(50).copy()
+    base_id = int(pdf.vec_id.max()) + 1
+    planted["vec_id"] = np.arange(base_id, base_id + len(planted), dtype=np.int64)
+    planted["embedding"] = [
+        (np.asarray(v, dtype=np.float32) + rng.normal(0, 0.02, len(v)).astype(np.float32))
+        for v in planted["embedding"]
+    ]
+    scratch = tmp_path / "neardup_sf"
+    scratch.mkdir()
+    pd.concat([pdf, planted]).to_parquet(scratch / "embeddings.parquet", index=False)
+
+    e = spark.read.parquet(str(scratch / "embeddings.parquet"))
+    a, b = e.alias("a"), e.alias("b")
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert len(truth) >= 40, f"fixture should plant >=40 near-dup pairs, got {len(truth)}"
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_embedding_neardup_pairs"].build(spark, str(scratch)).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"near-dup LSH recall {recall:.2f} over {len(truth)} planted pairs"
+    # and no false positives: everything reported really is >= 0.9
+    assert got <= truth, got - truth
