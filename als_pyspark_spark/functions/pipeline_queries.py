@@ -1,0 +1,364 @@
+"""Training-data pipeline operators: deterministic splits/sampling/shuffles,
+benchmark decontamination, normalization, PII redaction, vocabulary build,
+salient-term extraction, percentile quality filtering.
+
+These are the corpus-curation steps an LLM data pipeline runs between raw
+documents and training batches. Determinism is the design center: "random"
+choices are md5-hash decisions (both engines produce identical md5 hex and
+compare hex strings identically), so every sampling operator carries an
+EXACT DuckDB oracle AND reproduces bit-identically on re-run — the property
+that makes a 100 TB curation run auditable and resumable.
+
+Scale notes: every operator is built-ins only (no Python in the row path);
+the sampling/split operators are embarrassingly parallel per-row
+expressions; the per-stratum and per-doc rankers are single window
+functions over the stratum key; decontamination shuffles on the n-gram key
+(bounded by distinct-gram count, the same shape as the dedup band join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.functions.text import STOPWORDS, tokens, word_ngrams
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+# 'cd' = 205/256 ≈ 80.1% of uniformly-distributed 2-hex-digit prefixes.
+_TRAIN_THRESHOLD = "cd"
+_DECONTAM_N = 5
+_BALANCED_K = 10  # binds at every SF (sources carry 25+ docs each)
+
+
+def _doc_hash(col: str = "doc_id") -> F.Column:
+    """Deterministic per-row coin: md5 of the id rendered as a string.
+    Identical hex (and identical lexicographic order) in DuckDB."""
+    return F.md5(F.col(col).cast("string"))
+
+
+@query(
+    "q_split_train_test",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_THRESHOLD}'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+""",
+    tags=("pipeline", "split", "sampling"),
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split: the first two hex digits of
+    md5(doc_id) against a fixed threshold. Pure per-row expression — no
+    shuffle, no RNG state, stable under re-partitioning and re-runs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.substring(_doc_hash(), 1, 2) < _TRAIN_THRESHOLD, F.lit("train")
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+SELECT doc_id, source
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        <= CEIL(COUNT(*) OVER (PARTITION BY source) * 0.1)
+""",
+    tags=("pipeline", "sampling", "stratified"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional 10% stratified sample: within each source stratum,
+    rank rows by md5(doc_id) and keep the first ceil(0.1·|stratum|).
+    Exactly reproducible, exactly proportional per stratum — unlike
+    TABLESAMPLE, which is neither. One window over the stratum key."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_doc_hash().asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("source")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rk"),
+            F.ceil(F.count("*").over(wc) * 0.1).alias("cap"),
+        )
+        .where(F.col("rk") <= F.col("cap"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "q_sample_balanced",
+    oracle=f"""
+SELECT doc_id, source
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) <= {_BALANCED_K}
+""",
+    tags=("pipeline", "sampling", "balanced"),
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced downsample: exactly K docs per source (md5 order), the
+    standard mitigation when one source dominates the corpus mix."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_doc_hash().asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _BALANCED_K)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "q_shuffle_order",
+    oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+           AS shuffle_pos
+FROM documents
+""",
+    tags=("pipeline", "shuffle", "ordering"),
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: position = rank in
+    md5(doc_id) order. At cluster scale the sort is a range-partitioned
+    exchange on the hash (Spark's global orderBy already plans exactly
+    that), so no single node ever holds the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(_doc_hash().asc(), F.col("doc_id").asc())
+    return d.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   generate_series(1, GREATEST(len(string_split(text, ' ')) - {_DECONTAM_N - 1}, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                        || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+                        || ' ' || string_split(text, ' ')[i+4]
+               )
+           ) AS gs
+    FROM documents
+),
+bench AS (
+    SELECT DISTINCT UNNEST(gs) AS g FROM grams WHERE doc_id % 97 = 0
+),
+train AS (
+    SELECT doc_id, UNNEST(gs) AS g FROM grams WHERE doc_id % 97 <> 0
+)
+SELECT t.doc_id AS doc_id, COUNT(*) AS n_shared_grams
+FROM train t JOIN bench b ON t.g = b.g
+GROUP BY t.doc_id
+""",
+    tags=("pipeline", "decontamination", "ngram"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any distinct
+    word 5-gram with the held-out benchmark set (doc_id % 97 == 0 stands in
+    for the eval suite). The n-gram overlap check every serious LLM corpus
+    runs against its eval benchmarks before training.
+
+    Scale shape: distinct grams explode once per side, then an equi-join on
+    the gram string — shuffle bounded by distinct-gram volume, identical to
+    the dedup band-join. The benchmark side is tiny (≈1% of docs) and
+    broadcast; counting shared grams per doc is one partial+final agg."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(tokens(F.col("text")), _DECONTAM_N)).alias("gs"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = grams.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text
+FROM documents
+WHERE doc_id < 100
+""",
+    tags=("pipeline", "text", "normalize"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: lowercase, strip non-alphanumerics, collapse
+    whitespace — the canonical form fed to tokenizers and hashers. (Spark
+    regexp_replace is replace-all by default; DuckDB needs the 'g' flag —
+    an easy silent-divergence trap, pinned here by the oracle.)"""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_emails
+FROM documents
+WHERE doc_id < 100
+""",
+    tags=("pipeline", "pii", "redaction"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask email addresses and long digit runs (ids, phone
+    numbers) before training. Regex-only — the fast path; entity-model
+    redaction would ride the same mapInPandas plumbing as multimodal."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), "[0-9]{6,}", "<NUM>"
+    )
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).cast("long")
+    return d.select("doc_id", redacted.alias("redacted"), n_emails.alias("n_emails"))
+
+
+@query(
+    "q_vocab_top",
+    oracle="""
+WITH tok AS (
+    SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS vocab_id,
+       token, n
+FROM counts
+ORDER BY vocab_id
+LIMIT 500
+""",
+    tags=("pipeline", "vocab", "text"),
+)
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered vocabulary build: token → stable integer id, the
+    precursor to any tokenizer training. Deterministic tie-break on the
+    token string; partial+final count then one top-k sort of the (tiny)
+    vocab table, never of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.select(
+            F.row_number().over(w).cast("long").alias("vocab_id"), "token", "n"
+        )
+        .orderBy("vocab_id")
+        .limit(500)
+    )
+
+
+@query(
+    "q_doc_salient_terms",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 50
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM tok
+    WHERE token NOT IN {STOPWORDS!r}
+    GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents) all_tok
+    GROUP BY token
+)
+SELECT doc_id, token, tf, df
+FROM tf JOIN df USING (token)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) <= 3
+""",
+    tags=("pipeline", "tfidf", "text"),
+)
+def q_doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-3 non-stopword tokens by
+    (term-frequency DESC, document-frequency ASC) — the tf-idf ranking
+    with integer keys instead of a float score, so the ordering (and the
+    oracle hash) is exact. Corpus df computes once and broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    all_tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    df = all_tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        all_tok.where(F.col("doc_id") < 50)
+        .where(~F.col("token").isin(*STOPWORDS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .select("doc_id", "token", "tf", "df", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@query(
+    "q_length_filter_percentile",
+    oracle="""
+SELECT doc_id, n_chars
+FROM documents
+WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.05) FROM documents)
+  AND n_chars <= (SELECT quantile_cont(n_chars, 0.95) FROM documents)
+""",
+    tags=("pipeline", "quality", "percentile"),
+)
+def q_length_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length gate: drop the shortest and longest 5% of docs —
+    the distribution-relative quality filter (absolute thresholds rot as
+    the corpus mix shifts). Bounds compute once (tiny agg) and broadcast
+    into the scan predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
+    )

@@ -1,0 +1,148 @@
+"""Semantic properties of the training-data pipeline operators (the oracle
+gate proves Spark≡DuckDB; these prove the operators mean what they claim)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.plans.inspect import plan_of
+from als_pyspark_spark.registry import load_all_queries
+
+QUERIES = load_all_queries()
+
+
+def test_split_is_deterministic_and_near_80_20(spark, sf_dir):
+    df = QUERIES["q_split_train_test"].build(spark, sf_dir)
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.70 <= counts["train"] / total <= 0.90, counts
+    # deterministic: re-running yields the identical assignment
+    again = QUERIES["q_split_train_test"].build(spark, sf_dir)
+    assert df.exceptAll(again).count() == 0 and again.exceptAll(df).count() == 0
+
+
+def test_split_adds_no_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["q_split_train_test"].build(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_sample_exact_fraction_per_stratum(spark, sf_dir):
+    strata = {
+        r.source: r.n
+        for r in QUERIES["q_sample_stratified"]
+        .build(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    from als_pyspark_spark.sources.tables import load_table
+
+    full = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    import math
+
+    for s, n in full.items():
+        assert strata.get(s) == math.ceil(n * 0.1), (s, n, strata.get(s))
+
+
+def test_balanced_sample_exactly_k_per_source(spark, sf_dir):
+    counts = [
+        r.n
+        for r in QUERIES["q_sample_balanced"]
+        .build(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert counts and all(n == 10 for n in counts), counts
+
+
+def test_shuffle_order_is_permutation(spark, sf_dir):
+    df = QUERIES["q_shuffle_order"].build(spark, sf_dir)
+    n = df.count()
+    stats = df.agg(
+        F.countDistinct("shuffle_pos").alias("d"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+    ).collect()[0]
+    assert (stats.d, stats.lo, stats.hi) == (n, 1, n)
+
+
+def test_decontaminate_flags_exact_duplicates_of_benchmark(spark, sf_dir):
+    # any non-benchmark doc whose text equals a benchmark doc's text MUST be
+    # flagged (identical text ⇒ identical 5-gram set)
+    from als_pyspark_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where((F.col("doc_id") % 97 == 0) & (F.size(F.split("text", " ")) >= 5))
+    dup_of_bench = (
+        d.where(F.col("doc_id") % 97 != 0)
+        .alias("t")
+        .join(bench.alias("b"), F.col("t.text") == F.col("b.text"))
+        .select(F.col("t.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    expected = {r.doc_id for r in dup_of_bench.collect()}
+    flagged = {
+        r.doc_id for r in QUERIES["q_decontaminate"].build(spark, sf_dir).collect()
+    }
+    assert expected <= flagged, expected - flagged
+
+
+def test_normalize_is_idempotent(spark, sf_dir):
+    df = QUERIES["q_text_normalize"].build(spark, sf_dir)
+    renorm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("norm_text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    assert df.where(F.col("norm_text") != renorm).count() == 0
+
+
+def test_pii_redact_kills_emails_and_long_digit_runs(spark):
+    row = (
+        spark.createDataFrame(
+            [(1, "mail bob.smith+x@corp.example.com card 1234567890 ok 123")],
+            "doc_id long, text string",
+        )
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("text"),
+                    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                    "<EMAIL>",
+                ),
+                "[0-9]{6,}",
+                "<NUM>",
+            ).alias("r")
+        )
+        .collect()[0]
+    )
+    assert row.r == "mail <EMAIL> card <NUM> ok 123"
+
+
+def test_vocab_ids_are_dense_and_frequency_ordered(spark, sf_dir):
+    rows = QUERIES["q_vocab_top"].build(spark, sf_dir).collect()
+    ids = [r.vocab_id for r in rows]
+    assert ids == list(range(1, len(rows) + 1))
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_length_filter_drops_both_tails(spark, sf_dir):
+    from als_pyspark_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()
+    kept = QUERIES["q_length_filter_percentile"].build(spark, sf_dir)
+    n_kept = kept.count()
+    assert n_kept < total  # something was dropped
+    assert n_kept >= 0.85 * total  # but no more than ~the two 5% tails
+    lo_all = d.agg(F.min("n_chars")).collect()[0][0]
+    lo_kept = kept.agg(F.min("n_chars")).collect()[0][0]
+    assert lo_kept > lo_all  # the short tail is gone
