@@ -182,9 +182,16 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     feat = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    # Fit the coarse quantizer on a seeded sample, not the corpus: k-means
+    # centroid quality saturates at ~hundreds of points per centroid, and at
+    # 100 TB a full-corpus fit would be 8 full passes. Floor the fraction so
+    # tiny test corpora still train on everything.
+    n = feat.count()
+    fit_frac = min(1.0, max(200.0 * _IVF_K / max(n, 1), 0.01))
+    fit_set = feat.sample(fraction=fit_frac, seed=42) if fit_frac < 1.0 else feat
     model = KMeans(
         k=_IVF_K, seed=42, maxIter=8, featuresCol="features", predictionCol="cluster"
-    ).fit(feat)
+    ).fit(fit_set)
     assigned = model.transform(feat).select("vec_id", "embedding", "cluster").persist()
 
     # centroid literal table: k rows of (cluster_id, centroid ARRAY<DOUBLE>)
