@@ -63,6 +63,7 @@ _MODULE_ORDER = (
     "als_pyspark_spark.operators.physical",
     "als_pyspark_spark.operators.grouping",
     "als_pyspark_spark.operators.tpch_more",
+    "als_pyspark_spark.operators.tpch_rest",
     "als_pyspark_spark.operators.subqueries",
     "als_pyspark_spark.operators.relational",
     "als_pyspark_spark.operators.joins",
