@@ -74,9 +74,15 @@ _MODULE_ORDER = (
 )
 
 # Individual queries hoisted to the very front of the registry, ahead of
-# their home module's slot (e.g. freshly-fixed queries that need immediate
-# re-verification by a prefix-limited sweep).
-_HOISTED = ("q_conditional_agg", "q_array_funcs")
+# their home module's slot: queries whose Spark side or oracle changed this
+# round and therefore need immediate re-verification by a prefix-limited
+# sweep (their home modules sit far outside the priority prefix).
+_HOISTED = (
+    "q_conditional_agg",
+    "q_array_funcs",
+    "q_asof_last_order_before_event",
+    "q_time_weighted_value",
+)
 
 
 def load_all_queries() -> dict[str, Query]:

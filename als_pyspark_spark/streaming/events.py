@@ -155,6 +155,44 @@ def running_user_value(events: DataFrame, threshold: float = 1000.0) -> DataFram
     )
 
 
+def stream_static_segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the (static)
+    customer dimension, then count per (segment, type). The static side
+    needs no watermark and broadcasts per micro-batch — at cluster scale
+    this is the canonical 'enrich a Kafka stream with a dim table' plan."""
+    joined = events.join(customer, events.user_id == customer.c_custkey)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def stream_stream_purchase_click(
+    purchases: DataFrame, clicks: DataFrame, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase pairs with that user's
+    clicks in the preceding hour. Both sides are watermarked and the join
+    carries an explicit event-time range, so state eviction is bounded —
+    the two requirements for an unbounded stream-stream join to hold at
+    100 TB (without them, join state grows forever).
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("p_user", "purchase_id", "click_id")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink and
     return the materialized result.

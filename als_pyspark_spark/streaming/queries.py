@@ -19,6 +19,8 @@ from als_pyspark_spark.registry import query
 from als_pyspark_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
+    stream_static_segment_counts,
+    stream_stream_purchase_click,
     streaming_dedup,
     tumbling_hourly,
 )
@@ -45,6 +47,60 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = tumbling_hourly(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, name, mode="complete")
+
+
+@query(
+    "q_stream_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment AS c_mktsegment,
+       e.event_type AS event_type,
+       COUNT(*) AS n_events
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "static"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join AS A STREAM (event stream × static customer dim,
+    then a streaming aggregate), drained and checked against the exact
+    batch-join oracle."""
+    from als_pyspark_spark.sources.tables import load_table
+
+    name = "mem_stream_static_enrich"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = stream_static_segment_counts(read_events_stream(spark, sf_dir), customer)
+    return run_to_memory(stream, name, mode="complete")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+SELECT p.user_id AS p_user, COUNT(*) AS n_pairs
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+GROUP BY 1
+""",
+    tags=("streaming", "join", "stream-stream", "watermark"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join AS TWO STREAMS: purchases pair with the
+    same user's clicks in the preceding hour — watermarks on both sides,
+    event-time range in the join condition (state stays bounded). The
+    drained pair set reduces to per-user counts and must equal the exact
+    batch self-join oracle."""
+    from pyspark.sql import functions as F
+
+    name = "mem_stream_stream_join"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    purchases = read_events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    clicks = read_events_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    pairs = stream_stream_purchase_click(purchases, clicks)
+    drained = run_to_memory(pairs, name, mode="append")
+    return drained.groupBy("p_user").agg(F.count("*").alias("n_pairs"))
 
 
 @query("q_stream_dedup_count", oracle=None, tags=("streaming", "dedup", "state"))
