@@ -60,6 +60,7 @@ _MODULE_ORDER = (
     "als_pyspark_spark.functions.pandas_udfs",
     "als_pyspark_spark.operators.events",
     "als_pyspark_spark.functions.pipeline_queries",
+    "als_pyspark_spark.sources.python_datasource",
     "als_pyspark_spark.operators.physical",
     "als_pyspark_spark.operators.grouping",
     "als_pyspark_spark.operators.tpch_more",

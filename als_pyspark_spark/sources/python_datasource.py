@@ -1,0 +1,117 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic-ratings generator, partitioned by user block.
+
+The reference's only input is a ratings text file parsed by hand
+(reference ALS.py:585-596). This is the Spark-4-native way to own a source:
+implement DataSource/DataSourceReader, declare partitions() so the scan
+parallelizes (one InputPartition per user block — the reader-side analogue
+of the reference's user-block grid, SURVEY.md §2.4 X1), and let each
+partition generate its slice independently.
+
+Everything is closed-form arithmetic — no RNG state — so the SAME rows are
+expressible in SQL over generate_series, giving the custom source an EXACT
+DuckDB oracle (rare for a source connector, and exactly why the generator
+avoids random()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+_USERS = 120
+_ITEMS_PER_USER = 25
+_N_ITEMS = 60
+_USERS_PER_BLOCK = 30
+
+
+class _RatingsPartition(InputPartition):
+    def __init__(self, user_lo: int, user_hi: int):
+        self.user_lo = user_lo
+        self.user_hi = user_hi
+
+
+class SyntheticRatingsReader(DataSourceReader):
+    def partitions(self):
+        return [
+            _RatingsPartition(lo, min(lo + _USERS_PER_BLOCK, _USERS))
+            for lo in range(0, _USERS, _USERS_PER_BLOCK)
+        ]
+
+    def read(self, partition: _RatingsPartition):
+        for u in range(partition.user_lo, partition.user_hi):
+            for i in range(_ITEMS_PER_USER):
+                item = (u + i * 3) % _N_ITEMS
+                rating = ((u * 31 + i * 17) % 50) / 10.0
+                yield (u, item, rating)
+
+
+class SyntheticRatingsSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ratings"
+
+    def schema(self) -> str:
+        return "user bigint, item bigint, rating double"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticRatingsReader()
+
+
+# SQL twin of read(): same closed-form arithmetic over generate_series.
+SYNTHETIC_RATINGS_SQL = f"""
+SELECT CAST(u AS BIGINT) AS user,
+       CAST((u + i * 3) % {_N_ITEMS} AS BIGINT) AS item,
+       ((u * 31 + i * 17) % 50) / 10.0 AS rating
+FROM generate_series(0, {_USERS - 1}) AS gu(u),
+     generate_series(0, {_ITEMS_PER_USER - 1}) AS gi(i)
+"""
+
+
+def register(spark) -> None:
+    """Idempotently register the source with this session."""
+    spark.dataSource.register(SyntheticRatingsSource)
+
+
+def _queries():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.registry import query
+
+    @query(
+        "q_python_datasource_scan",
+        oracle=SYNTHETIC_RATINGS_SQL,
+        tags=("source", "python-datasource"),
+    )
+    def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Full scan of the custom Python data source — every generated row
+        must equal the SQL twin exactly (sf_dir unused: the source is its
+        own data)."""
+        register(spark)
+        return spark.read.format("synthetic_ratings").load()
+
+    @query(
+        "q_python_datasource_agg",
+        oracle=f"""
+WITH r AS ({SYNTHETIC_RATINGS_SQL})
+SELECT item,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(rating AS DECIMAL(6,1))) AS DOUBLE) AS rating_sum
+FROM r GROUP BY item
+""",
+        tags=("source", "python-datasource", "agg"),
+    )
+    def q_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Aggregate over the custom source: the scan parallelizes across
+        the source's InputPartitions and feeds a normal partial+final
+        hash aggregate — a custom source is a first-class scan node."""
+        register(spark)
+        r = spark.read.format("synthetic_ratings").load()
+        return r.groupBy("item").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("rating").cast("decimal(6,1)")).cast("double").alias("rating_sum"),
+        )
+
+
+_queries()
