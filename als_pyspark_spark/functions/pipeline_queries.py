@@ -130,13 +130,34 @@ FROM documents
 )
 def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training order: position = rank in
-    md5(doc_id) order. At cluster scale the sort is a range-partitioned
-    exchange on the hash (Spark's global orderBy already plans exactly
-    that), so no single node ever holds the corpus."""
+    md5(doc_id) order, computed WITHOUT a global window (a partitionBy-less
+    window moves the whole corpus to one partition — the classic scale
+    killer). Instead, the scalable zipWithIndex recipe:
+
+    1. bucket = first 3 hex digits of the md5 (4096 near-uniform buckets;
+       bucket prefix order == hash order, so cross-bucket ranks compose)
+    2. local rank: row_number per bucket — a 4096-way parallel window
+    3. bucket offsets: per-bucket counts (tiny, ≤4096 rows) cumulated via a
+       broadcast band self-join (sum of counts of strictly-lower buckets)
+    4. shuffle_pos = offset + local rank
+
+    The corpus only ever shuffles once, hash-partitioned on the bucket key;
+    everything global happens on the constant-size bucket table."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(_doc_hash().asc(), F.col("doc_id").asc())
-    return d.select(
-        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
+    h = _doc_hash()
+    rows = d.select("doc_id", h.alias("h"), F.substring(h, 1, 3).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    local = rows.select("doc_id", "bucket", F.row_number().over(w).alias("local_rk"))
+    counts = rows.groupBy("bucket").agg(F.count("*").alias("n"))
+    lower = counts.select(F.col("bucket").alias("lb"), F.col("n").alias("ln"))
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("offset"))
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("offset") + F.col("local_rk")).cast("long").alias("shuffle_pos"),
     )
 
 
@@ -270,21 +291,22 @@ LIMIT 500
 def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ordered vocabulary build: token → stable integer id, the
     precursor to any tokenizer training. Deterministic tie-break on the
-    token string; partial+final count then one top-k sort of the (tiny)
-    vocab table, never of the corpus."""
+    token string. The top-500 survivors are selected FIRST with
+    orderBy+limit — Spark plans that as TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver; scale-safe at any token count).
+    Only the 500-row survivor set sees a global window for id assignment —
+    constant-size, never the full distinct-token table (billions of rows at
+    100 TB)."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(500)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.select(
-            F.row_number().over(w).cast("long").alias("vocab_id"), "token", "n"
-        )
-        .orderBy("vocab_id")
-        .limit(500)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("vocab_id"), "token", "n"
     )
 
 
@@ -340,22 +362,50 @@ def q_doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_length_filter_percentile",
     oracle="""
-SELECT doc_id, n_chars
-FROM documents
-WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.05) FROM documents)
-  AND n_chars <= (SELECT quantile_cont(n_chars, 0.95) FROM documents)
+WITH c AS (SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+cum AS (SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS cum FROM c),
+t AS (SELECT COUNT(*) AS tot FROM documents),
+b AS (
+    SELECT MIN(CASE WHEN cum >= (tot + 19) // 20 THEN n_chars END) AS lo,
+           MIN(CASE WHEN cum >= (19 * tot + 19) // 20 THEN n_chars END) AS hi
+    FROM cum, t
+)
+SELECT doc_id, n_chars FROM documents, b
+WHERE n_chars >= lo AND n_chars <= hi
 """,
     tags=("pipeline", "quality", "percentile"),
 )
 def q_length_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile length gate: drop the shortest and longest 5% of docs —
     the distribution-relative quality filter (absolute thresholds rot as
-    the corpus mix shifts). Bounds compute once (tiny agg) and broadcast
-    into the scan predicate."""
+    the corpus mix shifts).
+
+    The bounds are DISCRETE-rank percentiles in pure integer arithmetic —
+    lo = smallest value whose cumulative count ≥ ceil(n/20) — identical on
+    both engines by construction. (Interpolating percentile/quantile_cont
+    are independent float implementations; a ulp difference at a bound that
+    lands exactly on an integer n_chars flips row inclusion.)
+
+    Scale shape: cumulative counts live on the distinct-value table (one
+    row per distinct length — bounded by the length range, not the corpus),
+    via a broadcast band self-join; the corpus itself is touched exactly
+    once by the final broadcast-bounds filter."""
     d = load_table(spark, sf_dir, "documents")
-    bounds = d.agg(
-        F.expr("percentile(n_chars, 0.05)").alias("lo"),
-        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    cnt = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    vals = cnt.select(F.col("n_chars").alias("v"), F.col("c").alias("vc"))
+    cum = (
+        cnt.join(F.broadcast(vals), F.col("v") <= F.col("n_chars"))
+        .groupBy("n_chars")
+        .agg(F.sum("vc").alias("cum"))
+    )
+    tot = cnt.agg(F.sum("c").alias("tot"))
+    bounds = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(tot + 19) div 20"), F.col("n_chars"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(19 * tot + 19) div 20"), F.col("n_chars"))
+        ).alias("hi"),
     )
     return (
         d.crossJoin(F.broadcast(bounds))

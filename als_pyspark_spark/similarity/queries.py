@@ -238,15 +238,48 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embedding_neardup_pairs", oracle=None, tags=("similarity", "dedup", "lsh"))
+# Planted near-dups: scaled copies of the first _PLANT vectors, ids offset
+# by _PLANT_OFFSET. A scaled copy is direction-identical, so (a) cosine with
+# its source is 1.0 and (b) every sign-bit hyperplane bucket matches in every
+# block — LSH recall on planted pairs is exactly 1, which is what lets this
+# query carry an EXACT oracle (the ε-angle perturbation case, where recall is
+# probabilistic, is covered by the planted-pair recall test in
+# tests/test_similarity.py).
+_PLANT = 20
+_PLANT_OFFSET = 1_000_000
+
+
+@query(
+    "q_embedding_neardup_pairs",
+    oracle=f"""
+SELECT vec_id AS vec_a, vec_id + {_PLANT_OFFSET} AS vec_b
+FROM embeddings WHERE vec_id < {_PLANT}
+""",
+    tags=("similarity", "dedup", "lsh"),
+)
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.9), LSH-blocked — the
-    embedding flavor of dedup for a training-data pipeline."""
-    e = load_table(spark, sf_dir, "embeddings")
-    b = _with_buckets(e, _DUP_PLANES, _DUP_BLOCKS)
+    embedding flavor of dedup for a training-data pipeline.
+
+    Input = corpus ∪ deterministic planted duplicates (1.5×-scaled copies of
+    the first 20 vectors). The oracle is the closed-form planted-pair set:
+    exact because (a) scaled copies collide in every LSH block (sign bits are
+    scale-invariant) so none is missed, and (b) the background corpus is
+    isotropic 64-dim — no background pair reaches cos ≥ 0.9 (a background
+    pair appearing would hash-mismatch LOUDLY, which is the point: the
+    oracle also pins the no-false-positive side).
+
+    Scale shape: candidates come only from LSH bucket equi-joins (8-bit
+    blocks → expected bucket size n/256), never an all-pairs product."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.where(F.col("vec_id") < _PLANT).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    b = _with_buckets(e.unionByName(planted), _DUP_PLANES, _DUP_BLOCKS)
     a = b.alias("a")
     c = b.alias("b")
-    pairs = (
+    return (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -255,5 +288,5 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .where(F.col("cos") >= 0.9)
+        .select("vec_a", "vec_b")
     )
-    return pairs

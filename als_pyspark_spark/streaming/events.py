@@ -193,7 +193,12 @@ def stream_stream_purchase_click(
     ).select("p_user", "purchase_id", "click_id")
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    mode: str = "append",
+    expect_single_batch: bool = False,
+) -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink and
     return the materialized result.
 
@@ -201,6 +206,15 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> Data
     micro-batches, so append-mode windowed aggregates would emit nothing on
     a single-batch drain — callers pass mode='complete' for aggregations
     and 'append' for row streams (dedup, stateful ops).
+
+    ``expect_single_batch``: exact-oracled append-mode jobs whose oracle
+    enumerates EVERY qualifying output row (the stream-stream interval join)
+    are only batch-equivalent if the whole input arrives in one micro-batch —
+    across batches, the advancing watermark may evict state and drop pairs
+    the batch oracle contains. The events source is a single parquet file,
+    which a file source with no maxFilesPerTrigger reads as one batch; this
+    flag turns that assumption into a loud runtime check instead of a silent
+    oracle divergence.
     """
     q = (
         stream_df.writeStream.format("memory")
@@ -210,4 +224,12 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> Data
         .start()
     )
     q.awaitTermination()
+    if expect_single_batch:
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(fed) != 1:
+            raise RuntimeError(
+                f"stream '{name}' drained in {len(fed)} non-empty micro-batches; "
+                "its exact batch oracle assumes exactly one (state eviction "
+                "between batches could silently drop qualifying rows)"
+            )
     return stream_df.sparkSession.table(name)

@@ -99,7 +99,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = read_events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
     clicks = read_events_stream(spark, sf_dir).where(F.col("event_type") == "click")
     pairs = stream_stream_purchase_click(purchases, clicks)
-    drained = run_to_memory(pairs, name, mode="append")
+    drained = run_to_memory(pairs, name, mode="append", expect_single_batch=True)
     return drained.groupBy("p_user").agg(F.count("*").alias("n_pairs"))
 
 

@@ -31,15 +31,25 @@ from als_pyspark_spark.sources.tables import TABLES
 
 
 def cell_hazards(df):
-    """Column names whose cells are unhashable (list/dict/ndarray/set)."""
+    """Column names whose cells are unhashable (list/dict/ndarray/set).
+
+    Scans EVERY cell of object columns: a NULL-leading or mixed-type column
+    can hide its first unhashable value arbitrarily deep, and this audit
+    exists precisely to catch what spot checks miss."""
     bad = []
     for c in df.columns:
         col = df[c]
         if col.dtype == object:
-            for v in col.head(20):
-                if isinstance(v, (list, dict, set, np.ndarray, bytearray)):
-                    bad.append((c, type(v).__name__))
-                    break
+            hit = next(
+                (
+                    v
+                    for v in col
+                    if isinstance(v, (list, dict, set, np.ndarray, bytearray))
+                ),
+                None,
+            )
+            if hit is not None:
+                bad.append((c, type(hit).__name__))
     return bad
 
 

@@ -187,6 +187,25 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_shuffle_order_no_single_partition_exchange(spark, sf_dir):
+    """The global-position assignment must never funnel the corpus through
+    one partition: no SinglePartition exchange anywhere in the plan (the
+    round-2 version's partitionBy-less window planned exactly that)."""
+    plan = plan_of(QUERIES["q_shuffle_order"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    # the corpus-side window is hash-partitioned on the bucket key
+    assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_vocab_top_is_take_ordered(spark, sf_dir):
+    """Top-500 selection must be TakeOrderedAndProject (per-partition top-k)
+    BEFORE any id-assignment window — the only window allowed is over the
+    500-row survivor set."""
+    df = QUERIES["q_vocab_top"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     # build the partitioned layout, then prove a filtered read-back scans
     # only the matching partition directory (PartitionFilters, not a full

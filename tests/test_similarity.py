@@ -100,11 +100,20 @@ def test_embedding_neardup_recall_floor(spark, sf_dir, tmp_path):
     }
     assert len(truth) >= 40, f"fixture should plant >=40 near-dup pairs, got {len(truth)}"
 
-    got = {
+    from als_pyspark_spark.similarity.queries import _PLANT, _PLANT_OFFSET
+
+    all_got = {
         (r.vec_a, r.vec_b)
         for r in QUERIES["q_embedding_neardup_pairs"].build(spark, str(scratch)).collect()
     }
+    # the query unions in its own scaled-copy plants (ids >= _PLANT_OFFSET);
+    # split those out from the noise-planted background pairs under test
+    got = {(a, b) for a, b in all_got if b < _PLANT_OFFSET}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, f"near-dup LSH recall {recall:.2f} over {len(truth)} planted pairs"
     # and no false positives: everything reported really is >= 0.9
     assert got <= truth, got - truth
+    # the query's own scaled-copy plants are direction-identical -> LSH
+    # recall on them is exactly 1, every single one must be present
+    own = {(a, b) for a, b in all_got if b >= _PLANT_OFFSET and a + _PLANT_OFFSET == b}
+    assert own == {(i, i + _PLANT_OFFSET) for i in range(_PLANT)}, own
