@@ -118,10 +118,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    shingled = d.select(
-        "doc_id",
-        F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
-        fingerprint(toks, _SHINGLE_N).alias("fp"),
+    # repartition first: shingling + fingerprinting is the CPU-heavy step
+    # and the corpus parquet may be a single row group (1 task); persist
+    # because the projection feeds BOTH sides of the fp-blocked self-join
+    n_part = spark.sparkContext.defaultParallelism
+    shingled = (
+        d.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
+            fingerprint(toks, _SHINGLE_N).alias("fp"),
+        )
+        .persist()
     )
     a = shingled.alias("a")
     b = shingled.alias("b")

@@ -199,7 +199,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup band-join. The benchmark side is tiny (≈1% of docs) and
     broadcast; counting shared grams per doc is one partial+final agg."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
+    # repartition BEFORE the gram projection: shingling is the CPU-heavy
+    # step and the corpus parquet may be a single row group (1 task) — same
+    # discipline as the LSH signature pipeline (dedup/queries.py)
+    n_part = spark.sparkContext.defaultParallelism
+    grams = d.repartition(n_part, "doc_id").select(
         "doc_id",
         F.array_distinct(word_ngrams(tokens(F.col("text")), _DECONTAM_N)).alias("gs"),
     )

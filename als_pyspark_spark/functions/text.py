@@ -30,17 +30,31 @@ def token_count(text: Column | str) -> Column:
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-gram shingles as strings, e.g. 'spark join order' for n=3.
 
-    Empty array when the doc has fewer than n tokens (sequence(1, k) with
-    k < 1 would be an invalid range, so guard with when()).
+    Built as a zip_with chain of shifted slices: gram_i = t_i ++ t_{i+1} ++
+    … ++ t_{i+n-1} accumulates by zipping the running prefix with the next
+    1-shifted slice. Each slice references ``toks`` at ROW scope, so the
+    whole expression evaluates the ``toks`` subtree O(n) times per row.
+
+    The obvious alternative — transform over sequence(1, count) with
+    element_at(toks, i+j) lookups — re-evaluates the ``toks`` subtree inside
+    the per-ELEMENT lambda: O(grams·n) evaluations per row. Callers pass
+    ``split(text)`` expressions directly (and CollapseProject inlines them
+    even when they don't), so that form re-split every document ~n·grams
+    times — measured 7× slower on the 5-gram decontamination pipeline.
+
+    zip_with pads the shorter (shifted) side with null and concat_ws skips
+    nulls, so tail positions hold partial grams — the final slice to
+    count = size-(n-1) drops them. Empty array when the doc has fewer than
+    n tokens.
     """
     count = F.size(toks) - (n - 1)
-    make = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+    z = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        z = F.zip_with(z, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(count >= 1, F.slice(z, 1, count)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(count >= 1, make).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_count(toks: Column) -> Column:
