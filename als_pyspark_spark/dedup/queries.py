@@ -406,3 +406,78 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("node", "label").select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+_CONTAIN_THRESHOLD = 0.8
+
+
+@query(
+    "q_dedup_ngram_containment",
+    oracle=f"""
+WITH shingled AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   generate_series(1, GREATEST(len(string_split(text, ' ')) - {_SHINGLE_N - 1}, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+               )
+           ) AS grams,
+           CASE WHEN len(string_split(text, ' ')) >= {_SHINGLE_N}
+                THEN list_min(list_transform(
+                    list_transform(
+                        generate_series(1, len(string_split(text, ' ')) - {_SHINGLE_N - 1}),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+                    ), g -> MD5(g)))
+                ELSE MD5(text)
+           END AS fp
+    FROM documents
+)
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+         / LEAST(len(a.grams), len(b.grams)) AS containment
+FROM shingled a JOIN shingled b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+      / LEAST(len(a.grams), len(b.grams)) >= {_CONTAIN_THRESHOLD}
+""",
+    tags=("dedup", "containment", "ngram"),
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.8,
+    blocked by winnowing fingerprint — catches quotation/subsumption
+    (a short doc embedded in a long one), which symmetric Jaccard dilutes
+    below threshold as the length ratio grows.
+
+    Same exactness contract as q_dedup_ngram_jaccard: BOTH engines block on
+    fp equality, so the oracle is exact over the blocked candidate set
+    (recall of the blocking itself is a separate, test-asserted property).
+    Integer set sizes → exact double division → hash-stable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_part = spark.sparkContext.defaultParallelism
+    shingled = (
+        d.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
+            fingerprint(toks, _SHINGLE_N).alias("fp"),
+        )
+        .persist()
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    containment = inter.cast("double") / F.least(
+        F.size("a.grams"), F.size("b.grams")
+    )
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= _CONTAIN_THRESHOLD)
+    )

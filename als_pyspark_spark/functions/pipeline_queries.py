@@ -29,6 +29,9 @@ from als_pyspark_spark.sources.tables import load_table
 _TRAIN_THRESHOLD = "cd"
 _DECONTAM_N = 5
 _BALANCED_K = 10  # binds at every SF (sources carry 25+ docs each)
+_CHUNK = 32  # tokens per training chunk
+_STRIDE = 24  # chunk stride (8-token overlap)
+_PACK_BUDGET = 512  # tokens per packed training sequence
 
 
 def _doc_hash(col: str = "doc_id") -> F.Column:
@@ -360,6 +363,127 @@ def q_doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "df", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 3)
         .drop("rk")
+    )
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+WITH toked AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+ch AS (
+    SELECT doc_id,
+           k AS chunk_id,
+           list_slice(toks, k * {_STRIDE} + 1,
+                      LEAST(k * {_STRIDE} + {_CHUNK}, len(toks))) AS chunk
+    FROM toked,
+         UNNEST(generate_series(
+             0,
+             CAST((GREATEST(len(toks) - {_CHUNK}, 0) + {_STRIDE - 1}) // {_STRIDE} AS BIGINT)
+         )) AS g(k)
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM ch
+""",
+    tags=("pipeline", "chunking", "training"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking: each document becomes overlapping
+    32-token chunks at stride 24 — the sequence-prep step that
+    turns documents into model-sized training examples while the overlap
+    preserves cross-boundary context.
+
+    Scale shape: per-row transform + posexplode — embarrassingly parallel,
+    output volume = corpus × (1 + overlap fraction). The token array is
+    materialized behind a repartition barrier first, so per-chunk slice
+    lambdas reference a cheap attribute, not the re-evaluated split tree
+    (the word_ngrams lesson), and the chunking runs on every core even for
+    a single-row-group parquet."""
+    d = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    toked = d.repartition(n_part, "doc_id").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    m = F.size("toks")
+    last_chunk = F.floor(
+        (F.greatest(m - F.lit(_CHUNK), F.lit(0)) + F.lit(_STRIDE - 1)) / F.lit(_STRIDE)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), last_chunk),
+        lambda k: F.slice(F.col("toks"), k * _STRIDE + 1, _CHUNK),
+    )
+    return (
+        toked.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           substr(h, 1, 2) AS shard,
+           n_tok,
+           SUM(n_tok) OVER (PARTITION BY substr(h, 1, 2)
+                            ORDER BY h ASC, doc_id ASC) AS cum
+    FROM t
+)
+SELECT doc_id,
+       shard,
+       CAST(cum - n_tok AS BIGINT) AS start_offset,
+       CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+FROM s
+""",
+    tags=("pipeline", "packing", "training"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: documents stream in deterministic
+    md5 order within each of 256 shards; each doc's start offset in the
+    shard's token stream and the 512-token bin it starts in are
+    computed from a running token count. This is how LLM pretraining
+    actually packs tokens — concatenate the shard stream, cut every budget
+    tokens — expressed as one window cumsum.
+
+    Scale shape: the only shuffle is the 256-way shard window (each shard
+    ~1/256 of the corpus, processed independently); offsets are pure
+    integer arithmetic, so the operator is exactly reproducible and carries
+    an exact oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _doc_hash()
+    t = d.select(
+        "doc_id",
+        h.alias("h"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    ).withColumn("shard", F.substring("h", 1, 2))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("cum") - F.col("n_tok")).cast("long").alias("start_offset"),
+            F.expr(f"CAST((cum - n_tok) div {_PACK_BUDGET} AS BIGINT)").alias("bin_id"),
+        )
     )
 
 

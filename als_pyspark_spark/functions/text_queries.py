@@ -194,3 +194,101 @@ def q_text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         token_count(F.col("text")).alias("n_ws_tokens"),
     )
+
+
+_BM25_TERMS = ("join", "scan", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "q_bm25_retrieval",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS dl,
+           len(list_filter(toks, x -> x = '{_BM25_TERMS[0]}')) AS tf1,
+           len(list_filter(toks, x -> x = '{_BM25_TERMS[1]}')) AS tf2,
+           len(list_filter(toks, x -> x = '{_BM25_TERMS[2]}')) AS tf3
+    FROM t
+),
+s AS (
+    SELECT COUNT(*) AS n,
+           SUM(dl) AS tot,
+           COUNT(*) FILTER (WHERE tf1 > 0) AS df1,
+           COUNT(*) FILTER (WHERE tf2 > 0) AS df2,
+           COUNT(*) FILTER (WHERE tf3 > 0) AS df3
+    FROM m
+),
+scored AS (
+    SELECT doc_id,
+           ((n - df1 + 0.5) / (df1 + 0.5)) * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * dl) / (tot / n))))
+         + ((n - df2 + 0.5) / (df2 + 0.5)) * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * dl) / (tot / n))))
+         + ((n - df3 + 0.5) / (df3 + 0.5)) * ((tf3 * 2.2) / (tf3 + 1.2 * (0.25 + (0.75 * dl) / (tot / n))))
+           AS score
+    FROM m, s
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOPK}
+""",
+    tags=("text", "retrieval", "bm25"),
+)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 3-term query — the retrieval
+    scorer a corpus-curation pipeline uses for quality probes and nearest-
+    benchmark lookups.
+
+    Float-exact across engines BY CONSTRUCTION: the idf factor is the raw
+    ratio (N - df + 0.5)/(df + 0.5) rather than its logarithm (ln is not
+    correctly-rounded and differs between libm implementations; +, *, /
+    are IEEE-exact), term contributions are summed in fixed left-to-right
+    term order, and tf/df/dl/N are integers — so Spark and the oracle
+    compute bit-identical doubles. The ratio idf is monotone in the
+    standard log idf, so the ranking is the textbook BM25 ranking.
+
+    Scale shape: corpus stats (N, Σdl, per-term df) are ONE aggregate
+    broadcast back; per-doc scoring is a row-local expression; top-k is
+    TakeOrderedAndProject. No shuffle of the corpus at any point.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    def tf_of(term: str) -> F.Column:
+        # single-arg lambda: a 2-arg signature would be read as the
+        # (element, index) filter variant
+        return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+    m = toked.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[tf_of(t).alias(f"tf{i+1}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = m.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("tot"),
+        *[
+            F.count_if(F.col(f"tf{i+1}") > 0).alias(f"df{i+1}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def contrib(i: int) -> F.Column:
+        tf = F.col(f"tf{i}")
+        df = F.col(f"df{i}")
+        idf = (F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        den = tf + F.lit(_BM25_K1) * (
+            F.lit(0.25) + (F.lit(_BM25_B) * F.col("dl")) / (F.col("tot") / F.col("n"))
+        )
+        return idf * ((tf * F.lit(_BM25_K1 + 1)) / den)
+
+    score = contrib(1) + contrib(2) + contrib(3)
+    return (
+        m.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )

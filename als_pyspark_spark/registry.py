@@ -93,6 +93,13 @@ _HOISTED = (
     "q_vocab_top",
     "q_length_filter_percentile",
     "q_embedding_neardup_pairs",
+    # NEW this round — first driver verification
+    "q_chunk_documents",
+    "q_pack_sequences",
+    "q_stream_stateful_threshold",
+    "q_bm25_retrieval",
+    "q_dedup_ngram_containment",
+    "q_semantic_cluster_assign",
     # canaries: one previously-driver-green query per displaced family
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",

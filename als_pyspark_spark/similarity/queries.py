@@ -290,3 +290,61 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= 0.9)
         .select("vec_a", "vec_b")
     )
+
+
+_N_SEED_CENTROIDS = 8
+
+
+@query(
+    "q_semantic_cluster_assign",
+    oracle=f"""
+WITH c AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_N_SEED_CENTROIDS}
+),
+d AS (
+    SELECT e.vec_id,
+           c.cid,
+           list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) AS dist
+    FROM embeddings e, c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) = 1
+""",
+    tags=("similarity", "clustering"),
+)
+def q_semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-seed-centroid assignment: every embedding is labeled with
+    the closest of 8 fixed seed vectors (the first 8 corpus embeddings) —
+    one assignment step of k-means / the routing step of a semantic-
+    sharding pipeline, as a pure broadcast-join + per-row argmin.
+
+    Ids-only output: distances are float, but an argmin flip would need two
+    seed centroids equidistant from a corpus vector to ~1e-15 relative —
+    measure-zero for isotropic 64-dim data — and ties break on centroid id
+    on both engines, so the assignment is exact.
+
+    Scale shape: the centroid table broadcasts (k×dim doubles); assignment
+    is embarrassingly parallel; the per-vector argmin is a window over
+    k=8 rows keyed by vec_id (high-cardinality partition key — no hot
+    partition). At 100 TB this is the routing pass that builds the IVF
+    inverted lists (q_ann_ivf_top10 is the probe-side counterpart)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.where(F.col("vec_id") < _N_SEED_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            "embedding", "ce", lambda a, b: (a.cast("double") - b.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cluster"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.col("cid").cast("long").alias("cluster"), dist2.alias("dist2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cluster")
+    )

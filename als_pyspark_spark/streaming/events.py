@@ -117,14 +117,22 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def running_user_value(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     value total, emitting a row each time the total crosses another multiple
-    of `threshold`. The state is one (total, emitted_level) pair per user —
-    O(users) state, watermark-free by design (monotone counters).
+    of `threshold`. The state is one (total_cents, emitted_level) pair per
+    user — O(users) state, watermark-free by design (monotone counters).
+
+    The accumulator is INTEGER CENTS, not a float: event values are 2-decimal
+    quantities, and a float running sum is arrival-order-dependent in its low
+    bits — which would make the emitted `total` nondeterministic across
+    partitionings and unable to carry an exact oracle. Integer addition is
+    associative; total = cents/100.0 is then the correctly-rounded double of
+    the exact decimal sum, matching SUM(CAST(value AS DECIMAL)) in SQL.
 
     This is the template for operators Spark lacks natively (reference has
     nothing comparable; its only state is per-iteration RDD caching).
     """
     import pandas as pd  # local import: executors need it, driver may not
 
+    threshold_cents = int(round(threshold * 100))
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
@@ -133,18 +141,22 @@ def running_user_value(events: DataFrame, threshold: float = 1000.0) -> DataFram
         ]
     )
     state_schema = StructType(
-        [StructField("total", DoubleType()), StructField("level", LongType())]
+        [StructField("total_cents", LongType()), StructField("level", LongType())]
     )
 
     def fn(key, pdf_iter, state):
-        total, level = state.get if state.exists else (0.0, 0)
+        cents, level = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
-            total += float(pdf["value"].sum())
-        new_level = int(total // threshold)
-        state.update((total, new_level))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        new_level = cents // threshold_cents
+        state.update((cents, new_level))
         if new_level > level:
             yield pd.DataFrame(
-                {"user_id": [key[0]], "total": [total], "level": [new_level]}
+                {
+                    "user_id": [key[0]],
+                    "total": [cents / 100.0],
+                    "level": [new_level],
+                }
             )
 
     return (

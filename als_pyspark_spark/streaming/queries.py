@@ -19,6 +19,7 @@ from als_pyspark_spark.registry import query
 from als_pyspark_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
+    running_user_value,
     stream_static_segment_counts,
     stream_stream_purchase_click,
     streaming_dedup,
@@ -101,6 +102,37 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = stream_stream_purchase_click(purchases, clicks)
     drained = run_to_memory(pairs, name, mode="append", expect_single_batch=True)
     return drained.groupBy("p_user").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "q_stream_stateful_threshold",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
+       CAST(FLOOR(SUM(CAST(value AS DECIMAL(14,2))) / 1000) AS BIGINT) AS level
+FROM events
+GROUP BY user_id
+HAVING FLOOR(SUM(CAST(value AS DECIMAL(14,2))) / 1000) >= 1
+""",
+    tags=("streaming", "state", "applyInPandasWithState"),
+)
+def q_stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) with an
+    EXACT oracle: per-user running value total, emitting when the total
+    crosses a multiple of 1000.
+
+    Exactness comes from two design choices: (1) the operator accumulates
+    integer cents (associative — arrival order can't perturb the total),
+    and (2) the availableNow drain feeds the single events file as ONE
+    micro-batch (asserted at runtime), so each qualifying user emits
+    exactly one row — the batch GROUP BY ... HAVING twin. Multi-batch
+    arrival would legitimately emit one row per crossed level per batch;
+    the oracle pins the bounded-drain contract, tests pin the operator's
+    incremental semantics."""
+    name = "mem_stream_stateful_threshold"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    stream = running_user_value(read_events_stream(spark, sf_dir), threshold=1000.0)
+    return run_to_memory(stream, name, mode="append", expect_single_batch=True)
 
 
 @query("q_stream_dedup_count", oracle=None, tags=("streaming", "dedup", "state"))

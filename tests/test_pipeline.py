@@ -146,3 +146,59 @@ def test_length_filter_drops_both_tails(spark, sf_dir):
     lo_all = d.agg(F.min("n_chars")).collect()[0][0]
     lo_kept = kept.agg(F.min("n_chars")).collect()[0][0]
     assert lo_kept > lo_all  # the short tail is gone
+
+
+def test_chunking_covers_every_token_with_stride_overlap(spark, sf_dir):
+    from als_pyspark_spark.functions.pipeline_queries import _CHUNK, _STRIDE
+    from als_pyspark_spark.sources.tables import load_table
+
+    chunks = QUERIES["q_chunk_documents"].build(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("m")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("tok_sum"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    # every chunk bounded by the chunk size
+    assert j.where(F.col("max_len") > _CHUNK).count() == 0
+    # coverage: last chunk ends at the last token -> total emitted tokens =
+    # m + overlap*(n_chunks-1) only when chunks are full; weaker invariant
+    # that holds always: (n_chunks-1)*stride < m <= (n_chunks-1)*stride + chunk
+    bad = j.where(
+        ~(
+            ((F.col("n_chunks") - 1) * _STRIDE < F.col("m"))
+            & (F.col("m") <= (F.col("n_chunks") - 1) * _STRIDE + _CHUNK)
+        )
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_packing_offsets_are_contiguous_per_shard(spark, sf_dir):
+    from als_pyspark_spark.sources.tables import load_table
+
+    packed = QUERIES["q_pack_sequences"].build(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    j = packed.join(docs, "doc_id")
+    # per shard: offsets start at 0 and the stream has no holes — the max
+    # (start_offset + n_tok) equals the shard's total token count
+    agg = j.groupBy("shard").agg(
+        F.min("start_offset").alias("lo"),
+        F.max(F.col("start_offset") + F.col("n_tok")).alias("end"),
+        F.sum("n_tok").alias("tot"),
+    )
+    assert agg.where(F.col("lo") != 0).count() == 0
+    assert agg.where(F.col("end") != F.col("tot")).count() == 0
+    # bin ids are non-negative and docs assigned to the bin they start in
+    from als_pyspark_spark.functions.pipeline_queries import _PACK_BUDGET
+
+    bad = packed.where(
+        (F.col("bin_id") < 0)
+        | (F.col("start_offset") - F.col("bin_id") * _PACK_BUDGET < 0)
+        | (F.col("start_offset") - F.col("bin_id") * _PACK_BUDGET >= _PACK_BUDGET)
+    )
+    assert bad.count() == 0

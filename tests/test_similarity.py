@@ -117,3 +117,17 @@ def test_embedding_neardup_recall_floor(spark, sf_dir, tmp_path):
     # recall on them is exactly 1, every single one must be present
     own = {(a, b) for a, b in all_got if b >= _PLANT_OFFSET and a + _PLANT_OFFSET == b}
     assert own == {(i, i + _PLANT_OFFSET) for i in range(_PLANT)}, own
+
+
+def test_cluster_assign_seed_vectors_assign_to_themselves(spark, sf_dir):
+    from als_pyspark_spark.similarity.queries import _N_SEED_CENTROIDS
+
+    got = {
+        r.vec_id: r.cluster
+        for r in QUERIES["q_semantic_cluster_assign"].build(spark, sf_dir).collect()
+    }
+    # each seed centroid is distance 0 from itself
+    for i in range(_N_SEED_CENTROIDS):
+        assert got[i] == i, (i, got[i])
+    # every vector got exactly one assignment in range
+    assert all(0 <= c < _N_SEED_CENTROIDS for c in got.values())
