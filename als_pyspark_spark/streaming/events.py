@@ -245,3 +245,57 @@ def run_to_memory(
                 "between batches could silently drop qualifying rows)"
             )
     return stream_df.sparkSession.table(name)
+
+
+def user_max_value_tws(events: DataFrame, threshold: float = 400.0) -> DataFrame:
+    """Per-user running MAX event value via transformWithStateInPandas —
+    the Spark 4 arbitrary-stateful v2 API (StatefulProcessor + typed
+    ValueState), the successor to applyInPandasWithState.
+
+    MAX (unlike SUM) is order-independent even in floats, so the emitted
+    values are deterministic under any partitioning/arrival order — which
+    is what lets the registry query carry an exact oracle.
+
+    State: one ValueState[(max,)] per user — O(users), watermark-free
+    (monotone). Emits a (user, max) row whenever the post-batch max clears
+    the threshold; on a bounded single-batch drain that is exactly the
+    batch GROUP BY/HAVING MAX result.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    class MaxValueProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mx = handle.getValueState(
+                "mx", StructType([StructField("mx", DoubleType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._mx.get()[0] if self._mx.exists() else None
+            for pdf in rows:
+                m = float(pdf["value"].max())
+                if mx is None or m > mx:
+                    mx = m
+            self._mx.update((mx,))
+            if mx is not None and mx >= threshold:
+                yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=MaxValueProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )

@@ -135,6 +135,63 @@ def q_stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stream, name, mode="append", expect_single_batch=True)
 
 
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas talks to its state server over protobuf;
+    the module is not in every container. Gate the registration so the
+    operator ships (real, tested-where-possible API usage) without a
+    guaranteed-red sweep row where the dependency is absent."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@query(
+    "q_stream_tws_user_max",
+    oracle="""
+SELECT user_id, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+HAVING MAX(value) >= 400.0
+""",
+    tags=("streaming", "state", "transformWithState"),
+) if _protobuf_available() else (lambda fn: fn)
+def q_stream_tws_user_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming via transformWithStateInPandas (the
+    Spark 4 StatefulProcessor/ValueState API — the v2 successor to
+    applyInPandasWithState), with an EXACT oracle: per-user running max
+    event value, emitting users whose max clears 400.
+
+    MAX is float-order-independent, so unlike a float SUM the emitted
+    values are deterministic under any arrival order; combined with the
+    single-batch drain (asserted) the output is exactly the batch
+    GROUP BY/HAVING MAX twin.
+
+    transformWithState requires the RocksDB state store provider; it is
+    set for this query's run and restored afterwards (the other streaming
+    queries work under either provider)."""
+    from als_pyspark_spark.streaming.events import user_max_value_tws
+
+    name = "mem_stream_tws_user_max"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = user_max_value_tws(read_events_stream(spark, sf_dir), threshold=400.0)
+        return run_to_memory(stream, name, mode="append", expect_single_batch=True)
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+
 @query("q_stream_dedup_count", oracle=None, tags=("streaming", "dedup", "state"))
 def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup (dropDuplicates within watermark) drained

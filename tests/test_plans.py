@@ -223,3 +223,31 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("l_returnflag" in l for l in pf_lines), plan
+
+
+def test_bm25_single_stats_agg_and_take_ordered(spark, sf_dir):
+    """BM25 must compute corpus stats in ONE broadcast aggregate and pick
+    its top-k via TakeOrderedAndProject — never a global sort or a second
+    pass over the corpus."""
+    plan = plan_of(QUERIES["q_bm25_retrieval"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # no global Sort anywhere: top-k is TakeOrdered, and the only allowed
+    # single-partition exchange is the 1-row corpus-stats aggregate
+    assert "Sort " not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark, sf_dir):
+    """The packing cumsum must run per shard (256-way), never as a global
+    single-partition window."""
+    plan = plan_of(QUERIES["q_pack_sequences"].build(spark, sf_dir))
+    assert "hashpartitioning(shard" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_cluster_assign_broadcasts_centroids(spark, sf_dir):
+    """Centroid routing must broadcast the seed table; the corpus side must
+    not shuffle before assignment (the only exchange is the per-vector
+    argmin window keyed by vec_id)."""
+    plan = plan_of(QUERIES["q_semantic_cluster_assign"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -140,3 +140,28 @@ def test_stream_foreachbatch_sink(spark, sf_dir, tmp_path):
     assert len(seen_batches) >= 1
     written = spark.read.parquet(out)
     assert written.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_tws_user_max_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas operator vs its batch twin. Skips where
+    protobuf (the TWS state-server protocol dependency) is absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from als_pyspark_spark.streaming.queries import q_stream_tws_user_max
+
+    got = {
+        r.user_id: r.max_value
+        for r in q_stream_tws_user_max(spark, sf_dir).collect()
+    }
+    from als_pyspark_spark.sources.tables import load_table
+
+    want = {
+        r.user_id: r.mx
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"))
+        .where(F.col("mx") >= 400.0)
+        .collect()
+    }
+    assert got == want
