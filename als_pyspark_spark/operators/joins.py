@@ -245,3 +245,51 @@ def q_asof_sort_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_lateral_top2_orders_per_customer",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+       CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c,
+     LATERAL (
+         SELECT o_orderkey, o_totalprice
+         FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 2
+     ) t
+WHERE c.c_custkey < 100
+""",
+    tags=("join", "lateral", "topk"),
+)
+def q_lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: each customer pairs with its own
+    top-2 orders by price — the per-row-subquery operator surface (distinct
+    from the window-function formulation in
+    q_window_topk_orders_per_customer, which the optimizer rewrite of this
+    plan converges to).
+
+    Catalyst decorrelates the lateral into a ranked join, so the executed
+    plan shuffles once on the correlation key — the same scale shape as
+    the window top-k, with the LATERAL syntax a 100 TB user migrating SQL
+    workloads expects to keep."""
+    from als_pyspark_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC
+                 LIMIT 2
+             ) t
+        WHERE c.c_custkey < 100
+        """
+    )

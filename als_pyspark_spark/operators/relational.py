@@ -270,3 +270,35 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sale_price"),
     )
+
+
+@query(
+    "q_unpivot_lineitem_measures",
+    oracle="""
+SELECT l_returnflag, 'sum_qty' AS measure,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS value
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS value
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("reshape", "unpivot"),
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native unpivot (melt) operator — the
+    inverse of q_pivot_priority_by_status. Aggregate once into a wide
+    3-row frame, then unpivot the two measure columns into (measure,
+    value) rows; the oracle reproduces the long form as a UNION ALL of
+    per-measure aggregates.
+
+    Scale shape: the expensive part (corpus aggregate) happens BEFORE the
+    reshape, so unpivot touches a measures-wide tiny frame — the order a
+    100 TB reporting pipeline must use (never unpivot the fact table, its
+    row count multiplies by the measure count)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity", "decimal(14,2)")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice", "decimal(14,2)")).cast("double").alias("sum_price"),
+    )
+    return wide.unpivot("l_returnflag", ["sum_qty", "sum_price"], "measure", "value")

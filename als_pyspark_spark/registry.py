@@ -100,6 +100,9 @@ _HOISTED = (
     "q_bm25_retrieval",
     "q_dedup_ngram_containment",
     "q_semantic_cluster_assign",
+    "q_sink_xml_roundtrip",
+    "q_unpivot_lineitem_measures",
+    "q_lateral_top2_orders_per_customer",
     # canaries: one previously-driver-green query per displaced family
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",

@@ -152,3 +152,39 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("retail").cast("double").alias("total_retail"),
     )
+
+
+@query(
+    "q_sink_xml_roundtrip",
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("sink", "xml"),
+)
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers+nation → XML (built into Spark 4) → read back → aggregate.
+    Money rides as fixed-point DECIMAL text so the text round-trip is
+    lossless; the oracle reads the ORIGINAL parquet, so a match proves it."""
+    out = _scratch("sink_xml_roundtrip")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name", F.col("s_acctbal").cast(_PRICE).alias("bal")
+    )
+    joined.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, n_name string, bal decimal(12,2)")
+        .load(out)
+    )
+    return back.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    )
