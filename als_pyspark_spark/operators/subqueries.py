@@ -121,20 +121,26 @@ def q17_below_avg_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The threshold is rearranged to 5·qty·cnt < sum_qty in exact DECIMAL, so
     no double AVG ever decides a borderline row differently per engine.
+
+    The selective part predicate (p_size < 10, ~18% of parts) is pushed
+    into BOTH lineitem branches as a broadcast semi-join BEFORE the
+    per-part aggregate: the per-part average only matters for qualifying
+    parts, and part size is part-determined, so pre-pruning is semantics-
+    preserving while shrinking the aggregate's shuffle ~5× — the decisive
+    reduction at 100 TB, where the per-part aggregate is the query's
+    dominant exchange.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+    p_small = p.where(F.col("p_size") < 10).select("p_partkey")
+    l_small = l.join(F.broadcast(p_small), l.l_partkey == p_small.p_partkey)
+    per_part = l_small.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast(_QTY)).alias("sum_qty"),
         F.count("*").alias("cnt"),
     )
     return (
-        l.join(p, p.p_partkey == l.l_partkey)
-        .join(per_part, F.col("pk") == l.l_partkey)
-        .where(
-            (F.col("p_size") < 10)
-            & (F.col("l_quantity").cast(_QTY) * 5 * F.col("cnt") < F.col("sum_qty"))
-        )
+        l_small.join(per_part, F.col("pk") == l_small.l_partkey)
+        .where(F.col("l_quantity").cast(_QTY) * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast(_PRICE)).cast("double") / F.lit(7.0))
             .cast("double")
