@@ -302,3 +302,72 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice", "decimal(14,2)")).cast("double").alias("sum_price"),
     )
     return wide.unpivot("l_returnflag", ["sum_qty", "sum_price"], "measure", "value")
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+FROM lineitem
+""",
+    tags=("metrics", "observe"),
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality metrics via the Observation API: counters
+    piggyback on an existing pass over the data (df.observe + one action)
+    instead of a second scan — at 100 TB, the difference between free
+    quality telemetry and doubling the read volume.
+
+    The observed metrics are deterministic aggregates (exact DECIMAL sum,
+    counts), returned as a 1-row DataFrame that must hash-match the
+    oracle's direct aggregation."""
+    from pyspark.sql import Observation
+
+    l = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_metrics")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double").alias("sum_qty"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the main pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["n_returned"])],
+        "n_rows bigint, sum_qty double, n_returned bigint",
+    )
+
+
+@query(
+    "q_collated_group",
+    oracle="""
+WITH v AS (
+    SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type) ELSE LOWER(p_type) END AS t
+    FROM part
+)
+SELECT LOWER(t) AS ptype, COUNT(*) AS n
+FROM v GROUP BY LOWER(t)
+""",
+    tags=("collation", "grouping"),
+)
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collation support): mixed-case
+    part types group under UTF8_LCASE so 'PROMO BRASS' and 'promo brass'
+    land in one group without materializing a normalized column. The
+    output key is canonicalized with lower() — the group representative
+    under a case-insensitive collation is otherwise arbitrary — making the
+    result exactly the oracle's LOWER() grouping."""
+    p = load_table(spark, sf_dir, "part")
+    v = p.select(
+        F.when((F.col("p_partkey") % 2) == 0, F.upper("p_type"))
+        .otherwise(F.lower("p_type"))
+        .alias("t")
+    )
+    return (
+        v.groupBy(F.collate(F.col("t"), "UTF8_LCASE").alias("tc"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("tc")).alias("ptype"), "n")
+    )

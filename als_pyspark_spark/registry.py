@@ -104,11 +104,14 @@ _HOISTED = (
     "q_unpivot_lineitem_measures",
     "q_lateral_top2_orders_per_customer",
     # canaries: one previously-driver-green query per displaced family
+    # (sinks/text keep window presence via their NEW queries
+    # q_sink_xml_roundtrip / q_bm25_retrieval)
     "q_stream_tumbling_hourly",
-    "q_sink_csv_roundtrip",
     "q_pandas_udf_doc_stats",
     "als_mse",
-    "q_text_token_counts",
+    # NEW: Observation-API metrics + collation-aware grouping
+    "q_observe_metrics",
+    "q_collated_group",
     # never driver-verified: pipeline operators
     "q_split_train_test",
     "q_sample_stratified",
