@@ -104,11 +104,12 @@ _HOISTED = (
     "q_unpivot_lineitem_measures",
     "q_lateral_top2_orders_per_customer",
     # canaries: one previously-driver-green query per displaced family
-    # (sinks/text keep window presence via their NEW queries
-    # q_sink_xml_roundtrip / q_bm25_retrieval)
-    "q_stream_tumbling_hourly",
+    # (sinks/text/streaming keep window presence via their NEW queries
+    # q_sink_xml_roundtrip / q_bm25_retrieval / q_stream_stateful_threshold)
     "q_pandas_udf_doc_stats",
     "als_mse",
+    # NEW: streaming custom Python DataSource (offset-walk drain)
+    "q_python_stream_datasource",
     # NEW: Observation-API metrics + collation-aware grouping
     "q_observe_metrics",
     "q_collated_group",

@@ -16,7 +16,12 @@ avoids random()).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _USERS = 120
@@ -115,3 +120,94 @@ FROM r GROUP BY item
 
 
 _queries()
+
+
+class SyntheticRatingsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of SyntheticRatingsReader: each micro-batch delivers
+    one user block (the same closed-form rows, one block per offset step),
+    so the drained stream is exactly the batch scan. Offsets are plain
+    dicts {"u": next_user} — restart-safe resume is the offset contract,
+    and readBetweenOffsets replays any committed range deterministically
+    (the replayability a production source must provide for exactly-once).
+    """
+
+    def initialOffset(self):
+        return {"u": 0}
+
+    def _rows(self, lo: int, hi: int):
+        for u in range(lo, hi):
+            for i in range(_ITEMS_PER_USER):
+                item = (u + i * 3) % _N_ITEMS
+                rating = ((u * 31 + i * 17) % 50) / 10.0
+                yield (u, item, rating)
+
+    def read(self, start):
+        u = start["u"]
+        if u >= _USERS:
+            return (iter([]), start)
+        hi = min(u + _USERS_PER_BLOCK, _USERS)
+        # list-backed iterator: the runner copy.copy()s cached batch
+        # iterators for replay, which generators don't support
+        return (iter(list(self._rows(u, hi))), {"u": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(list(self._rows(start["u"], end["u"])))
+
+
+class SyntheticRatingsStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ratings_stream"
+
+    def schema(self) -> str:
+        return "user bigint, item bigint, rating double"
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SyntheticRatingsStreamReader()
+
+
+def _stream_queries():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.registry import query
+
+    @query(
+        "q_python_stream_datasource",
+        oracle=f"""
+WITH r AS ({SYNTHETIC_RATINGS_SQL})
+SELECT user,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(rating AS DECIMAL(6,1))) AS DOUBLE) AS rating_sum
+FROM r GROUP BY user
+""",
+        tags=("source", "python-datasource", "streaming"),
+    )
+    def q_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Custom STREAMING Python DataSource (SimpleDataSourceStreamReader):
+        the synthetic ratings arrive one user-block per micro-batch, drain
+        into a memory sink (processAllAvailable — the bounded-source drain;
+        availableNow only takes one simple-reader batch), and the drained
+        rows aggregate to exactly the batch SQL twin — proving the offset
+        walk covered every block exactly once."""
+        spark.dataSource.register(SyntheticRatingsStreamSource)
+        name = "mem_python_stream_datasource"
+        spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+        stream = spark.readStream.format("synthetic_ratings_stream").load()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        drained = spark.table(name)
+        return drained.groupBy("user").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("rating").cast("decimal(6,1)")).cast("double").alias("rating_sum"),
+        )
+
+
+_stream_queries()
