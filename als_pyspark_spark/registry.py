@@ -82,11 +82,14 @@ _MODULE_ORDER = (
 # (r1 ∪ r2 union — all 10 pipeline operators, the Python DataSource pair,
 # bucketed/salted physical plans, grouping-sets/pivot, session/range/
 # timebucket event ops, and the TPC-H tail incl. the 5 round-2 additions),
-# plus q_embedding_neardup_pairs (Spark side + oracle changed this round)
-# and five previously-green canaries spanning the families pushed out of
-# the prefix (streaming / sinks / UDF / ALS / text). 41 hoisted + the
-# dedup/similarity heads that fill positions 41-49 from _MODULE_ORDER
-# (all r2-green) = the full 50-entry window.
+# plus the 4 queries changed this round, the 13 queries ADDED this round
+# (every registry entry must hold driver evidence ∪ window membership —
+# test_registry.py enforces it), and two previously-green canaries
+# (q_pandas_udf_doc_stats, als_mse). That fills the window exactly, so the
+# remaining canary role is carried by the new members of each displaced
+# family — an environment-class regression in streaming/sinks/text/dedup/
+# similarity breaks those rows just as loudly as a previously-green row
+# would.
 _HOISTED = (
     # changed this round — verify first
     "q_shuffle_order",

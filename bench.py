@@ -50,6 +50,10 @@ HEADLINE = [
     # cost story should be measured, not asserted (VERDICT r2 item 7)
     "q_shuffle_order",
     "q_decontaminate",
+    # round 3 additions: chunking feeds training-sequence volume (output >
+    # input); BM25 is the one-agg-broadcast + TakeOrdered retrieval probe
+    "q_chunk_documents",
+    "q_bm25_retrieval",
 ]
 
 
