@@ -105,3 +105,55 @@ def test_hamming_known_distance(spark):
     # flipping k low bits yields hamming k
     df = spark.createDataFrame([(0, 0b1011)], "a long, b long")
     assert df.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()[0].d == 3
+
+
+_token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+@_settings
+@given(st.lists(_token, min_size=0, max_size=12), st.integers(min_value=1, max_value=6))
+def test_word_ngrams_matches_naive(spark, toks, n):
+    """The zip_with-chain n-gram builder must equal the naive Python
+    sliding window for ALL token lists and gram sizes — including tokens
+    shorter than n, empty lists, and repeated tokens. This pins the
+    round-3 rewrite (the O(n)-per-row form) to the definition."""
+    from als_pyspark_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(word_ngrams(F.col("toks"), n).alias("g")).collect()[0].g
+    want = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    assert got == want, (toks, n, got, want)
+
+
+@_settings
+@given(st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=20))
+def test_discrete_percentile_bounds_match_naive(spark, lengths):
+    """The integer-rank percentile recipe (cumulative distinct-value counts
+    vs ceil(n/20) / ceil(19n/20)) must select exactly the values the naive
+    sorted-list rank picks, for any multiset of lengths."""
+    df = spark.createDataFrame([(int(v),) for v in lengths], "n_chars int")
+    cnt = df.groupBy("n_chars").agg(F.count("*").alias("c"))
+    vals = cnt.select(F.col("n_chars").alias("v"), F.col("c").alias("vc"))
+    cum = (
+        cnt.join(F.broadcast(vals), F.col("v") <= F.col("n_chars"))
+        .groupBy("n_chars")
+        .agg(F.sum("vc").alias("cum"))
+    )
+    tot = cnt.agg(F.sum("c").alias("tot"))
+    row = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(tot + 19) div 20"), F.col("n_chars"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(19 * tot + 19) div 20"), F.col("n_chars"))
+            ).alias("hi"),
+        )
+        .collect()[0]
+    )
+    s = sorted(lengths)
+    nn = len(s)
+    lo_want = s[max(0, (nn + 19) // 20 - 1)]
+    hi_want = s[max(0, (19 * nn + 19) // 20 - 1)]
+    assert (row.lo, row.hi) == (lo_want, hi_want), (lengths, row, lo_want, hi_want)
