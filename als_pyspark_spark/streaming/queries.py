@@ -192,12 +192,22 @@ def q_stream_tws_user_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(provider_key, saved)
 
 
-@query("q_stream_dedup_count", oracle=None, tags=("streaming", "dedup", "state"))
+@query(
+    "q_stream_dedup_count",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "dedup", "state"),
+)
 def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup (dropDuplicates within watermark) drained
-    and reduced to per-type counts. Rows-only: which physical duplicate
-    survives is arrival-order-dependent, but the KEY SET is exact —
-    asserted against batch in tests/test_streaming.py."""
+    and reduced to per-type counts — now EXACT-oracled: which physical
+    duplicate survives is arrival-order-dependent, but every duplicate of
+    an event_id carries the same event_type (asserted across fixtures), so
+    the surviving KEY SET and therefore the per-type distinct counts are
+    deterministic."""
     from pyspark.sql import functions as F
 
     name = "mem_stream_dedup_count"
