@@ -128,3 +128,19 @@ def test_reference_train_signature(rated):
     assert itf.columns == ["id", "features"]
     assert uf.count() > 0 and itf.count() > 0
     assert uf.select(F.size("features")).distinct().collect()[0][0] == 5
+
+
+def test_cli_main_on_reference_format_file(spark, tmp_path, capsys):
+    """python -m als_pyspark_spark on the reference's test.data format
+    (user,item,rating text) trains and prints an MSE — the literal
+    switch-over path for a reference user."""
+    f = tmp_path / "ratings.csv"
+    f.write_text("0,0,4.0\n0,1,2.5\n1,0,3.0\n1,2,5.0\n2,1,1.5\n2,2,4.5\n")
+    from als_pyspark_spark.__main__ import main
+
+    rc = main([str(f), "--rank", "4", "--max-iter", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "training time" in out and "mse" in out
+    mse = float([l for l in out.splitlines() if l.startswith("mse")][0].split()[1])
+    assert mse < 1.0  # tiny corpus memorizes easily
