@@ -44,6 +44,29 @@ def _hyperplanes(n_blocks: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_blocks, n_planes, _DIM))
 
 
+def _sql_double_list(vec: np.ndarray) -> str:
+    """A numpy vector as a DuckDB DOUBLE[] literal. repr(float) round-trips
+    the exact IEEE double, and both engines parse decimal literals to the
+    nearest double, so the plan literal and the SQL literal are bit-equal."""
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+
+def _sql_bucket_list(n_planes: int, n_blocks: int) -> str:
+    """DuckDB twin of `_with_buckets`: a BIGINT[] of one sign-bit bucket id
+    per hyperplane block, offset by block so buckets never collide across
+    blocks (the Spark side encodes the block index into the bucket string)."""
+    planes = _hyperplanes(n_blocks, n_planes)
+    exprs = []
+    for i in range(n_blocks):
+        bits = " + ".join(
+            f"{1 << p} * (CASE WHEN list_inner_product(e, "
+            f"{_sql_double_list(planes[i][p])}) > 0 THEN 1 ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        exprs.append(f"{i * (1 << n_planes)} + {bits}")
+    return "[" + ",\n     ".join(exprs) + "]"
+
+
 @query(
     "q_ann_bruteforce_top10",
     oracle=f"""
@@ -104,13 +127,40 @@ def _with_buckets(e: DataFrame, n_planes: int, n_blocks: int) -> DataFrame:
     return e.withColumn("bucket", F.explode(buckets))
 
 
-@query("q_ann_lsh_top10", oracle=None, tags=("similarity", "ann", "lsh"))
+@query(
+    "q_ann_lsh_top10",
+    oracle=f"""
+WITH bk AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), hb AS (
+    SELECT vec_id, e, {_sql_bucket_list(_ANN_PLANES, _ANN_BLOCKS)} AS buckets
+    FROM bk
+), q AS (
+    SELECT vec_id AS query_id, e AS qe, buckets AS qb
+    FROM hb WHERE vec_id < {_N_QUERIES}
+), cand AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qe, c.e) AS cos
+    FROM q JOIN hb c
+      ON c.vec_id != q.query_id AND list_has_any(q.qb, c.buckets)
+)
+SELECT query_id, neighbor_id
+FROM cand
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {_TOP_K}
+""",
+    tags=("similarity", "ann", "lsh"),
+)
 def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-10: candidates share a random-hyperplane bucket
     in ≥1 of 4 blocks; exact cosine re-rank within candidates.
 
-    Rows-only check; recall vs q_ann_bruteforce_top10 asserted in tests
-    (expected ≳0.8 for 4×8-bit OR-amplified hyperplane LSH on 64-dim).
+    EXACT oracle: the hyperplanes are seeded driver-side literals, so the
+    DuckDB twin embeds the same 12×4×64 doubles and replays the same
+    sign-bit bucketing (`list_has_any` = the exploded bucket equi-join) and
+    cosine re-rank. Ids-only output — a rank flip would need two candidate
+    cosines (or a plane dot product) equal to ~1 ulp across engines,
+    measure-zero on isotropic float data. Recall vs q_ann_bruteforce_top10
+    additionally asserted in tests.
     """
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_buckets(e, _ANN_PLANES, _ANN_BLOCKS)
@@ -132,7 +182,7 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_rounded"))
+        .select("query_id", "neighbor_id")
     )
 
 
