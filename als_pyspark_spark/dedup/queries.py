@@ -5,10 +5,10 @@ Five flavors (exact → fuzzy), as a large-scale training-data pipeline needs:
 1. exact           — hash groupBy on content (oracle-checked)
 2. keep-first      — exact dedup retaining min doc_id (oracle-checked)
 3. n-gram Jaccard  — fingerprint-blocked pairwise Jaccard (oracle-checked)
-4. MinHash + LSH   — banding candidates, Jaccard-verified (rows-only; the
-                     hash family is engine-specific)
-5. SimHash         — 64-bit simhash, 16-bit-band blocking, Hamming verify
-                     (rows-only)
+4. MinHash + LSH   — banding candidates, Jaccard-verified (oracle-checked:
+                     the md5 hash family is byte-identical in DuckDB)
+5. SimHash         — 60-bit md5-derived simhash, 15-bit-chunk blocking,
+                     Hamming verify (oracle-checked, same md5 family)
 
 Scale notes: every flavor is blocking-based — candidate pairs come from an
 equi-join on a bucket key (fingerprint / LSH band / simhash band), never a
@@ -147,7 +147,49 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash_lsh", oracle=None, tags=("dedup", "minhash", "lsh"))
+_GRAM_CONCAT = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(_SHINGLE_N))
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, GREATEST(len(t) - {_SHINGLE_N - 1}, 0)),
+               i -> {_GRAM_CONCAT})) AS grams
+    FROM tk
+), sig AS (
+    SELECT doc_id, grams,
+           list_transform(generate_series(0, {_NUM_HASHES - 1}),
+               i -> COALESCE(list_min(list_transform(grams,
+                        s -> md5(i::VARCHAR || ':' || s))), '~')) AS sig
+    FROM shingled WHERE len(grams) > 0
+), banded AS (
+    SELECT doc_id,
+           bs.b::VARCHAR || ':' ||
+             md5(array_to_string(list_slice(sig,
+                 bs.b * {_ROWS_PER_BAND} + 1,
+                 bs.b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), ',')) AS band
+    FROM sig, (SELECT UNNEST(generate_series(0, {_BANDS - 1})) AS b) bs
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g))) AS DOUBLE)
+         / (len(sa.grams) + len(sb.grams)
+            - len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g))) AS DOUBLE)
+      / (len(sa.grams) + len(sb.grams)
+         - len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))) >= 0.5
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → 16-hash signature → 4 bands →
     bucket join → exact-Jaccard verification ≥ 0.5.
@@ -163,8 +205,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       back by doc_id for verification — at 100 TB the band shuffle moves
       ids, not n_bands copies of every document's shingle set.
 
-    Rows-only check (xxhash64 family is Spark-specific); recall vs the
-    fingerprint-blocked oracle pairs is asserted in tests/test_dedup.py.
+    EXACT oracle: the md5 minhash family (functions/hashing.py) is
+    byte-identical in DuckDB, so the oracle replays signature, banding,
+    candidate join, and integer-set Jaccard verbatim — every emitted pair
+    AND its jaccard value hash-match. Recall vs the fingerprint-blocked
+    Jaccard pairs is additionally asserted in tests/test_dedup.py.
     """
     d = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
@@ -202,11 +247,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+@query(
+    "q_dedup_simhash",
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), hv AS (
+    SELECT doc_id,
+           list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+    FROM tk
+), sh AS (
+    SELECT doc_id,
+           list_aggregate(list_transform(generate_series(0, 59),
+               b -> CASE WHEN list_aggregate(list_transform(hs,
+                        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END),
+                        'sum') > 0
+                    THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS sh
+    FROM hv
+), chunks AS (
+    SELECT doc_id, sh,
+           cs.i::VARCHAR || ':' || (((sh >> (15 * cs.i)) & 32767)::VARCHAR) AS chunk
+    FROM sh, (SELECT UNNEST(generate_series(0, 3)) AS i) cs
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+    FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sha, shb)) <= 3
+""",
+    tags=("dedup", "simhash"),
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit simhash, blocked on 16-bit chunks
+    """SimHash near-dup pairs: 60-bit simhash, blocked on 15-bit chunks
     (a pair within Hamming distance 3 must share ≥1 of 4 chunks — the
     standard pigeonhole blocking), verified with exact Hamming ≤ 3.
+
+    EXACT oracle: the token hash is md5-derived (functions/hashing.py
+    md5_hash60), byte-identical in DuckDB, so the oracle recomputes the
+    same simhash integers, the same chunk keys, and the same Hamming
+    distances — pairs and distances both hash-match.
     """
     d = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
@@ -224,8 +304,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(
                         ":",
                         F.lit(str(i)),
-                        F.shiftright(F.col("sh"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sh"), 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .cast("string"),
                     )
                     for i in range(4)

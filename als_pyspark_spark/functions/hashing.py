@@ -15,8 +15,11 @@ expression size O(1) in bit width / hash count.
 
 The reference has no analogue (its only hashing is the bit-packing
 LocalIndexEncoder, util/encoder.py:10-24 — a different job that Tungsten
-does internally). xxhash64 is Spark's built-in 64-bit hash (JVM,
-codegen'd); seeds are folded in by prefixing a per-function salt literal.
+does internally). The hash family is md5 (JVM-side, codegen'd) rather
+than Spark's cheaper xxhash64: DuckDB computes byte-identical md5, which
+is what lets every minhash/simhash dedup query carry an EXACT DuckDB
+oracle instead of a rows-only check. Seeds are folded in by prefixing a
+per-function salt literal.
 """
 
 from __future__ import annotations
@@ -36,61 +39,79 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
 
     One pass per hash function via nested transform — the `shingles`
     subtree occurs once, so callers may pass a full shingling expression
-    without blowing up the plan. The family is xxhash64(shingle, i): the
-    seed rides as a second hash input, so no per-(shingle, seed) string
-    concat is allocated (measured ~25% off the signature stage vs a
-    prefix-concat family). Empty shingle sets get a sentinel signature of
-    Long.MaxValue so they never collide with real content.
+    without blowing up the plan.
+
+    The family is md5(i ':' shingle), and the signature slot is the MINIMUM
+    HEX STRING: md5 hex is fixed-length lowercase, so lexicographic min ==
+    numeric min of the 128-bit hash, which is all MinHash needs from a hash
+    family. md5 was chosen over xxhash64 (Spark-only) because DuckDB
+    computes byte-identical md5 — the LSH dedup pipeline therefore carries
+    an EXACT cross-engine oracle instead of a rows-only check. Empty
+    shingle sets get a '~' sentinel ('~' > 'f', so it never collides with
+    real hex and empty docs never pair with content).
     """
-    sentinel = F.lit(2**63 - 1).cast("long")
+    sentinel = F.lit("~")
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.coalesce(
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+                )
+            ),
             sentinel,
         ),
     )
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
-    """Split a signature into band keys: array of 'bandIdx:hash(bandSlice)'.
+    """Split a signature into band keys: array of 'bandIdx:md5(bandSlice)'.
 
     Docs sharing ANY band key are near-dup candidates (standard banding:
     P[candidate] = 1-(1-j^r)^b for Jaccard j). ``slice`` keeps the
     signature subtree single-occurrence per band; callers pass an
-    attribute reference anyway.
+    attribute reference anyway. md5 over the joined slice mirrors the
+    DuckDB oracle byte-for-byte (see minhash_signature).
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.concat_ws(
             ":",
             b.cast("string"),
-            F.xxhash64(
+            F.md5(
                 F.array_join(
-                    F.slice(signature, b * rows_per_band + 1, rows_per_band).cast(
-                        "array<string>"
-                    ),
-                    ",",
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band), ","
                 )
-            ).cast("string"),
+            ),
         ),
     )
 
 
-_NBITS = 64
+_NBITS = 60  # 15 md5 hex chars → 60-bit token hash, fits a signed long
+
+
+def md5_hash60(t: Column) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5.
+
+    The one hash both engines compute byte-identically: DuckDB's twin is
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT``, so simhash carries an
+    exact cross-engine oracle (xxhash64 is Spark-only)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
 
 def simhash64(toks: Column) -> Column:
-    """64-bit SimHash over tokens: per bit, sum ±1 votes of each token's
-    xxhash64 bit, take the sign. One aggregate over the token array with a
-    64-long accumulator — single projection, no shuffle, and every subtree
-    (token hash, vote array) occurs exactly once in the expression tree.
+    """60-bit SimHash over tokens: per bit, sum ±1 votes of each token's
+    md5-derived hash bit, take the sign. One aggregate over the token array
+    with a 60-long accumulator — single projection, no shuffle, and every
+    subtree (token hash, vote array) occurs exactly once in the expression
+    tree.
     """
     bits = F.sequence(F.lit(0), F.lit(_NBITS - 1))
     zero = F.array_repeat(F.lit(0).cast("long"), _NBITS)
 
     def step(acc: Column, t: Column) -> Column:
-        h = F.xxhash64(t)
+        h = md5_hash60(t)
         votes_of_t = F.transform(
             bits,
             lambda b: F.when(_bit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
@@ -98,11 +119,8 @@ def simhash64(toks: Column) -> Column:
         return F.zip_with(acc, votes_of_t, lambda x, y: x + y)
 
     votes = F.aggregate(toks, zero, step)
-    # Assemble Σ (vote_b > 0) << b. Bit 63 is the sign bit of a long: its
-    # weight is Long.MIN_VALUE, added as the matching negative literal.
-    weights = F.array(
-        *[F.lit(-(2**63) if b == _NBITS - 1 else (1 << b)).cast("long") for b in range(_NBITS)]
-    )
+    # Assemble Σ (vote_b > 0) << b — all 60 weights positive (no sign bit).
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(_NBITS)])
     return F.aggregate(
         F.zip_with(
             votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
@@ -113,11 +131,12 @@ def simhash64(toks: Column) -> Column:
 
 
 def hamming64(a: Column, b: Column) -> Column:
-    """Hamming distance between two 64-bit SimHashes via popcount of XOR,
-    as one aggregate over bit positions (inputs occur once each)."""
+    """Hamming distance between two longs via popcount of XOR, as one
+    aggregate over all 64 bit positions (inputs occur once each) — works
+    for any long, independent of the simhash width."""
     x = a.bitwiseXOR(b)
     return F.aggregate(
-        F.transform(F.sequence(F.lit(0), F.lit(_NBITS - 1)), lambda i: _bit(x, i).cast("long")),
+        F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: _bit(x, i).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )

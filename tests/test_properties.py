@@ -19,7 +19,12 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from als_pyspark_spark.functions.arrays import cosine, dot, l2_norm
-from als_pyspark_spark.functions.hashing import hamming64, minhash_signature, simhash64
+from als_pyspark_spark.functions.hashing import (
+    hamming64,
+    md5_hash60,
+    minhash_signature,
+    simhash64,
+)
 
 _settings = settings(
     max_examples=12,
@@ -105,6 +110,20 @@ def test_hamming_known_distance(spark):
     # flipping k low bits yields hamming k
     df = spark.createDataFrame([(0, 0b1011)], "a long, b long")
     assert df.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()[0].d == 3
+
+
+@_settings
+@given(st.lists(st.text(alphabet="abcxyz :0", min_size=0, max_size=12), min_size=1, max_size=6))
+def test_md5_hash60_matches_python_reference(spark, toks):
+    # The cross-engine contract behind every exact minhash/simhash oracle:
+    # Spark's conv(substring(md5(t),1,15),16,10) must equal the first 60
+    # bits of the canonical md5 digest (what DuckDB's ('0x'||...)::BIGINT
+    # parses). Pure-Python md5 is the neutral referee.
+    import hashlib
+
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    for r in df.select("t", md5_hash60(F.col("t")).alias("h")).collect():
+        assert r.h == int(hashlib.md5(r.t.encode()).hexdigest()[:15], 16)
 
 
 _token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
