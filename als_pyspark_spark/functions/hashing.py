@@ -110,15 +110,19 @@ def simhash64(toks: Column) -> Column:
     bits = F.sequence(F.lit(0), F.lit(_NBITS - 1))
     zero = F.array_repeat(F.lit(0).cast("long"), _NBITS)
 
-    def step(acc: Column, t: Column) -> Column:
-        h = md5_hash60(t)
+    def step(acc: Column, h: Column) -> Column:
+        # h is the aggregate's LAMBDA VARIABLE (a bound value), so the
+        # per-bit transform reads it 60 times for free. Hashing inside
+        # this lambda instead would re-evaluate md5+conv once per BIT per
+        # token — the runtime twin of the Catalyst tree-duplication trap.
         votes_of_t = F.transform(
             bits,
             lambda b: F.when(_bit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
         )
         return F.zip_with(acc, votes_of_t, lambda x, y: x + y)
 
-    votes = F.aggregate(toks, zero, step)
+    # hash once per token: the hashed array is the HOF *input*
+    votes = F.aggregate(F.transform(toks, md5_hash60), zero, step)
     # Assemble Σ (vote_b > 0) << b — all 60 weights positive (no sign bit).
     weights = F.array(*[F.lit(1 << b).cast("long") for b in range(_NBITS)])
     return F.aggregate(
