@@ -110,21 +110,77 @@ def q_ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(emb: F.Column, block: np.ndarray, block_idx: int) -> F.Column:
-    """Sign-bit bucket id of one hyperplane block: Σ (dot>0) << plane."""
-    acc = F.lit(0)
-    for p, plane in enumerate(block):
-        d = dot(emb, F.array(*[F.lit(float(v)) for v in plane]))
-        acc = acc + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return F.concat_ws(":", F.lit(str(block_idx)), acc.cast("string"))
+def _bucket_array(emb: F.Column, planes: np.ndarray) -> F.Column:
+    """Array of 'blockIdx:bucket' keys — one per hyperplane block — as a
+    single HOF pipeline evaluated once per stage.
 
-
-def _with_buckets(e: DataFrame, n_planes: int, n_blocks: int) -> DataFrame:
-    planes = _hyperplanes(n_blocks, n_planes)
-    buckets = F.array(
-        *[_bucket_expr(F.col("embedding"), planes[i], i) for i in range(n_blocks)]
+    The naive build (a Python loop over 48 planes, each an F.array of 64
+    F.lit calls) spends ~4s of DRIVER time per query on py4j round trips
+    and hands Catalyst a 3000-literal unrolled tree. Here the whole plane
+    matrix is ONE `F.expr` literal (parsed JVM-side), and every stage
+    (dots → sign bits → per-block bucket values → key strings) passes its
+    predecessor as the HOF *input* or a lambda variable, so nothing
+    re-evaluates per element. `emb` must be a plain attribute reference —
+    it is referenced once per plane inside the dots lambda.
+    """
+    n_blocks, n_planes, _ = planes.shape
+    flat = planes.reshape(n_blocks * n_planes, -1)
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) for v in p) + ")" for p in flat
+        )
+        + ")"
     )
-    return e.withColumn("bucket", F.explode(buckets))
+    block_idx = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    plane_idx = F.sequence(F.lit(0), F.lit(n_blocks * n_planes - 1))
+    dots = F.transform(planes_lit, lambda p: dot(emb, p))
+    # (sign bit, global plane index) pairs; bits ride as a zip_with input
+    pairs = F.zip_with(
+        dots,
+        plane_idx,
+        lambda d, j: F.struct(
+            F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("bit"),
+            j.alias("j"),
+        ),
+    )
+    # fold the 48 bits into 12 bucket values: acc[j div r] += bit << (j mod r)
+    acc0 = F.array_repeat(F.lit(0).cast("long"), n_blocks)
+    vals = F.aggregate(
+        pairs,
+        acc0,
+        lambda acc, pr: F.zip_with(
+            acc,
+            block_idx,
+            lambda a, k: F.when(
+                k == F.floor(pr["j"] / F.lit(n_planes)).cast("int"),
+                a
+                + pr["bit"]
+                * F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.pmod(pr["j"], F.lit(n_planes))
+                ),
+            ).otherwise(a),
+        ),
+    )
+    return F.zip_with(
+        vals,
+        block_idx,
+        lambda v, k: F.concat_ws(":", k.cast("string"), v.cast("string")),
+    )
+
+
+def _with_buckets(e: DataFrame, n_planes: int, n_blocks: int, spread: bool = False) -> DataFrame:
+    """spread=True repartitions before bucketing: the n_blocks×n_planes
+    dot products are the CPU-heavy step and the embeddings parquet may be
+    a single row group (1 task) — same discipline as the LSH dedup
+    signature pipeline (dedup/queries.py). Only for the corpus side; a
+    handful of query vectors doesn't warrant a shuffle."""
+    if spread:
+        e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    planes = _hyperplanes(n_blocks, n_planes)
+    return e.withColumn(
+        "bucket", F.explode(_bucket_array(F.col("embedding"), planes))
+    )
 
 
 @query(
@@ -163,7 +219,7 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally asserted in tests.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = _with_buckets(e, _ANN_PLANES, _ANN_BLOCKS)
+    corpus = _with_buckets(e, _ANN_PLANES, _ANN_BLOCKS, spread=True)
     queries = _with_buckets(e.where(F.col("vec_id") < _N_QUERIES), _ANN_PLANES, _ANN_BLOCKS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
     )
@@ -334,7 +390,10 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * F.lit(1.5)).alias("embedding"),
     )
-    b = _with_buckets(e.unionByName(planted), _DUP_PLANES, _DUP_BLOCKS)
+    # spread the bucket computation and persist: the bucketed table feeds
+    # BOTH sides of the self-join — without persist Spark recomputes every
+    # hyperplane dot product twice
+    b = _with_buckets(e.unionByName(planted), _DUP_PLANES, _DUP_BLOCKS, spread=True).persist()
     a = b.alias("a")
     c = b.alias("b")
     return (

@@ -54,6 +54,11 @@ HEADLINE = [
     # input); BM25 is the one-agg-broadcast + TakeOrdered retrieval probe
     "q_chunk_documents",
     "q_bm25_retrieval",
+    # md5 hash family (exact-oracle upgrade): measure its cost, don't
+    # assert it — simhash is the hash-heaviest per-token op, LSH ANN the
+    # bucketed-join probe
+    "q_dedup_simhash",
+    "q_ann_lsh_top10",
 ]
 
 
