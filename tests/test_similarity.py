@@ -131,3 +131,40 @@ def test_cluster_assign_seed_vectors_assign_to_themselves(spark, sf_dir):
         assert got[i] == i, (i, got[i])
     # every vector got exactly one assignment in range
     assert all(0 <= c < _N_SEED_CENTROIDS for c in got.values())
+
+
+def test_bucket_array_matches_numpy_reference(spark):
+    """The HOF bucket pipeline must compute exactly the sign-bit buckets a
+    straight numpy implementation does (same seeded hyperplanes). Pins the
+    fold (bit packing, block routing) against a neutral referee — a
+    regression here silently degrades recall rather than failing."""
+    import numpy as np
+
+    from als_pyspark_spark.similarity.queries import (
+        _ANN_BLOCKS,
+        _ANN_PLANES,
+        _DIM,
+        _hyperplanes,
+        _with_buckets,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((20, _DIM)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    got: dict[int, set] = {}
+    for r in _with_buckets(df, _ANN_PLANES, _ANN_BLOCKS).collect():
+        got.setdefault(r.vec_id, set()).add(r.bucket)
+
+    planes = _hyperplanes(_ANN_BLOCKS, _ANN_PLANES)
+    for i, v in enumerate(vecs):
+        v64 = v.astype(np.float64)
+        dots = planes @ v64  # (blocks, planes)
+        assert float(np.abs(dots).min()) > 1e-9, "degenerate fixture"
+        want = {
+            f"{b}:{sum(1 << p for p in range(_ANN_PLANES) if dots[b, p] > 0)}"
+            for b in range(_ANN_BLOCKS)
+        }
+        assert got[i] == want, f"vec {i}: {got[i]} != {want}"
