@@ -161,10 +161,14 @@ WITH tk AS (
                i -> {_GRAM_CONCAT})) AS grams
     FROM tk
 ), sig AS (
+    -- Kirsch–Mitzenmacher double hashing, mirroring functions/hashing.py:
+    -- one md5 per shingle, h1/h2 = first/second 8 hex chars, g_i = h1+i*h2
     SELECT doc_id, grams,
            list_transform(generate_series(0, {_NUM_HASHES - 1}),
                i -> COALESCE(list_min(list_transform(grams,
-                        s -> md5(i::VARCHAR || ':' || s))), '~')) AS sig
+                        s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                             + i * ('0x' || substr(md5(s), 9, 8))::BIGINT)),
+                    9223372036854775807)) AS sig
     FROM shingled WHERE len(grams) > 0
 ), banded AS (
     SELECT doc_id,

@@ -37,30 +37,36 @@ def _bit(x: Column, b: Column) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: array of `num_hashes` minima over the shingle set.
 
-    One pass per hash function via nested transform — the `shingles`
-    subtree occurs once, so callers may pass a full shingling expression
-    without blowing up the plan.
+    Hash family: Kirsch–Mitzenmacher double hashing over ONE md5 per
+    shingle — h1/h2 are the first/second 8 hex chars as 32-bit ints and
+    g_i = h1 + i·h2 (max ~2^36, no long overflow under ANSI mode). md5 is
+    byte-identical in DuckDB, so the LSH dedup pipeline carries an EXACT
+    cross-engine oracle; double hashing keeps it to one md5 per shingle
+    instead of `num_hashes`.
 
-    The family is md5(i ':' shingle), and the signature slot is the MINIMUM
-    HEX STRING: md5 hex is fixed-length lowercase, so lexicographic min ==
-    numeric min of the 128-bit hash, which is all MinHash needs from a hash
-    family. md5 was chosen over xxhash64 (Spark-only) because DuckDB
-    computes byte-identical md5 — the LSH dedup pipeline therefore carries
-    an EXACT cross-engine oracle instead of a rows-only check. Empty
-    shingle sets get a '~' sentinel ('~' > 'f', so it never collides with
-    real hex and empty docs never pair with content).
+    Evaluation shape (the tree-discipline): the (h1, h2) pairs array is
+    the aggregate's INPUT — computed once per row — and the running
+    16-minimum accumulator folds over it with lambda variables only.
+    Putting the pair computation inside a per-seed lambda would re-md5
+    every shingle once per seed. Empty shingle sets keep the Long.MaxValue
+    seed accumulator as a sentinel (real g_i are < 2^37, so empty docs
+    never pair with content).
     """
-    sentinel = F.lit("~")
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.coalesce(
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-                )
-            ),
-            sentinel,
+    seeds = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
+    acc0 = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    digests = F.transform(shingles, lambda s: F.md5(s))
+    pairs = F.transform(
+        digests,  # HOF input: one md5 per shingle; m below is a bound value
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    return F.aggregate(
+        pairs,
+        acc0,
+        lambda acc, p: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, p["h1"] + i * p["h2"])
         ),
     )
 
@@ -81,7 +87,10 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
             b.cast("string"),
             F.md5(
                 F.array_join(
-                    F.slice(signature, b * rows_per_band + 1, rows_per_band), ","
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band).cast(
+                        "array<string>"
+                    ),
+                    ",",
                 )
             ),
         ),
