@@ -60,11 +60,13 @@ def test_window_keeps_family_canaries():
     names = list(q)
     window = names[:_WINDOW]
     fams = {q[n].build.__module__ for n in names}
+    # ml.queries is deliberately absent: its six queries are all exact-green
+    # in the r2 sweep and unchanged since, so its canary slot went to
+    # q_dedup_minhash_lsh (changed post-rotation by the md5 oracle upgrade).
     for fam in (
         "als_pyspark_spark.streaming.queries",
         "als_pyspark_spark.sources.sinks",
         "als_pyspark_spark.functions.pandas_udfs",
-        "als_pyspark_spark.ml.queries",
         "als_pyspark_spark.functions.text_queries",
         "als_pyspark_spark.dedup.queries",
         "als_pyspark_spark.similarity.queries",
