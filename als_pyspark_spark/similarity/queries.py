@@ -269,48 +269,95 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 16  # coarse centroids
 _IVF_NPROBE = 8  # clusters probed per query
+_IVF_FIT_N = 200 * _IVF_K  # quantizer sample size — fixed, NOT corpus-relative
+_IVF_LLOYD_ITERS = 8
+
+
+def _fit_coarse_quantizer(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-resident sample (vectorized numpy).
+
+    The quantizer's training set is a FIXED-SIZE sample (a few MB at any
+    corpus scale), so fitting it on the driver is the 100 TB-correct call:
+    zero distributed passes, versus ~10 Spark jobs for an MLlib fit whose
+    centroid quality is identical at this sample size. Empty clusters are
+    re-seeded deterministically from the sample."""
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        # (n,k) squared distances via ||x||² - 2x·c + ||c||²; argmin rows
+        d2 = (
+            (sample * sample).sum(axis=1, keepdims=True)
+            - 2.0 * sample @ cents.T
+            + (cents * cents).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            cents[j] = (
+                members.mean(axis=0)
+                if len(members)
+                else sample[rng.randint(len(sample))]
+            )
+    return cents
 
 
 @query("q_ann_ivf_top10", oracle=None, tags=("similarity", "ann", "ivf"))
 def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: seeded KMeans coarse quantizer → inverted lists by
-    cluster id → probe the nprobe nearest centroids per query → exact
-    cosine re-rank within the probed lists.
+    """IVF ANN top-10: coarse quantizer fit on a bounded seeded sample →
+    inverted lists by cluster id → probe the nprobe nearest centroids per
+    query → exact cosine re-rank within the probed lists.
 
     The scale path beside hyperplane LSH: at 100 TB the corpus is
     partitioned by cluster id (the inverted index), each query touches
     nprobe/k of the data, and the centroid table (k×dim floats) is a
-    literal in the plan — never a driver-side loop over the corpus.
+    literal in the plan. The only driver-side data is the fixed-size fit
+    sample (``_IVF_FIT_N`` rows regardless of corpus size, taken as the
+    first rows in xxhash64(vec_id) order — one scale-safe
+    TakeOrderedAndProject pass, deterministic, no count() needed) and the
+    k centroids; corpus assignment is a JVM-side argmin over the centroid
+    literals — no MLlib jobs, nothing per-row crosses to Python.
     Rows-only check; recall vs brute force asserted in tests.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     e = load_table(spark, sf_dir, "embeddings")
-    feat = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
-    # Fit the coarse quantizer on a seeded sample, not the corpus: k-means
-    # centroid quality saturates at ~hundreds of points per centroid, and at
-    # 100 TB a full-corpus fit would be 8 full passes. Floor the fraction so
-    # tiny test corpora still train on everything.
-    n = feat.count()
-    fit_frac = min(1.0, max(200.0 * _IVF_K / max(n, 1), 0.01))
-    fit_set = feat.sample(fraction=fit_frac, seed=42) if fit_frac < 1.0 else feat
-    # initMode="random": k-means|| init costs ~5 extra distributed passes
-    # and, on this corpus, converges to the same training cost (measured
-    # 1851.9 vs 1848.3 at sf0.1) — seeded random init halves the fit time.
-    model = KMeans(
-        k=_IVF_K,
-        seed=42,
-        maxIter=8,
-        initMode="random",
-        featuresCol="features",
-        predictionCol="cluster",
-    ).fit(fit_set)
-    assigned = model.transform(feat).select("vec_id", "embedding", "cluster").persist()
+    fit_rows = (
+        e.select("embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(_IVF_FIT_N)
+        .collect()
+    )
+    sample = np.array([r.embedding for r in fit_rows], dtype=np.float64)
+    cents = _fit_coarse_quantizer(sample, _IVF_K, _IVF_LLOYD_ITERS, seed=42)
+
+    # nearest-centroid assignment as ONE expression over centroid literals:
+    # distances array (k entries, each an O(dim) fold) → argmin index.
+    # array_position matches the exact float produced by array_min, and
+    # first-match order breaks ties toward the lower cluster id.
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+    dists = F.transform(
+        cent_lits,
+        lambda c: F.aggregate(
+            F.zip_with("embedding", c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    ).alias("dists")
+    assigned = (
+        e.select("vec_id", "embedding", dists)
+        .select(
+            "vec_id",
+            "embedding",
+            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+        .persist()
+    )
 
     # centroid literal table: k rows of (cluster_id, centroid ARRAY<DOUBLE>)
     centroids = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
         "cluster int, centroid array<double>",
     )
     q = assigned.where(F.col("vec_id") < _N_QUERIES).select(
