@@ -51,6 +51,22 @@ def _sql_double_list(vec: np.ndarray) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
 
 
+def _matrix_lit(mat: np.ndarray) -> F.Column:
+    """A 2-D numpy matrix as ONE Spark array<array<double>> literal, parsed
+    JVM-side from SQL text. Building the same literal one F.lit per float
+    costs ~0.5ms of py4j round trip per element (~1.5s for a 48×64 matrix,
+    pure driver time); the text parse is ~10ms and bit-exact (repr emits
+    the shortest decimal that round-trips the IEEE double)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+            for row in mat
+        )
+        + ")"
+    )
+
+
 def _sql_bucket_list(n_planes: int, n_blocks: int) -> str:
     """DuckDB twin of `_with_buckets`: a BIGINT[] of one sign-bit bucket id
     per hyperplane block, offset by block so buckets never collide across
@@ -124,14 +140,7 @@ def _bucket_array(emb: F.Column, planes: np.ndarray) -> F.Column:
     it is referenced once per plane inside the dots lambda.
     """
     n_blocks, n_planes, _ = planes.shape
-    flat = planes.reshape(n_blocks * n_planes, -1)
-    planes_lit = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(v)) for v in p) + ")" for p in flat
-        )
-        + ")"
-    )
+    planes_lit = _matrix_lit(planes.reshape(n_blocks * n_planes, -1))
     block_idx = F.sequence(F.lit(0), F.lit(n_blocks - 1))
     plane_idx = F.sequence(F.lit(0), F.lit(n_blocks * n_planes - 1))
     dots = F.transform(planes_lit, lambda p: dot(emb, p))
@@ -219,8 +228,13 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally asserted in tests.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = _with_buckets(e, _ANN_PLANES, _ANN_BLOCKS, spread=True)
-    queries = _with_buckets(e.where(F.col("vec_id") < _N_QUERIES), _ANN_PLANES, _ANN_BLOCKS).select(
+    # Bucket ONCE and derive the query side by filter: the bucketing plan
+    # is the expensive thing to analyze/codegen (a 3072-double literal
+    # inside a HOF pipeline), and the query vectors are corpus rows, so a
+    # second _with_buckets pass would re-analyze and re-run the identical
+    # expression for no new information.
+    corpus = _with_buckets(e, _ANN_PLANES, _ANN_BLOCKS, spread=True).persist()
+    queries = corpus.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
     )
     cand = (
@@ -332,9 +346,7 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distances array (k entries, each an O(dim) fold) → argmin index.
     # array_position matches the exact float produced by array_min, and
     # first-match order breaks ties toward the lower cluster id.
-    cent_lits = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
-    )
+    cent_lits = _matrix_lit(cents)
     dists = F.transform(
         cent_lits,
         lambda c: F.aggregate(
