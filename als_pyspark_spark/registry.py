@@ -101,7 +101,9 @@ _MODULE_ORDER = (
 # ROUND-4 HOIST DEBT: q_dedup_simhash and q_ann_lsh_top10 also changed in
 # that upgrade but no further slot frees without evicting a never-verified
 # query. Their r2 rows-only driver rows predate the change — hoist both
-# into the round-4 window for fresh exact rows.
+# into the round-4 window for fresh exact rows. q_ann_ivf_top10 (rows-only
+# by design) likewise changed late in round 3 (driver-side quantizer fit)
+# and should rotate in for a fresh row.
 _HOISTED = (
     # changed this round — verify first
     "q_shuffle_order",
