@@ -44,16 +44,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # builds its own), so pin it on the load path every query goes through.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read the raw int64 nanos and convert with exact integer
-        # division to a microsecond timestamp — bit-identical to DuckDB's
-        # own nanos→micros truncation.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # drops and TIMESTAMP(MICROS) (no tz → NTZ) in others, so the
+        # loader adapts to the file rather than pinning one physical type:
+        #   - nanos  → read the raw int64 (nanosAsLong) and truncate with
+        #     exact integer division to micros, bit-identical to DuckDB's
+        #     own nanos→micros truncation;
+        #   - micros NTZ → cast to session-local TIMESTAMP; the session
+        #     timezone is pinned UTC above, so the cast is identity on the
+        #     underlying micros and matches DuckDB's naive TIMESTAMP.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_ts_physical_type(spark: SparkSession, sf_dir: str):
+    """The parquet-level type Spark infers for events.ts (with nanosAsLong
+    on): LongType for TIMESTAMP(NANOS) files, TimestampNTZType for
+    TIMESTAMP(MICROS) files. Streaming readers need it to pin a matching
+    explicit schema (file-source streams cannot infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -31,33 +31,47 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Post-conversion schema (ts already micros) — file-source streams need an
-# explicit schema. Raw parquet carries ts as int64 nanos (see sources/tables.py).
-RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _raw_schema(ts_type) -> StructType:
+    """File-source streams need an explicit schema; the ts field must match
+    the file's physical type (int64 nanos in some data drops, micros NTZ in
+    others — see sources/tables.py)."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with the same ts conversion
-    as the batch loader."""
+    as the batch loader (sources/tables.py): nanos-long files are truncated
+    to micros with exact integer division; micros-NTZ files cast to the
+    UTC-pinned session TIMESTAMP (identity on the underlying micros)."""
+    from pyspark.sql import types as T
+
+    from als_pyspark_spark.sources.tables import events_ts_physical_type
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = events_ts_physical_type(spark, sf_dir)
     # file-source streams take a DIRECTORY; select just events.parquet
     # from the shared sf_dir with a glob filter.
     raw = (
-        spark.readStream.schema(RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
