@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from als_pyspark_spark.registry import load_all_queries
+from als_pyspark_spark.registry import load_all_queries, requirements_met
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,12 +43,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.build for name, q in load_all_queries().items()}
+    # Queries whose optional dependencies (Query.requires) are absent in
+    # this environment are excluded — the registry itself is deterministic
+    # across machines; availability only affects this sweep view.
+    return {
+        name: q.build
+        for name, q in load_all_queries().items()
+        if requirements_met(q)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         name: q.oracle
         for name, q in load_all_queries().items()
-        if q.oracle is not None
+        if q.oracle is not None and requirements_met(q)
     }

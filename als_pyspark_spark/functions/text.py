@@ -46,6 +46,13 @@ def word_ngrams(toks: Column, n: int) -> Column:
     nulls, so tail positions hold partial grams — the final slice to
     count = size-(n-1) drops them. Empty array when the doc has fewer than
     n tokens.
+
+    PRECONDITION: ``toks`` must contain no null ELEMENTS. The same
+    concat_ws null-skip that drops padded tail slots would silently merge
+    a mid-array null into a shortened (n-1)-gram instead of surfacing the
+    bad token. Every in-repo caller passes ``tokens()``/``split()`` output,
+    which never yields null elements; wrap arbitrary nullable arrays with
+    ``transform(toks, t -> coalesce(t, ''))`` (or filter) before calling.
     """
     count = F.size(toks) - (n - 1)
     z = toks

@@ -294,7 +294,16 @@ def _fit_coarse_quantizer(sample: np.ndarray, k: int, iters: int, seed: int) -> 
     corpus scale), so fitting it on the driver is the 100 TB-correct call:
     zero distributed passes, versus ~10 Spark jobs for an MLlib fit whose
     centroid quality is identical at this sample size. Empty clusters are
-    re-seeded deterministically from the sample."""
+    re-seeded deterministically from the sample.
+
+    k is clamped to the sample size so a tiny corpus degrades to
+    fewer coarse cells (ultimately one) instead of raising; an empty
+    corpus fails with a clear message."""
+    if len(sample) == 0:
+        raise ValueError(
+            "IVF coarse quantizer: embeddings table is empty — nothing to fit"
+        )
+    k = min(k, len(sample))
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=k, replace=False)].copy()
     for _ in range(iters):

@@ -135,19 +135,6 @@ def q_stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stream, name, mode="append", expect_single_batch=True)
 
 
-def _protobuf_available() -> bool:
-    """transformWithStateInPandas talks to its state server over protobuf;
-    the module is not in every container. Gate the registration so the
-    operator ships (real, tested-where-possible API usage) without a
-    guaranteed-red sweep row where the dependency is absent."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 @query(
     "q_stream_tws_user_max",
     oracle="""
@@ -157,7 +144,13 @@ GROUP BY user_id
 HAVING MAX(value) >= 400.0
 """,
     tags=("streaming", "state", "transformWithState"),
-) if _protobuf_available() else (lambda fn: fn)
+    # transformWithStateInPandas talks to its state server over protobuf;
+    # the module is not in every container. Registration is unconditional
+    # (deterministic registry on every machine); sweep views and the
+    # window invariants exclude the query where the dependency is absent,
+    # and build() raises a clear error rather than an obscure py4j one.
+    requires=("google.protobuf",),
+)
 def q_stream_tws_user_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful streaming via transformWithStateInPandas (the
     Spark 4 StatefulProcessor/ValueState API — the v2 successor to
@@ -172,6 +165,15 @@ def q_stream_tws_user_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformWithState requires the RocksDB state store provider; it is
     set for this query's run and restored afterwards (the other streaming
     queries work under either provider)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "q_stream_tws_user_max requires the optional 'protobuf' package "
+            "(transformWithStateInPandas state-server wire format); install "
+            "google.protobuf to run this query"
+        ) from exc
+
     from als_pyspark_spark.streaming.events import user_max_value_tws
 
     name = "mem_stream_tws_user_max"

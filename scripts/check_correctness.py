@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from als_pyspark_spark.registry import load_all_queries
+from als_pyspark_spark.registry import load_all_queries, requirements_met
 from als_pyspark_spark.session import build_session
 from als_pyspark_spark.sources.tables import TABLES
 
@@ -46,6 +46,12 @@ def main() -> int:
     failures = []
     for name, q in sorted(load_all_queries().items()):
         if only and name not in only:
+            continue
+        if not requirements_met(q):
+            # same rule the driver sweep view applies (__spark_entry__):
+            # availability-gated queries are a deterministic skip, not a red
+            # row, where their optional dependency is absent.
+            print(f"skip(requires {','.join(q.requires)})  {name}")
             continue
         t0 = time.time()
         try:

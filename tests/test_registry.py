@@ -3,11 +3,19 @@ prefix of the registry (observed: first 50 entries, insertion order), so the
 per-round verification agenda — encoded in _HOISTED — MUST land inside that
 prefix, and every query must have driver evidence from SOME round.
 
-Round 3 agenda (VERDICT r2 item 1): every query that had no driver row in
-rounds 1-2 is hoisted into the prefix, alongside the queries changed this
-round and one previously-green canary per displaced family. This test reads
-the actual CORRECTNESS_r0*.json files, so it fails loudly if a future
-reorder silently re-orphans a query that only this round's rotation covers.
+Round 4 agenda: after round 3's rotation every query holds at least one
+driver row (r1∪r2∪r3 = full registry), so the window carries (a) the three
+queries changed after their last driver row (md5 oracle upgrade / IVF
+quantizer rework), (b) everything newly added this round, and (c) family
+canaries. This test reads the actual CORRECTNESS_r0*.json files, so it
+fails loudly if a future reorder silently re-orphans a query that only a
+past round's rotation covers.
+
+Availability-gated queries (Query.requires non-empty) are registered
+unconditionally — the registry's CONTENTS are identical on every machine —
+but are excluded from the sweep view (__spark_entry__.queries()) when their
+optional dependency is absent, so they are exempt from the driver-evidence
+invariant in environments where they cannot run.
 """
 
 from __future__ import annotations
@@ -15,25 +23,33 @@ from __future__ import annotations
 import json
 import os
 
-from als_pyspark_spark.registry import _HOISTED, load_all_queries
+from als_pyspark_spark.registry import _HOISTED, load_all_queries, requirements_met
 
 _WINDOW = 50
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROUNDS = (1, 2, 3)
 
 
 def _driver_verified() -> set[str]:
     seen: set[str] = set()
-    for i in (1, 2):
+    for i in _ROUNDS:
         path = os.path.join(_REPO, f"CORRECTNESS_r0{i}.json")
         with open(path) as f:
             seen |= set(json.load(f))
     return seen
 
 
+def _sweep_names() -> list[str]:
+    """Registry names as the driver sweep sees them: insertion order,
+    minus queries whose optional dependencies are absent here."""
+    q = load_all_queries()
+    return [n for n in q if requirements_met(q[n])]
+
+
 def test_every_query_has_driver_evidence_or_sits_in_window():
-    """Union(driver rows r1..r2, current 50-entry prefix) must cover the
-    whole registry — no query may be unverifiable by the next sweep."""
-    names = list(load_all_queries())
+    """Union(driver rows r1..r3, current 50-entry sweep prefix) must cover
+    every sweepable query — none may be unverifiable by the next sweep."""
+    names = _sweep_names()
     covered = _driver_verified() | set(names[:_WINDOW])
     orphans = [n for n in names if n not in covered]
     assert not orphans, (
@@ -44,12 +60,25 @@ def test_every_query_has_driver_evidence_or_sits_in_window():
 
 
 def test_never_verified_queries_all_hoisted():
-    """Everything the r1∪r2 sweeps missed must sit in the prefix THIS round."""
-    names = list(load_all_queries())
+    """Everything past sweeps missed must sit in the prefix THIS round."""
+    names = _sweep_names()
     window = set(names[:_WINDOW])
     never = [n for n in names if n not in _driver_verified()]
     outside = [n for n in never if n not in window]
     assert not outside, outside
+
+
+def test_gated_queries_registered_unconditionally():
+    """The registry must contain availability-gated queries even when their
+    dependency is absent (deterministic contents), and the sweep view must
+    exclude exactly the ones whose requirements fail here."""
+    q = load_all_queries()
+    assert "q_stream_tws_user_max" in q
+    gated = q["q_stream_tws_user_max"]
+    assert gated.requires == ("google.protobuf",)
+    sweep = set(_sweep_names())
+    for name, query in q.items():
+        assert (name in sweep) == requirements_met(query)
 
 
 def test_window_keeps_family_canaries():
@@ -57,12 +86,9 @@ def test_window_keeps_family_canaries():
     previously-green canary inside it, so a family-wide environment
     regression (not just a per-query bug) still shows up in the sweep."""
     q = load_all_queries()
-    names = list(q)
+    names = _sweep_names()
     window = names[:_WINDOW]
     fams = {q[n].build.__module__ for n in names}
-    # ml.queries is deliberately absent: its six queries are all exact-green
-    # in the r2 sweep and unchanged since, so its canary slot went to
-    # q_dedup_minhash_lsh (changed post-rotation by the md5 oracle upgrade).
     for fam in (
         "als_pyspark_spark.streaming.queries",
         "als_pyspark_spark.sources.sinks",
