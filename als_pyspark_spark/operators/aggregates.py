@@ -252,3 +252,55 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_listagg_priorities_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("aggregate", "listagg"),
+)
+def q_listagg_priorities_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the distinct
+    priorities per order status as one sorted CSV cell. Expressed as
+    collect_set → array_sort → array_join so the result is deterministic
+    regardless of partition arrival order — the only safe way to
+    string-aggregate on a distributed engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query(
+    "q_median_quantity_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       median(l_quantity) AS median_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("aggregate", "median"),
+)
+def q_median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped MEDIAN — both engines define it as the continuous
+    0.5-quantile (average of the two middle values for even counts), and
+    l_quantity's integral doubles make the midpoint arithmetic identical.
+    Exact medians need a per-group sort; at 100 TB the grouped form stays
+    scalable because each group sorts independently after one shuffle
+    (use approx_percentile when a corpus-wide median is enough)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count("*").alias("n"),
+    )

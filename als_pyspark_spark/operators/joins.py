@@ -293,3 +293,37 @@ def q_lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> Data
         WHERE c.c_custkey < 100
         """
     )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_key
+    FROM orders
+), dim AS (
+    SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS status_key FROM orders
+)
+SELECT dim.status_key, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM dim JOIN o ON dim.status_key IS NOT DISTINCT FROM o.status_key
+GROUP BY dim.status_key
+""",
+    tags=("join", "null-safe"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing, so the NULL bucket survives as a
+    first-class group — the semantics audits need when a dimension key is
+    legitimately absent. Catalyst plans <=> as a hash join on the
+    null-wrapped key (still an equi-join, still broadcastable), not a
+    theta join."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_key")
+    )
+    dim = o.select("status_key").distinct()
+    return (
+        dim.alias("d")
+        .join(o.alias("o"), F.col("d.status_key").eqNullSafe(F.col("o.status_key")))
+        .groupBy(F.col("d.status_key").alias("status_key"))
+        .agg(F.count("o.o_orderkey").alias("n_orders"))
+    )

@@ -329,3 +329,109 @@ def q_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("l_linenumber").alias("any_or"),
         F.bit_xor("l_orderkey").alias("key_xor"),
     )
+
+
+@query(
+    "q_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / l_quantity AS unit_price,
+       l_extendedprice / NULLIF(l_quantity - l_quantity, 0) AS div_by_zero,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int
+FROM lineitem
+WHERE l_orderkey < 100
+""",
+    tags=("scalar", "try", "null-semantics"),
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_-family error-safe expressions: try_divide yields NULL on
+    division by zero (never an exception, regardless of ANSI mode) and
+    try_cast yields NULL on malformed input — the ingestion-hardening
+    primitives a pipeline uses instead of letting one bad row kill a
+    100 TB job. The oracle mirrors with x / NULLIF(y, 0) and TRY_CAST."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_quantity").alias("unit_price"),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_by_zero"),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("flag_as_int"),
+    )
+
+
+@query(
+    "q_regexp_extract_props",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(regexp_extract_all(props, '[0-9]+')[1]::BIGINT) AS BIGINT)
+           AS sum_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("scalar", "regexp"),
+)
+def q_regexp_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all over the raw props payload: pull every digit run
+    from the JSON-ish string, take the first as the metric, aggregate per
+    type — the regex-first parse path for semi-structured columns whose
+    schema isn't worth declaring (the from_json path is q_json_events).
+    Both engines use the same digit-run pattern; element 1 is the value of
+    'k' in the single-key payloads."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.element_at(
+        F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), F.lit(0)), 1
+    ).cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(k).alias("sum_k")
+    )
+
+
+@query(
+    "q_month_calendar_orders",
+    oracle="""
+WITH months AS (
+    SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                  TIMESTAMP '1996-12-01',
+                                  INTERVAL 1 MONTH)) AS month_start
+)
+SELECT strftime(months.month_start, '%Y-%m') AS month,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN orders o
+       ON date_trunc('month', o.o_orderdate) = months.month_start
+GROUP BY months.month_start
+""",
+    tags=("scalar", "sequence", "calendar"),
+)
+def q_month_calendar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: generate a month spine with sequence() +
+    explode, left-join order counts onto it so empty months surface as 0
+    — the gap-filling pattern every time-series report needs (a plain
+    GROUP BY silently drops months with no data). The spine is a literal
+    sequence (24 rows) and broadcasts onto the fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit("1995-01-01")),
+                F.to_timestamp(F.lit("1996-12-01")),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    return (
+        F.broadcast(months)
+        .join(
+            o,
+            F.date_trunc("month", F.col("o_orderdate")) == F.col("month_start"),
+            "left",
+        )
+        .groupBy("month_start")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(
+            F.date_format("month_start", "yyyy-MM").alias("month"), "n_orders"
+        )
+    )

@@ -213,3 +213,117 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (frame_sum.cast("double") / frame_n).cast("double").alias("moving_avg3"),
         frame_n.alias("frame_n"),
     )
+
+
+@query(
+    "q_window_rolling_90d_spend",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(epoch(o_orderdate) AS BIGINT) ASC
+            RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_90d,
+       CAST(COUNT(*) OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(epoch(o_orderdate) AS BIGINT) ASC
+            RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_orders_90d
+FROM orders
+""",
+    tags=("window", "range-frame", "event-time"),
+)
+def q_window_rolling_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 90-day spend per customer — a RANGE window frame over event
+    time (7776000 s = 90 days), the form retention/velocity features take.
+
+    RANGE (not ROWS) frames are tie-exact: every order on the same date
+    lands in the same frame on both engines, so no orderkey tie-break is
+    needed. Ordering is on integer epoch seconds — identical frame bounds
+    arithmetic in Spark's rangeBetween and DuckDB's RANGE PRECEDING.
+    One shuffle on the partition key; DECIMAL frame sums."""
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate may arrive NTZ (no direct cast to long); the session is
+    # pinned UTC, so NTZ→timestamp→epoch-seconds is exact.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+        F.count("*").over(w).cast("long").alias("n_orders_90d"),
+    )
+
+
+@query(
+    "q_window_ntile_by_nation",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       CAST(NTILE(4) OVER (
+            PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+       ) AS INT) AS wealth_quartile
+FROM customer
+""",
+    tags=("window", "ntile"),
+)
+def q_window_ntile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation wealth quartiles via ntile(4) — bucketing WITHIN a
+    partition key, which is the scale-safe way to use ntile (a global
+    ntile funnels the corpus through one partition; see
+    q_curriculum_stages for the global-quartile alternative).
+    Fully deterministic order: (acctbal DESC, custkey ASC)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("wealth_quartile"),
+    )
+
+
+@query(
+    "q_window_first_last_ignore_nulls",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       FIRST_VALUE(CASE WHEN l_discount > 0 THEN l_discount END IGNORE NULLS)
+           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_discount,
+       LAST_VALUE(CASE WHEN l_discount > 0 THEN l_discount END IGNORE NULLS)
+           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_discount
+FROM lineitem
+""",
+    tags=("window", "ignore-nulls"),
+)
+def q_window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE with IGNORE NULLS over a full-partition
+    frame: the first and last non-zero discount in each order's line
+    sequence (zero discounts nulled out). Null-skipping window semantics
+    are a distinct operator surface from plain first/last — both engines
+    implement the SQL:2011 IGNORE NULLS clause. Deterministic: the frame
+    is the whole partition and l_linenumber is unique within an order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    d = F.when(F.col("l_discount") > 0, F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first(d, ignorenulls=True).over(w).alias("first_discount"),
+        F.last(d, ignorenulls=True).over(w).alias("last_discount"),
+    )

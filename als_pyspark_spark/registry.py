@@ -133,6 +133,15 @@ _HOISTED = (
     "q_curriculum_stages",
     "q_token_length_histogram",
     "q_mixture_rebalance",
+    "q_window_rolling_90d_spend",
+    "q_window_ntile_by_nation",
+    "q_window_first_last_ignore_nulls",
+    "q_listagg_priorities_by_status",
+    "q_median_quantity_by_flag",
+    "q_null_safe_join",
+    "q_try_arithmetic",
+    "q_regexp_extract_props",
+    "q_month_calendar_orders",
     # family canaries (previously driver-green, unchanged)
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from als_pyspark_spark.registry import load_all_queries
+from als_pyspark_spark.registry import load_all_queries, requirements_met
 
 QUERIES = load_all_queries()
 
@@ -24,6 +24,8 @@ def canon(rows, ndigits=9):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query(name, spark, sf_dir, duck):
     q = QUERIES[name]
+    if not requirements_met(q):
+        pytest.skip(f"optional dependency absent: {q.requires}")
     sdf = q.build(spark, sf_dir)
     s_rows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
