@@ -406,3 +406,62 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(rate * F.col("n_docs")).cast("bigint").alias("n_keep"),
         )
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, GREATEST(len(t) - {_BOILER_N - 1}, 0)),
+               i -> {_G}))) AS gram
+    FROM tk
+), f AS (
+    SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS novelty
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+""",
+    tags=("pipeline", "quality", "novelty"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    {n}-grams whose FIRST corpus occurrence (min doc_id) is this document —
+    the dedup-adjacent signal that separates original content from
+    recombinations of earlier text, and the streaming-ingest analogue of
+    'how much of this crawl snapshot is new'.
+
+    Scale shape: one shuffle keyed on the gram (min-aggregate with map-side
+    combine), the first-occurrence table joins back on the same gram key
+    (Catalyst reuses the partitioning), then a per-doc aggregate. Shuffle
+    volume ∝ distinct (doc, gram) pairs — the same envelope as the
+    dedup/decontamination family, nothing quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokens(F.col("text")), _BOILER_N))
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

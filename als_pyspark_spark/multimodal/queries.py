@@ -76,3 +76,51 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(d))
+
+
+@query(
+    "q_multimodal_audio_windows",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, CAST(CEIL(octet_length(encode(text)) / 64.0) AS INT) - 1
+           )) AS win_idx
+    FROM documents
+)
+SELECT doc_id,
+       CAST(win_idx AS BIGINT) AS win_idx,
+       md5(substr(text, win_idx * 64 + 1, 64)) AS frame_hash
+FROM w
+""",
+    tags=("multimodal", "audio", "windows"),
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride sample windows over an opaque 'audio' payload: slice
+    each BINARY payload into 64-byte windows (the last may be short) and
+    fingerprint each — the windowing step an audio feature pipeline runs
+    before STFT/mel extraction, here with a deterministic fake in place of
+    the codec decode (no audio libs in this container; see
+    multimodal/binary.py for the stub boundary).
+
+    Unlike the mapInPandas feature path, this one stays ENTIRELY JVM-side:
+    sequence+explode for the window index, binary substring for the slice,
+    md5 for the fingerprint — the payload bytes never cross to Python.
+    The oracle slices the same bytes as text (the fake payload is UTF-8 of
+    an ASCII column, so char and byte offsets coincide)."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(d)
+    n = F.col("meta.n_bytes")
+    wins = F.sequence(
+        F.lit(0).cast("long"), F.ceil(n / F.lit(64.0)).cast("long") - 1
+    )
+    return (
+        mm.select("doc_id", "payload", F.explode(wins).alias("win_idx"))
+        .select(
+            "doc_id",
+            "win_idx",
+            F.md5(
+                F.expr("substring(payload, CAST(win_idx * 64 + 1 AS INT), 64)")
+            ).alias("frame_hash"),
+        )
+    )

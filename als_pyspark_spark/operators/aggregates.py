@@ -304,3 +304,60 @@ def q_median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_quantity").alias("median_qty"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_maxby_top_order_per_customer",
+    oracle="""
+SELECT o_custkey,
+       arg_max(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS top_orderkey,
+       MAX(o_totalprice) AS top_price
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("aggregate", "max_by"),
+)
+def q_maxby_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / arg_max: each customer's most expensive order in ONE
+    aggregation pass — no self-join, no window. The ordering argument packs
+    (price-in-cents, orderkey) into one BIGINT so float-price ties break on
+    the unique key identically in both engines (bare max_by on a tied value
+    is nondeterministic on any engine — the classic latest-per-key trap;
+    DuckDB's arg_max has no struct ordering, hence the packed key)."""
+    o = load_table(spark, sf_dir, "orders")
+    ordkey = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@query("q_hll_sketch_union", oracle=None, tags=("aggregate", "sketch", "hll"))
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    one sketch of distinct users PER event type, then merge the sketches
+    and estimate the global distinct count — the partial/merge shape that
+    lets 1000 executors sketch 100 TB locally and combine k small binary
+    states, and lets pre-aggregated sketches answer rollups without
+    rescanning. Rows-only check by design (the estimate is approximate);
+    tests pin the estimates within HLL's error bound of the exact counts.
+
+    Deterministic: HLL sketching is hash-based (no RNG), so re-runs give
+    identical estimates on identical input."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("<all>").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return typed.unionByName(merged)

@@ -435,3 +435,40 @@ def q_month_calendar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("month_start", "yyyy-MM").alias("month"), "n_orders"
         )
     )
+
+
+@query(
+    "q_interval_math_shipping",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS BIGINT)
+           AS days_to_first_ship,
+       strftime(last_day(o.o_orderdate + INTERVAL 2 MONTH), '%Y-%m-%d')
+           AS settlement_due
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_orderkey, o.o_orderdate
+""",
+    tags=("scalar", "date", "interval"),
+)
+def q_interval_math_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic surface: per order, days from order date to
+    first shipment (datediff) and a settlement deadline at the end of the
+    month two months out (add_months + last_day) — calendar-aware month
+    arithmetic, not 60-day approximations. One co-keyed join + grouped
+    min; both engines share the proleptic Gregorian calendar."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "l_orderkey",
+            F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days_to_first_ship"),
+            F.date_format(
+                F.last_day(F.add_months(F.col("o_orderdate"), 2)), "yyyy-MM-dd"
+            ).alias("settlement_due"),
+        )
+    )

@@ -116,3 +116,53 @@ def q_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("part").alias("kind"), F.col("p_partkey").alias("k")
     )
     return c.unionAll(s).unionAll(p).groupBy("kind").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+WITH unioned AS (
+    SELECT o_orderkey AS key, o_totalprice AS amount, 'order' AS src
+    FROM orders
+    UNION ALL BY NAME
+    SELECT 'line' AS src, l_extendedprice AS amount, l_orderkey AS key
+    FROM lineitem
+    WHERE l_orderkey < 1000
+)
+SELECT src,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(amount AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM unioned
+GROUP BY src
+""",
+    tags=("setop", "union-by-name"),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION by column NAME, not position: the two sides present the same
+    columns in different order (the schema-evolution reality when stitching
+    exports from different eras) — positional UNION ALL would silently pair
+    keys with amounts. Spark's unionByName ≡ DuckDB's UNION ALL BY NAME."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("order").alias("src"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 1000)
+        .select(
+            F.lit("line").alias("src"),
+            F.col("l_extendedprice").alias("amount"),
+            F.col("l_orderkey").alias("key"),
+        )
+    )
+    return (
+        o.unionByName(li)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("amount").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -142,6 +142,14 @@ _HOISTED = (
     "q_try_arithmetic",
     "q_regexp_extract_props",
     "q_month_calendar_orders",
+    "q_stream_session_windows",
+    "q_stream_foreachbatch_sink",
+    "q_multimodal_audio_windows",
+    "q_interval_math_shipping",
+    "q_union_by_name",
+    "q_maxby_top_order_per_customer",
+    "q_hll_sketch_union",
+    "q_ngram_novelty",
     # family canaries (previously driver-green, unchanged)
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",

@@ -245,3 +245,114 @@ def q_stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = sliding_counts(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, name, mode="complete")
+
+
+@query(
+    "q_stream_session_windows",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sess_id
+""",
+    tags=("streaming", "session", "state"),
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows executed AS A STREAM — the stateful
+    session-merge machine (sessions extend/merge as events arrive) drained
+    with availableNow and checked against the same first-principles
+    gaps-and-islands oracle as the batch twin (q_session_windows). The
+    state-store key is (user_id, merged window); at scale the watermark
+    closes sessions and bounds state."""
+    from pyspark.sql import functions as F
+
+    name = "mem_stream_session_windows"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    return run_to_memory(stream, name, mode="complete")
+
+
+@query(
+    "q_stream_foreachbatch_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "sink", "foreachBatch"),
+)
+def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch custom sink: drain the event stream into parquet via a
+    per-micro-batch writer (the escape hatch for sinks without native
+    streaming support — JDBC, upserts, multi-table fan-out), then read the
+    durable output back and aggregate. Only exact if the round-trip loses
+    nothing, which is the point of the oracle.
+
+    foreachBatch hands each micro-batch a BATCH DataFrame plus an epoch id;
+    idempotent re-runs key on the epoch (here: a fresh scratch dir per run
+    and append-mode writes — replaying batch N twice would be visible as
+    doubled counts and fail the oracle)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.sources.sinks import _scratch
+
+    out = _scratch("stream_foreachbatch_parquet")
+    ckpt = _scratch("stream_foreachbatch_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -118,3 +118,35 @@ def test_mixture_rebalance_invariants(spark, sf_dir):
         # a source under its target keeps everything
         if r.sample_rate == 1.0:
             assert r.n_keep == r.n_docs
+
+
+def test_ngram_novelty_doc_zero_is_fully_novel(spark, sf_dir):
+    """doc_id 0 is the corpus's first document, so every one of its grams
+    first occurs there: novelty == 1.0. And novelty is a valid fraction
+    everywhere with n_novel <= n_grams."""
+    rows = QUERIES["q_ngram_novelty"].build(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].novelty == 1.0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert abs(r.novelty - r.n_novel / r.n_grams) < 1e-12
+
+
+def test_hll_sketch_estimates_within_bound(spark, sf_dir):
+    """HLL estimates (default lgK=12: ~2.5% typical error) must land
+    within 5% of the exact distinct counts, per type and merged."""
+    est = {
+        r.event_type: r.est_users
+        for r in QUERIES["q_hll_sketch_union"].build(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["<all>"] = e.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
