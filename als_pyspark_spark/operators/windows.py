@@ -296,11 +296,13 @@ def q_window_ntile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        FIRST_VALUE(CASE WHEN l_discount > 0 THEN l_discount END IGNORE NULLS)
-           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+           OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_discount, l_partkey, l_suppkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
            AS first_discount,
        LAST_VALUE(CASE WHEN l_discount > 0 THEN l_discount END IGNORE NULLS)
-           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+           OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_discount, l_partkey, l_suppkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
            AS last_discount
 FROM lineitem
@@ -313,11 +315,14 @@ def q_window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFr
     sequence (zero discounts nulled out). Null-skipping window semantics
     are a distinct operator surface from plain first/last — both engines
     implement the SQL:2011 IGNORE NULLS clause. Deterministic: the frame
-    is the whole partition and l_linenumber is unique within an order."""
+    is the whole partition, and the ordering key includes l_discount, so
+    rows that tie on every key column carry equal discounts — the picked
+    value is well-defined even though the synthetic lineitem duplicates
+    (orderkey, linenumber) pairs."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_discount", "l_partkey", "l_suppkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     d = F.when(F.col("l_discount") > 0, F.col("l_discount"))

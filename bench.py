@@ -59,6 +59,11 @@ HEADLINE = [
     # bucketed-join probe
     "q_dedup_simhash",
     "q_ann_lsh_top10",
+    # round 4: the repetition family — the zero-shuffle sorted-run fold
+    # vs the gram-keyed shuffle report are the two cost shapes the new
+    # curation operators add; measure them, don't assert them
+    "q_repetition_metrics",
+    "q_boilerplate_ngrams",
 ]
 
 
