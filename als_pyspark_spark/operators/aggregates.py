@@ -361,3 +361,74 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
     return typed.unionByName(merged)
+
+
+@query(
+    "q_corr_covar_exact",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag,
+           CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+), s AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(sxy AS DOUBLE) / 10000 - (CAST(sx AS DOUBLE) / 100)
+            * (CAST(sy AS DOUBLE) / 100) / n) / n AS covar_pop,
+       ((CAST(sxy AS DOUBLE) / 10000 - (CAST(sx AS DOUBLE) / 100)
+            * (CAST(sy AS DOUBLE) / 100) / n) / n)
+       / sqrt((CAST(sxx AS DOUBLE) / 10000 - (CAST(sx AS DOUBLE) / 100)
+            * (CAST(sx AS DOUBLE) / 100) / n) / n)
+       / sqrt((CAST(syy AS DOUBLE) / 10000 - (CAST(sy AS DOUBLE) / 100)
+            * (CAST(sy AS DOUBLE) / 100) / n) / n) AS corr
+FROM s
+""",
+    tags=("aggregate", "stats", "gramian"),
+)
+def q_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed second moments: per-flag covariance and
+    correlation of (quantity, price) from one pass of INTEGER-CENTS sums
+    of squares/products — the DataFrame twin of the reference's Gramian
+    accumulation (SURVEY §2.5 A4/A5: NormalEquation keeps Σx·xᵀ and merges
+    partials; here the moment sums are map-side-combinable BIGINTs).
+
+    Why not the built-in corr()/covar_pop(): those accumulate DOUBLES, and
+    distributed float summation order differs run-to-run and engine-to-
+    engine — fine statistically, but not hashable against an oracle. The
+    integer sums are exact and associative (x·y ≤ 5e10/row keeps corpus
+    sums far inside int64 at test scale; a 100 TB run would widen to
+    DECIMAL(38,0) sums, same shape), and every double op downstream is on
+    exactly-represented integers — bit-identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    dx = F.col("sx").cast("double") / 100
+    dy = F.col("sy").cast("double") / 100
+    covar = (F.col("sxy").cast("double") / 10000 - dx * dy / n) / n
+    varx = (F.col("sxx").cast("double") / 10000 - dx * dx / n) / n
+    vary = (F.col("syy").cast("double") / 10000 - dy * dy / n) / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        covar.alias("covar_pop"),
+        (covar / F.sqrt(varx) / F.sqrt(vary)).alias("corr"),
+    )

@@ -93,3 +93,38 @@ def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
         F.coalesce(F.col("F_price"), F.lit(0).cast(_PRICE)).cast("double").alias("price_f"),
     )
+
+
+@query(
+    "q_rollup_region_hierarchy",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    tags=("grouping", "rollup", "hierarchy"),
+)
+def q_rollup_region_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-hierarchy rollup: region → nation → grand total over a
+    two-hop dimension join (the OLAP drill-down cube a BI layer asks for).
+    Both dimension joins broadcast (nation and region are tiny at every
+    scale); the rollup expands each row into its 3 grouping sets before
+    one exchange — subtotals cost one aggregate, not three queries."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )

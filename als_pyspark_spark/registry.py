@@ -150,6 +150,9 @@ _HOISTED = (
     "q_maxby_top_order_per_customer",
     "q_hll_sketch_union",
     "q_ngram_novelty",
+    "q_corr_covar_exact",
+    "q_python_datasource_write",
+    "q_rollup_region_hierarchy",
     # family canaries (previously driver-green, unchanged)
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",

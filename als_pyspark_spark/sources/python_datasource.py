@@ -19,8 +19,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -211,3 +213,122 @@ FROM r GROUP BY user
 
 
 _stream_queries()
+
+
+# ---------------------------------------------------------------------------
+# Writer side of the DataSource API: a JSON-lines sink with per-partition
+# task files and a commit protocol — the minimal shape of every custom sink
+# (JDBC batcher, upsert writer, multi-table fan-out).
+
+
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonlScratchWriter(DataSourceWriter):
+    """One output file per task; commit() publishes a manifest. Values are
+    integers/strings only (cents, not float dollars) so the text round-trip
+    is lossless — the float-through-text trap the sinks module documents."""
+
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        path = os.path.join(self.dir, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _WroteFile(path)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = os.path.join(self.dir, "_MANIFEST.json")
+        with open(manifest, "w") as f:
+            json.dump(sorted(m.path for m in messages), f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlScratchSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_scratch"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return JsonlScratchWriter(self.options)
+
+
+def _writer_queries():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.registry import query
+    from als_pyspark_spark.sources.tables import load_table
+
+    @query(
+        "q_python_datasource_write",
+        oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+""",
+        tags=("source", "python-datasource", "writer"),
+    )
+    def q_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Custom Python DataSource WRITER (the df.write.format() side of
+        the API): stream orders through per-task JSON-lines files with a
+        commit manifest, read the committed files back, and aggregate —
+        exact only if the task/commit protocol loses and duplicates
+        nothing. Money travels as integer cents (lossless through text).
+
+        The write is partition-parallel (one file per task, like every
+        distributed sink); commit runs once on the driver with the task
+        messages — the two-phase shape real sinks (Iceberg/Delta commit
+        protocols) build on."""
+        import os
+        import shutil
+
+        spark.dataSource.register(JsonlScratchSink)
+        from als_pyspark_spark.sources.sinks import _scratch
+
+        out = _scratch("python_datasource_write")
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        o.write.format("jsonl_scratch").option("path", out).mode("append").save()
+        back = spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, cents bigint"
+        ).json(f"{out}/part-*.jsonl")
+        return back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    return q_python_datasource_write
+
+
+_writer_queries()
