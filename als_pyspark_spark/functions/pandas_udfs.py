@@ -163,3 +163,49 @@ def q_udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.gram FROM udtf_heads, "
         "LATERAL char_ngrams(doc_id, head) t"
     )
+
+
+@query(
+    "q_udtf_polymorphic_split",
+    oracle="""
+SELECT doc_id,
+       string_split(text, ' ')[1] AS col0,
+       string_split(text, ' ')[2] AS col1,
+       string_split(text, ' ')[3] AS col2,
+       string_split(text, ' ')[4] AS col3
+FROM documents WHERE doc_id < 100
+""",
+    tags=("udf", "udtf", "polymorphic"),
+)
+def q_udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: the output schema is computed at analysis
+    time by a static analyze() from a constant argument (here: how many
+    leading tokens to split into columns) — the Spark 4 API for table
+    functions whose shape depends on their call site (dynamic pivots,
+    configurable feature expanders). The oracle rebuilds the same columns
+    relationally for n=4."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitFirstN:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert n.isConstantExpression, "n must be a literal"
+            schema = StructType().add("doc_id", LongType())
+            for i in range(n.value):
+                schema = schema.add(f"col{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, n: int):
+            toks = text.split(" ")
+            yield (doc_id, *[toks[i] if i < len(toks) else None for i in range(n)])
+
+    PolyUdtf = udtf(SplitFirstN)
+    spark.udtf.register("split_first_n", PolyUdtf)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_poly_docs")
+    return spark.sql(
+        "SELECT t.* FROM udtf_poly_docs, "
+        "LATERAL split_first_n(doc_id, text, 4) t"
+    )

@@ -432,3 +432,38 @@ def q_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         covar.alias("covar_pop"),
         (covar / F.sqrt(varx) / F.sqrt(vary)).alias("corr"),
     )
+
+
+@query(
+    "q_bitmap_distinct_users",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregate", "bitmap", "distinct"),
+)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5 bitmap_*
+    family): bucket each user id (bitmap_bucket_number), build one 4KB
+    bitmap per (type, bucket) partial (bitmap_construct_agg), OR-merge the
+    partials (bitmap_or_agg) and sum the popcounts — exact like
+    COUNT(DISTINCT) but with mergeable fixed-size state, the property that
+    lets 1000 executors pre-aggregate locally and re-aggregate rollups
+    without rescanning (the exact-counting sibling of the HLL sketch,
+    q_hll_sketch_union). The oracle is the plain COUNT(DISTINCT) the
+    bitmaps must reproduce bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.col("user_id"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+    )

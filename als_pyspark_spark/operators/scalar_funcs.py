@@ -472,3 +472,54 @@ def q_interval_math_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("settlement_due"),
         )
     )
+
+
+@query(
+    "q_explode_outer_zip",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS toks,
+           CASE WHEN len(string_split(text, ' ')) >= 40
+                THEN string_split(text, ' ')[1:3] ELSE [] END AS head3
+    FROM documents WHERE doc_id < 60
+)
+SELECT doc_id,
+       CAST(pos - 1 AS INT) AS pos,
+       CASE WHEN len(head3) >= pos THEN head3[pos] END AS tok,
+       CASE WHEN len(head3) >= pos THEN len(head3[pos]) END AS tok_len
+FROM t LEFT JOIN LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(head3), 1))) AS pos
+) ON TRUE
+""",
+    tags=("scalar", "explode-outer", "arrays-zip"),
+)
+def q_explode_outer_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode over a sometimes-empty array: docs under the length
+    cutoff produce an EMPTY head3 array, and posexplode_outer keeps them as
+    one (NULL, NULL) row instead of silently dropping the document — the
+    left-join-flavored lateral view a pipeline needs when 'no extracted
+    items' must still be visible downstream. The exploded element rides
+    with a zipped per-element attribute (arrays_zip of the tokens and
+    their lengths — the struct-of-parallel-arrays pattern)."""
+    from als_pyspark_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    toks = tokens(F.col("text"))
+    head3 = F.when(F.size(toks) >= 40, F.slice(toks, 1, 3)).otherwise(
+        F.array().cast("array<string>")
+    )
+    zipped = F.arrays_zip(
+        head3.alias("tok"),
+        F.transform(head3, lambda t: F.length(t)).alias("tok_len"),
+    )
+    return (
+        d.select("doc_id", zipped.alias("z"))
+        .select("doc_id", F.posexplode_outer("z").alias("pos", "e"))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("pos"), F.lit(0)).cast("int").alias("pos"),
+            F.col("e.tok").alias("tok"),
+            F.col("e.tok_len").cast("bigint").alias("tok_len"),
+        )
+    )

@@ -153,6 +153,9 @@ _HOISTED = (
     "q_corr_covar_exact",
     "q_python_datasource_write",
     "q_rollup_region_hierarchy",
+    "q_udtf_polymorphic_split",
+    "q_explode_outer_zip",
+    "q_bitmap_distinct_users",
     # family canaries (previously driver-green, unchanged)
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",
