@@ -251,3 +251,50 @@ def test_cluster_assign_broadcasts_centroids(spark, sf_dir):
     argmin window keyed by vec_id)."""
     plan = plan_of(QUERIES["q_semantic_cluster_assign"].build(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_90d_single_partition_free(spark, sf_dir):
+    """The event-time RANGE window exchanges once on the customer key —
+    never a single-partition window."""
+    plan = plan_of(QUERIES["q_window_rolling_90d_spend"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_null_safe_join_is_broadcast_hash(spark, sf_dir):
+    """<=> must plan as an equi hash join (broadcastable), not a nested
+    loop over the null-wrapped key."""
+    plan = plan_of(QUERIES["q_null_safe_join"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_calendar_spine_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["q_month_calendar_orders"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_maxby_is_single_aggregate_pass(spark, sf_dir):
+    """max_by must be one partial+final aggregate — no join, no window."""
+    plan = plan_of(QUERIES["q_maxby_top_order_per_customer"].build(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
+    """The bitmap path is two hash aggregates (bucket build, popcount
+    merge) — the mergeable-partials shape, not an expand-based distinct."""
+    plan = plan_of(QUERIES["q_bitmap_distinct_users"].build(spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_repetition_family_scan_prunes_text_only(spark, sf_dir):
+    """Repetition metrics read only (doc_id, text) from the corpus."""
+    plan = formatted(QUERIES["q_repetition_metrics"].build(spark, sf_dir))
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines, plan
+    assert "text" in read_lines[0]
+    assert "lang" not in read_lines[0]
+    assert "source" not in read_lines[0]
