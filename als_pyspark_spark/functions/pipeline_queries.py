@@ -540,3 +540,105 @@ def q_length_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "n_chars")
     )
+
+
+@query(
+    "q_vocab_encode_docs",
+    oracle="""
+WITH tok AS (
+    SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+),
+vocab AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+               AS vocab_id,
+           token
+    FROM counts ORDER BY n DESC, token ASC LIMIT 500
+),
+doc_toks AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents WHERE doc_id < 50
+)
+SELECT d.doc_id,
+       CAST(d.pos - 1 AS BIGINT) AS pos,
+       COALESCE(v.vocab_id, 0) AS token_id
+FROM doc_toks d LEFT JOIN vocab v USING (token)
+""",
+    tags=("pipeline", "vocab", "tokenize"),
+)
+def q_vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary APPLICATION — the encode step that turns text into
+    training token ids: build the frequency vocabulary (same recipe as
+    q_vocab_top), then map every token position of the target docs through
+    it, OOV → id 0. This is the tokenize-with-vocab pass every pretraining
+    pipeline runs after vocab construction.
+
+    Scale shape: the vocabulary is a bounded table (500 rows here; ≤ a few
+    hundred thousand for real BPE vocabs) — it BROADCASTS onto the corpus
+    explode, so encoding is one map-side hash lookup per token with zero
+    extra shuffles of the corpus itself."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(500)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    vocab = top.select(
+        F.row_number().over(w).cast("long").alias("vocab_id"), "token"
+    )
+    doc_toks = (
+        d.where(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token"))
+    )
+    return (
+        doc_toks.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(F.col("vocab_id"), F.lit(0)).alias("token_id"),
+        )
+    )
+
+
+@query(
+    "q_user_event_sequences",
+    oracle="""
+SELECT user_id,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS seq_len
+FROM events
+GROUP BY user_id
+""",
+    tags=("pipeline", "sequences", "behavioral"),
+)
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence construction: each user's event-type history as
+    one ordered sequence string — the session-to-training-example step for
+    recommendation/behavior models (the sequence twin of the ratings
+    derivation the ALS flagship consumes).
+
+    Deterministic by (ts, event_id) ordering; built with sort_array over
+    collected (ts, event_id, type) structs, so the aggregation is one
+    shuffle and the ordering is established inside each group without a
+    window pass."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("seq"),
+            F.count("*").alias("seq_len"),
+        )
+    )

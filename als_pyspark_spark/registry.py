@@ -156,6 +156,8 @@ _HOISTED = (
     "q_udtf_polymorphic_split",
     "q_explode_outer_zip",
     "q_bitmap_distinct_users",
+    "q_vocab_encode_docs",
+    "q_user_event_sequences",
     # family canaries (previously driver-green, unchanged)
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",
