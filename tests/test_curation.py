@@ -150,3 +150,35 @@ def test_hll_sketch_estimates_within_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
+
+
+def test_vocab_encode_oov_is_zero_and_ids_bounded(spark, sf_dir):
+    rows = QUERIES["q_vocab_encode_docs"].build(spark, sf_dir).collect()
+    assert rows
+    ids = {r.token_id for r in rows}
+    assert all(0 <= i <= 500 for i in ids)
+    # every encoded doc reproduces its token count
+    n_by_doc = {}
+    for r in rows:
+        n_by_doc[r.doc_id] = max(n_by_doc.get(r.doc_id, 0), r.pos + 1)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .collect()
+    )
+    for d in docs:
+        assert n_by_doc[d.doc_id] == len(d.text.split(" "))
+
+
+def test_event_sequences_ordered_by_time(spark, sf_dir):
+    rows = QUERIES["q_user_event_sequences"].build(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    one = rows[0]
+    want = [
+        r.event_type
+        for r in e.where(F.col("user_id") == one.user_id)
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    assert one.seq.split(" ") == want
+    assert one.seq_len == len(want)
