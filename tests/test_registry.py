@@ -103,6 +103,36 @@ def test_window_keeps_family_canaries():
         )
 
 
+def test_changed_queries_are_hoisted():
+    """Driver rows older than a query's last code change are not evidence
+    (round-3 ADVICE): any query whose build-source/oracle hash differs
+    from the end-of-last-round snapshot must sit in THIS round's window.
+    Fix a failure by hoisting the changed query in registry.py; regenerate
+    the snapshot (scripts/snapshot_query_sources.py) only at round end,
+    once the window is final."""
+    import hashlib
+    import inspect
+
+    path = os.path.join(_REPO, "tests", "query_source_hashes.json")
+    with open(path) as f:
+        snapshot = json.load(f)
+    q = load_all_queries()
+    names = _sweep_names()
+    window = set(names[:_WINDOW])
+    stale = []
+    for name in names:
+        if name not in snapshot:
+            continue  # new query — covered by the never-verified invariant
+        src = inspect.getsource(q[name].build)
+        h = hashlib.sha256((src + "\n" + (q[name].oracle or "")).encode()).hexdigest()
+        if h != snapshot[name] and name not in window:
+            stale.append(name)
+    assert not stale, (
+        f"changed since their last driver evidence but outside the "
+        f"{_WINDOW}-entry window: {stale}"
+    )
+
+
 def test_hoisted_queries_lead():
     names = list(load_all_queries())
     assert names[: len(_HOISTED)] == list(_HOISTED)
