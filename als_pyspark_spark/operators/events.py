@@ -287,3 +287,154 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("twa_value"),
         F.count("*").alias("n_segments"),
     )
+
+
+@query(
+    "q_asof_next_purchase_after_click",
+    oracle="""
+SELECT c.event_id AS click_id,
+       CAST(CAST(EPOCH_US(MIN(p.ts)) AS BIGINT)
+            - CAST(EPOCH_US(c.ts) AS BIGINT) AS BIGINT) AS latency_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.event_id, c.ts
+""",
+    tags=("join", "asof", "forward"),
+)
+def q_asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the FIRST purchase by the same
+    user within the following hour, reported as microsecond latency (the
+    response-latency direction, where q_asof_last_order_before_event looks
+    backward). Same scale discipline: the range predicate bounds the
+    lookahead window, so per-click fan-in is capped by an hour of events,
+    not the user's whole history; the join shuffles on the user key and
+    MIN-aggregates away the fan-in."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        )
+        .groupBy("click_id", "c_ts")
+        .agg(
+            (
+                F.unix_micros(F.min("p_ts")) - F.unix_micros(F.col("c_ts"))
+            ).alias("latency_us")
+        )
+        .select("click_id", "latency_us")
+    )
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT CAST(COUNT(t_signup) AS BIGINT) AS step_signup,
+       CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+           AS step_click_after_signup,
+       CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                     THEN 1 ELSE 0 END) AS BIGINT)
+           AS step_purchase_after_click
+FROM firsts
+""",
+    tags=("events", "funnel", "analytics"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → click → purchase): per user the
+    FIRST occurrence of each stage, then strict-ordering step counts — the
+    product-analytics query every event pipeline serves. One conditional
+    aggregation pass builds the per-user stage times (no self-joins, no
+    windows), one global aggregate counts the funnel; NULL stage times
+    fail the > comparisons, so non-entrants drop out of later steps for
+    free."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count("t_signup").alias("step_signup"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_signup"), 1).otherwise(0)
+        ).alias("step_click_after_signup"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("step_purchase_after_click"),
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+WITH cohort AS (
+    SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week
+    FROM events
+)
+SELECT STRFTIME(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('week', c.cohort_week, a.active_week) AS BIGINT)
+           AS weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM cohort c JOIN activity a USING (user_id)
+GROUP BY c.cohort_week, a.active_week
+""",
+    tags=("events", "retention", "cohort"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    in each subsequent active week — the triangle every growth dashboard
+    draws. Two grouped passes over events (cohort assignment, distinct
+    weekly activity) joined on the user key; both aggregates are
+    partial+final and the join shuffles once on user_id.
+
+    weeks_since comes from integer week-bucket arithmetic (date_trunc to
+    Monday on both engines), not calendar division — exact."""
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    weeks_since = (
+        F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7
+    ).cast("long")
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("n_active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            weeks_since.alias("weeks_since"),
+            F.col("n_active_users"),
+        )
+    )

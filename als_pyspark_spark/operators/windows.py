@@ -332,3 +332,45 @@ def q_window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFr
         F.first(d, ignorenulls=True).over(w).alias("first_discount"),
         F.last(d, ignorenulls=True).over(w).alias("last_discount"),
     )
+
+
+@query(
+    "q_revenue_mom_change",
+    oracle="""
+WITH m AS (
+    SELECT DATE_TRUNC('month', o_orderdate) AS month,
+           SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+    FROM orders
+    GROUP BY 1
+)
+SELECT STRFTIME(month, '%Y-%m') AS month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS delta,
+       CAST(CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+            / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS DOUBLE)
+           AS pct_change
+FROM m
+""",
+    tags=("window", "timeseries", "mom"),
+)
+def q_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta and percent change: aggregate to the
+    month grain FIRST (DECIMAL-exact sums), then a lag window over the
+    resulting month series. The window is global but over the AGGREGATED
+    table — bounded by the calendar (≤ a few thousand months for any
+    horizon), which is the scale-safe place for an unpartitioned window:
+    the corpus-sized shuffle happens in the keyed month aggregate, never
+    in the window. First month's change is NULL by definition."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    delta = (F.col("rev") - prev).cast("double")
+    return m.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        delta.alias("delta"),
+        (delta / prev.cast("double")).alias("pct_change"),
+    )

@@ -158,6 +158,10 @@ _HOISTED = (
     "q_bitmap_distinct_users",
     "q_vocab_encode_docs",
     "q_user_event_sequences",
+    "q_asof_next_purchase_after_click",
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_revenue_mom_change",
     # family canaries (previously driver-green, unchanged)
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",
