@@ -162,6 +162,12 @@ _HOISTED = (
     "q_funnel_steps",
     "q_retention_cohorts",
     "q_revenue_mom_change",
+    # changed late in round 4 (applicationId-scoped scratch dirs) —
+    # fresh driver rows; q_sink_csv_roundtrip is already below as a canary
+    "q_sink_partitioned_parquet",
+    "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_xml_roundtrip",
     # family canaries (previously driver-green, unchanged)
     "q_stream_tumbling_hourly",
     "q_sink_csv_roundtrip",

@@ -309,9 +309,9 @@ GROUP BY o_orderstatus
         import shutil
 
         spark.dataSource.register(JsonlScratchSink)
-        from als_pyspark_spark.sources.sinks import _scratch
+        from als_pyspark_spark.sources.sinks import app_scratch
 
-        out = _scratch("python_datasource_write")
+        out = app_scratch(spark, "python_datasource_write")
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         o = load_table(spark, sf_dir, "orders").select(

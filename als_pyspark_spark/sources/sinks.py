@@ -35,6 +35,16 @@ def _scratch(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
+def app_scratch(spark: SparkSession, name: str) -> str:
+    """Scratch dir scoped by the Spark applicationId: write-then-read
+    queries must not share output paths across processes — two concurrent
+    gate runs appending/overwriting one directory read each other's files
+    (measured: exactly-doubled counts when the pytest gate and the script
+    gate overlapped). applicationId is unique per session and stable
+    within it, so reruns in one session still reuse/overwrite cleanly."""
+    return _scratch(f"{name}-{spark.sparkContext.applicationId}")
+
+
 @query(
     "q_sink_partitioned_parquet",
     oracle="""
@@ -53,7 +63,7 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     The read-back scan prunes to partition directories when filtered —
     the layout every 100 TB fact table should have.
     """
-    out = _scratch("sink_partitioned_parquet")
+    out = app_scratch(spark, "sink_partitioned_parquet")
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
@@ -83,7 +93,7 @@ GROUP BY o_orderstatus
 def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Urgent orders → CSV (header, explicit schema on read) → aggregate.
     Money travels as DECIMAL text, ids as longs — lossless by construction."""
-    out = _scratch("sink_csv_roundtrip")
+    out = app_scratch(spark, "sink_csv_roundtrip")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     o.select(
         "o_orderkey", "o_custkey", "o_orderstatus", F.col("o_totalprice").cast(_PRICE).alias("price")
@@ -112,7 +122,7 @@ GROUP BY event_type
 def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events (id, type, extracted JSON int) → JSON lines → read back → agg.
     Exercises both the JSON sink and get_json_object extraction."""
-    out = _scratch("sink_json_roundtrip")
+    out = app_scratch(spark, "sink_json_roundtrip")
     e = load_table(spark, sf_dir, "events")
     e.select(
         "event_id",
@@ -142,7 +152,7 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large parts → ORC (Spark's second columnar format) → read back →
     aggregate. The oracle reads the ORIGINAL parquet, so a match proves the
     ORC round-trip is lossless."""
-    out = _scratch("sink_orc_roundtrip")
+    out = app_scratch(spark, "sink_orc_roundtrip")
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 25)
     p.select("p_partkey", "p_brand", F.col("p_retailprice").cast(_PRICE).alias("retail")).write.mode(
         "overwrite"
@@ -169,7 +179,7 @@ def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers+nation → XML (built into Spark 4) → read back → aggregate.
     Money rides as fixed-point DECIMAL text so the text round-trip is
     lossless; the oracle reads the ORIGINAL parquet, so a match proves it."""
-    out = _scratch("sink_xml_roundtrip")
+    out = app_scratch(spark, "sink_xml_roundtrip")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(

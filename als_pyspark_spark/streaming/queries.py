@@ -328,10 +328,10 @@ def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from als_pyspark_spark.sources.sinks import _scratch
+    from als_pyspark_spark.sources.sinks import app_scratch
 
-    out = _scratch("stream_foreachbatch_parquet")
-    ckpt = _scratch("stream_foreachbatch_ckpt")
+    out = app_scratch(spark, "stream_foreachbatch_parquet")
+    ckpt = app_scratch(spark, "stream_foreachbatch_ckpt")
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 

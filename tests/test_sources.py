@@ -7,11 +7,11 @@ def test_python_datasource_writer_commit_manifest(spark, sf_dir):
     import os
 
     from als_pyspark_spark.registry import load_all_queries
-    from als_pyspark_spark.sources.sinks import _scratch
+    from als_pyspark_spark.sources.sinks import app_scratch
 
     q = load_all_queries()["q_python_datasource_write"]
     q.build(spark, sf_dir).collect()
-    out = _scratch("python_datasource_write")
+    out = app_scratch(spark, "python_datasource_write")
     manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
     files = sorted(
         os.path.join(out, f) for f in os.listdir(out) if f.endswith(".jsonl")
