@@ -41,8 +41,27 @@ def app_scratch(spark: SparkSession, name: str) -> str:
     gate runs appending/overwriting one directory read each other's files
     (measured: exactly-doubled counts when the pytest gate and the script
     gate overlapped). applicationId is unique per session and stable
-    within it, so reruns in one session still reuse/overwrite cleanly."""
-    return _scratch(f"{name}-{spark.sparkContext.applicationId}")
+    within it, so reruns in one session still reuse/overwrite cleanly.
+
+    Stale siblings from PAST sessions (same name prefix, other appId) are
+    garbage-collected once they are over an hour old — old enough that no
+    live concurrent process can still be writing them."""
+    import shutil
+    import time
+
+    os.makedirs(_SCRATCH, exist_ok=True)
+    cutoff = time.time() - 3600
+    prefix = f"{name}-"
+    mine = f"{name}-{spark.sparkContext.applicationId}"
+    for d in os.listdir(_SCRATCH):
+        if d.startswith(prefix) and d != mine:
+            path = os.path.join(_SCRATCH, d)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
+    return _scratch(mine)
 
 
 @query(
