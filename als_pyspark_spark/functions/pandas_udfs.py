@@ -27,13 +27,24 @@ from als_pyspark_spark.sources.tables import load_table
 
 @pandas_udf(LongType())
 def word_count_udf(text: pd.Series) -> pd.Series:
-    """Vectorized word count over an Arrow batch."""
+    """Vectorized word count over an Arrow batch.
+
+    A built-in equivalent exists (``F.size(F.split(text, ' '))``, fully
+    JVM-side) and is what a production pipeline should use; this query is
+    registered as the pandas_udf SURFACE PROOF (SURVEY §2.10) — it
+    exercises the Arrow scalar-UDF boundary with an integer-exact oracle.
+    """
     return text.str.split(" ").map(len).astype("int64")
 
 
 @pandas_udf(LongType())
 def longest_token_udf(text: pd.Series) -> pd.Series:
-    """Length of the longest whitespace token per row."""
+    """Length of the longest whitespace token per row.
+
+    Built-in equivalent: ``F.array_max(F.transform(F.split(text, ' '),
+    F.length))`` — see word_count_udf for why the pandas_udf form is the
+    one registered here (UDF-surface proof, not the recommended hot path).
+    """
     return text.str.split(" ").map(lambda ts: max(len(t) for t in ts)).astype("int64")
 
 

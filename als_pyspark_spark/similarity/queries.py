@@ -339,7 +339,15 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject pass, deterministic, no count() needed) and the
     k centroids; corpus assignment is a JVM-side argmin over the centroid
     literals — no MLlib jobs, nothing per-row crosses to Python.
-    Rows-only check; recall vs brute force asserted in tests.
+
+    Rows-only check (the learned quantizer makes the neighbor set
+    implementation-specific) — but the ROWS THEMSELVES witness the
+    quality floor: each carries the query's recall@10 against an exact
+    brute-force pass computed in the same job, plus a within_bound flag
+    (mean recall over the query set ≥ 0.5, the same floor the local test
+    pins). The witness columns cost one extra O(q·n) scored pass over the
+    bounded query set — the labeled recall baseline; at 100 TB you would
+    drop the witness and sample-audit recall offline instead.
     """
     e = load_table(spark, sf_dir, "embeddings")
     fit_rows = (
@@ -413,10 +421,43 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    ivf = (
         cand.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_rounded"))
+    )
+
+    # In-row recall witness: exact brute-force top-10 over the same query
+    # set (bounded: |q| = _N_QUERIES), same tie-break as the IVF re-rank.
+    truth = (
+        F.broadcast(q)
+        .join(e.select("vec_id", "embedding"), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("true_id"))
+    )
+    hits = (
+        ivf.join(
+            truth,
+            (ivf.query_id == truth.query_id) & (ivf.neighbor_id == truth.true_id),
+            "left",
+        )
+        .groupBy(ivf.query_id)
+        .agg((F.count("true_id") / F.lit(_TOP_K)).alias("recall10"))
+    )
+    all_q = Window.partitionBy()
+    witnessed = hits.select(
+        "query_id",
+        "recall10",
+        (F.avg("recall10").over(all_q) >= 0.5).alias("within_bound"),
+    )
+    return ivf.join(F.broadcast(witnessed), "query_id").select(
+        "query_id", "neighbor_id", "cos_rounded", "recall10", "within_bound"
     )
 
 

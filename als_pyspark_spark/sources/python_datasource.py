@@ -304,7 +304,13 @@ GROUP BY o_orderstatus
         The write is partition-parallel (one file per task, like every
         distributed sink); commit runs once on the driver with the task
         messages — the two-phase shape real sinks (Iceberg/Delta commit
-        protocols) build on."""
+        protocols) build on. The read-back loads EXACTLY the files listed
+        in the commit manifest (never a directory glob), so orphan files
+        from a crashed-then-retried task — which the Python DataSource API
+        cannot clean per-task; abort() only runs on whole-job abort — can
+        never be double-counted: the manifest IS the committed snapshot,
+        the same read-path contract as Iceberg/Delta manifest lists."""
+        import json
         import os
         import shutil
 
@@ -320,9 +326,11 @@ GROUP BY o_orderstatus
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         o.write.format("jsonl_scratch").option("path", out).mode("append").save()
+        with open(os.path.join(out, "_MANIFEST.json")) as f:
+            committed = json.load(f)
         back = spark.read.schema(
             "o_orderkey bigint, o_orderstatus string, cents bigint"
-        ).json(f"{out}/part-*.jsonl")
+        ).json(committed)
         return back.groupBy("o_orderstatus").agg(
             F.count("*").alias("n_orders"),
             F.sum("cents").alias("total_cents"),

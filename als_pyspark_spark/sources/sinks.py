@@ -45,9 +45,27 @@ def app_scratch(spark: SparkSession, name: str) -> str:
 
     Stale siblings from PAST sessions (same name prefix, other appId) are
     garbage-collected once they are over an hour old — old enough that no
-    live concurrent process can still be writing them."""
+    live concurrent process can still be writing them. Staleness is judged
+    by the NEWEST mtime anywhere in the directory tree, not the top-level
+    dir: a partitioned sink writes into nested partition subdirectories
+    whose activity never bumps the parent's mtime, so a parent-only check
+    could delete a >1h-old session's scratch dir while its tasks are still
+    writing — exactly the cross-process interference this helper exists to
+    prevent."""
     import shutil
     import time
+
+    def _tree_mtime(root: str) -> float:
+        newest = os.path.getmtime(root)
+        for dirpath, dirnames, filenames in os.walk(root):
+            for entry in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, entry))
+                    )
+                except OSError:
+                    pass  # raced with a concurrent writer's rename/cleanup
+        return newest
 
     os.makedirs(_SCRATCH, exist_ok=True)
     cutoff = time.time() - 3600
@@ -57,7 +75,7 @@ def app_scratch(spark: SparkSession, name: str) -> str:
         if d.startswith(prefix) and d != mine:
             path = os.path.join(_SCRATCH, d)
             try:
-                if os.path.getmtime(path) < cutoff:
+                if _tree_mtime(path) < cutoff:
                     shutil.rmtree(path, ignore_errors=True)
             except OSError:
                 pass
