@@ -261,6 +261,47 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def user_max_value_apws(events: DataFrame, threshold: float = 400.0) -> DataFrame:
+    """Per-user running MAX event value via applyInPandasWithState — the
+    protobuf-free TWIN of :func:`user_max_value_tws`, with byte-identical
+    output semantics. transformWithStateInPandas needs google.protobuf
+    (its state-server wire format), which not every deployment ships; this
+    twin expresses the SAME StatefulProcessor logic (one running-max value
+    state per user, emit when the post-batch max clears the threshold)
+    through the dependency-free v1 arbitrary-state API, so the semantics
+    stay driver-verifiable everywhere while the tws variant remains the
+    gated superset.
+
+    MAX is float-order-independent, so emitted values are deterministic
+    under any partitioning/arrival order — what lets the registry query
+    carry an exact oracle. State: one (max,) tuple per user — O(users),
+    watermark-free (monotone).
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("mx", DoubleType())])
+
+    def fn(key, pdf_iter, state):
+        mx = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            m = float(pdf["value"].max())
+            if mx is None or m > mx:
+                mx = m
+        state.update((mx,))
+        if mx is not None and mx >= threshold:
+            yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
 def user_max_value_tws(events: DataFrame, threshold: float = 400.0) -> DataFrame:
     """Per-user running MAX event value via transformWithStateInPandas —
     the Spark 4 arbitrary-stateful v2 API (StatefulProcessor + typed

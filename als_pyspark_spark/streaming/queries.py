@@ -195,6 +195,36 @@ def q_stream_tws_user_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_apws_user_max",
+    oracle="""
+SELECT user_id, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+HAVING MAX(value) >= 400.0
+""",
+    tags=("streaming", "state", "applyInPandasWithState"),
+)
+def q_stream_apws_user_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running-max arbitrary-state streaming — the protobuf-free
+    TWIN of q_stream_tws_user_max, registered UNCONDITIONALLY so the
+    running-max state semantics always hold a driver-checkable exact row
+    even where transformWithStateInPandas's google.protobuf dependency is
+    absent (it has been absent in every driver container so far; the tws
+    variant stays registered as the gated superset).
+
+    Same operator contract: one running-max value state per user, emit
+    (user, max) when the post-batch max clears 400. MAX is
+    float-order-independent, so with the single-batch drain (asserted)
+    the output is exactly the batch GROUP BY/HAVING MAX oracle."""
+    from als_pyspark_spark.streaming.events import user_max_value_apws
+
+    name = "mem_stream_apws_user_max"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    stream = user_max_value_apws(read_events_stream(spark, sf_dir), threshold=400.0)
+    return run_to_memory(stream, name, mode="append", expect_single_batch=True)
+
+
+@query(
     "q_stream_dedup_count",
     oracle="""
 SELECT event_type, COUNT(DISTINCT event_id) AS n_unique

@@ -165,3 +165,50 @@ def test_tws_user_max_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_apws_user_max_matches_batch_low_threshold(spark, sf_dir):
+    """The protobuf-free running-max twin (applyInPandasWithState) vs its
+    batch equivalent — at threshold=100 so many users qualify (the
+    registered query's 400 keeps the tws-identical oracle but emits few
+    rows at small SF; this exercises the state machine broadly)."""
+    from als_pyspark_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        user_max_value_apws,
+    )
+
+    name = "mem_apws_user_max_t100"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    stream = user_max_value_apws(read_events_stream(spark, sf_dir), threshold=100.0)
+    drained = run_to_memory(stream, name, mode="append", expect_single_batch=True)
+    got = {r.user_id: r.max_value for r in drained.collect()}
+
+    from als_pyspark_spark.sources.tables import load_table
+
+    want = {
+        r.user_id: r.mx
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"))
+        .where(F.col("mx") >= 100.0)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0, "threshold=100 should qualify users even at sf0.001"
+
+
+def test_apws_and_tws_user_max_agree(spark, sf_dir):
+    """Twin contract: the applyInPandasWithState and transformWithState
+    variants emit identical rows (skips where protobuf is absent)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from als_pyspark_spark.streaming.queries import (
+        q_stream_apws_user_max,
+        q_stream_tws_user_max,
+    )
+
+    apws = {r.user_id: r.max_value for r in q_stream_apws_user_max(spark, sf_dir).collect()}
+    tws = {r.user_id: r.max_value for r in q_stream_tws_user_max(spark, sf_dir).collect()}
+    assert apws == tws
