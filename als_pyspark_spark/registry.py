@@ -62,6 +62,125 @@ def query(
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Stale-evidence fingerprinting (round-5 upgrade of the round-4 snapshot).
+#
+# A driver row is only evidence for the code that produced it, so each
+# query carries a fingerprint over its build function's source, its oracle
+# SQL, AND the source of every package-internal helper transitively
+# reachable from the build function — module-level globals and local
+# `from als_pyspark_spark... import` statements alike. Round 4's
+# build-source-only hash missed helper rewrites (the word_ngrams class of
+# change that created round-3 hoist debt); this closes that gap
+# mechanically: a helper-only edit flips the fingerprint of every query
+# that reaches the helper, and test_registry.py then forces those queries
+# into the round's verification window.
+
+_PKG_PREFIX = "als_pyspark_spark"
+
+
+def _code_names(code) -> set[str]:
+    import types
+
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _collect_reachable(obj, seen: set[str], out: dict[str, str]) -> None:
+    import importlib
+    import inspect
+    import re
+
+    # Unwrap decorated callables (e.g. pandas_udf wrappers) to the real
+    # function whose source we can read.
+    for attr in ("__wrapped__", "func"):
+        inner = getattr(obj, attr, None)
+        if inspect.isfunction(inner):
+            obj = inner
+            break
+    if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+        return
+    if not getattr(obj, "__module__", "").startswith(_PKG_PREFIX):
+        return
+    key = f"{obj.__module__}.{getattr(obj, '__qualname__', obj.__name__)}"
+    if key in seen:
+        return
+    seen.add(key)
+    try:
+        src = inspect.getsource(obj)
+    except (OSError, TypeError):
+        return
+    out[key] = src
+
+    codes = []
+    if inspect.isfunction(obj):
+        codes.append(obj.__code__)
+        namespaces = [obj.__globals__]
+    else:  # class: walk its methods' code, resolve against its module
+        namespaces = [importlib.import_module(obj.__module__).__dict__]
+        for v in vars(obj).values():
+            if isinstance(v, (staticmethod, classmethod)):
+                v = v.__func__
+            if inspect.isfunction(v):
+                codes.append(v.__code__)
+
+    names: set[str] = set()
+    for code in codes:
+        names |= _code_names(code)
+
+    # Local `from als_pyspark_spark.x import y` / `import als_pyspark_spark.x`
+    # inside the body never reach __globals__ — import those modules and add
+    # their dicts as lookup namespaces (over-approximation is fine: an extra
+    # helper in the fingerprint only makes staleness detection stricter).
+    for modname in set(re.findall(rf"(?:from|import)\s+({_PKG_PREFIX}[\w.]*)", src)):
+        try:
+            namespaces.append(importlib.import_module(modname).__dict__)
+        except ImportError:
+            pass
+    # Package modules referenced by name (`sinks.app_scratch`): their dicts
+    # become namespaces too, so attribute names in co_names resolve.
+    for name in list(names):
+        for ns in list(namespaces):
+            v = ns.get(name)
+            if inspect.ismodule(v) and v.__name__.startswith(_PKG_PREFIX):
+                namespaces.append(v.__dict__)
+
+    for name in names:
+        for ns in namespaces:
+            v = ns.get(name)
+            if v is not None:
+                _collect_reachable(v, seen, out)
+
+
+def reachable_sources(fn) -> dict[str, str]:
+    """'module.qualname' -> source for every package-internal function or
+    class transitively reachable from ``fn`` (including ``fn`` itself)."""
+    out: dict[str, str] = {}
+    _collect_reachable(fn, set(), out)
+    return out
+
+
+def fingerprint_from_sources(oracle: str | None, sources: dict[str, str]) -> str:
+    """Pure hash step, exposed so tests can prove a single-helper edit
+    flips the fingerprint."""
+    import hashlib
+
+    parts = [oracle or ""]
+    for key in sorted(sources):
+        parts.append(key + "\n" + sources[key])
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+def query_fingerprint(q: Query) -> str:
+    """Evidence fingerprint: build source + oracle + transitive package
+    helpers. Stored per-query in tests/query_source_hashes.json at round
+    end; compared by test_registry.py during the round."""
+    return fingerprint_from_sources(q.oracle, reachable_sources(q.build))
+
+
 def requirements_met(q: Query) -> bool:
     """True when every optional dependency of ``q`` imports cleanly."""
     import importlib
@@ -109,70 +228,81 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 4: after round 3's rotation, every registered query holds at least
-# one driver row across r1∪r2∪r3 (144/144). The remaining agenda is
-# FRESHNESS + NEW WORK:
-#   1. the three queries whose code changed AFTER their last driver row
-#      (the late-round-3 md5 exact-oracle upgrade / driver-side IVF
-#      quantizer rework — the acknowledged ROUND-4 HOIST DEBT):
-#      q_dedup_simhash, q_ann_lsh_top10, q_ann_ivf_top10;
-#   2. every query ADDED in round 4 (never driver-verified — the window
-#      invariant in test_registry.py enforces their membership);
-#   3. previously-green canaries so each displaced family keeps a live
-#      row (streaming / sinks / pandas_udfs / text keep presence via
-#      hoisted members; dedup and similarity via the debt entries above).
+# Round 5 agenda (VERDICT r4 "Next round"): every query holds driver
+# evidence (179/180 across r1-r4; the hole is protobuf-gated tws), so the
+# window carries:
+#   1. q_stream_dedup_count FIRST — its exact oracle (r3 upgrade) has
+#      never been driver-replayed (last row: r2, rows-only);
+#   2. q_stream_apws_user_max — NEW protobuf-free twin of the gated tws
+#      query, closing the last zero-evidence hole's semantics;
+#   3. every query changed this round, as the transitive fingerprint sees
+#      it: the ADVICE fixes (manifest read-back, empty-payload guard,
+#      max_by key width, app_scratch tree-mtime GC → all sinks +
+#      foreachbatch + datasource-write), the pandas_udf docstring label,
+#      and the five rows-only queries that now emit in-row error-bound
+#      witnesses;
+#   4. evidence rotation — the oldest (r1/r2-vintage) driver rows cycle
+#      back through, keeping every family within ~two rounds of a live
+#      row; each displaced family keeps a canary inside the window.
 _HOISTED = (
-    # hoist debt — changed after their last driver row, verify first
-    "q_dedup_simhash",
-    "q_ann_lsh_top10",
-    "q_ann_ivf_top10",
-    # NEW in round 4 — first driver verification (added as they land)
-    "q_repetition_metrics",
-    "q_boilerplate_ngrams",
-    "q_quality_gate",
-    "q_curriculum_stages",
-    "q_token_length_histogram",
-    "q_mixture_rebalance",
-    "q_window_rolling_90d_spend",
-    "q_window_ntile_by_nation",
-    "q_window_first_last_ignore_nulls",
-    "q_listagg_priorities_by_status",
-    "q_median_quantity_by_flag",
-    "q_null_safe_join",
-    "q_try_arithmetic",
-    "q_regexp_extract_props",
-    "q_month_calendar_orders",
-    "q_stream_session_windows",
-    "q_stream_foreachbatch_sink",
-    "q_multimodal_audio_windows",
-    "q_interval_math_shipping",
-    "q_union_by_name",
-    "q_maxby_top_order_per_customer",
-    "q_hll_sketch_union",
-    "q_ngram_novelty",
-    "q_corr_covar_exact",
+    # 1. stale exact oracle — driver-replay first
+    "q_stream_dedup_count",
+    # 2. new this round — first driver verification
+    "q_stream_apws_user_max",
+    # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
-    "q_rollup_region_hierarchy",
-    "q_udtf_polymorphic_split",
-    "q_explode_outer_zip",
-    "q_bitmap_distinct_users",
-    "q_vocab_encode_docs",
-    "q_user_event_sequences",
-    "q_asof_next_purchase_after_click",
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_revenue_mom_change",
-    # changed late in round 4 (applicationId-scoped scratch dirs) —
-    # fresh driver rows; q_sink_csv_roundtrip is already below as a canary
+    "q_multimodal_audio_windows",
+    "q_maxby_top_order_per_customer",
+    # 3b. app_scratch GC rewrite reaches every scratch-dir sink
     "q_sink_partitioned_parquet",
+    "q_sink_csv_roundtrip",
     "q_sink_json_roundtrip",
     "q_sink_orc_roundtrip",
     "q_sink_xml_roundtrip",
-    # family canaries (previously driver-green, unchanged)
-    "q_stream_tumbling_hourly",
-    "q_sink_csv_roundtrip",
-    "q_applyinpandas_top2_by_type",
-    "q_text_quality",
+    "q_stream_foreachbatch_sink",
+    # 3c. pandas_udf surface-proof docstrings (fingerprint-visible)
+    "q_pandas_udf_doc_stats",
+    # 3d. rows-only queries upgraded with in-row bound witnesses
+    "q_approx_distinct_users",
+    "q_approx_percentile_sketch",
+    "q_tablesample_stats",
+    "q_hll_sketch_union",
+    "q_ann_ivf_top10",
+    # 4. rotation — r2-vintage rows (oldest families first) ...
+    "q_text_top_tokens",
+    "q_dedup_clusters",
+    "q_ann_bruteforce_top10",
+    "als_mse",
+    "als_user_factors",
+    "als_predictions",
+    "als_implicit_top3",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_metadata",
+    "q_stream_sliding_halfhour",
+    "q_stream_static_enrich",
+    "q_stream_stream_join",
+    "q_text_bpe_token_counts",
+    "q_text_lang_id",
+    "q_text_fingerprints",
+    "q_events_dedup_first",
+    "q_events_tumbling_hourly",
+    "q_asof_last_order_before_event",
+    # ... and r1-vintage rows (TPC-H flagships + operator variety)
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q4_exists_returned_orders",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q17_below_avg_qty_revenue",
+    "q_broadcast_nation_rollup",
+    "q_outer_join_order_counts",
+    "q_semi_join_priority_orders",
+    "q_anti_join_silent_customers",
+    "q_window_topk_orders_per_customer",
+    "q_window_running_spend",
+    "q_scalar_subquery_above_avg",
 )
 
 

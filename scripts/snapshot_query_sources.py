@@ -9,25 +9,26 @@ since its last driver evidence must sit in the new round's window (the
 automated form of the round-3 ADVICE item: driver rows older than the
 query's last code change are not evidence).
 
-Granularity caveat: the hash covers the build function's own source and
-its oracle SQL, not helper functions it calls — a helper-level behavior
-change (e.g. rewriting word_ngrams) still needs a manual hoist decision,
-as in round 3.
+Granularity (round-5 upgrade): the fingerprint covers the build
+function's source, its oracle SQL, AND every package-internal helper
+transitively reachable from the build function (module globals and local
+imports alike) — see registry.query_fingerprint. A helper-only rewrite
+(the word_ngrams class of change that caused round-3 hoist debt) now
+flips the fingerprint of every query that reaches the helper, so the
+freshness invariant is mechanical, not a manual hoist decision.
 
 Usage: python scripts/snapshot_query_sources.py
 """
 
 from __future__ import annotations
 
-import hashlib
-import inspect
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from als_pyspark_spark.registry import load_all_queries
+from als_pyspark_spark.registry import load_all_queries, query_fingerprint
 
 SNAPSHOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -36,13 +37,8 @@ SNAPSHOT = os.path.join(
 )
 
 
-def query_hash(q) -> str:
-    src = inspect.getsource(q.build)
-    return hashlib.sha256((src + "\n" + (q.oracle or "")).encode()).hexdigest()
-
-
 def main() -> int:
-    hashes = {name: query_hash(q) for name, q in load_all_queries().items()}
+    hashes = {name: query_fingerprint(q) for name, q in load_all_queries().items()}
     with open(SNAPSHOT, "w") as f:
         json.dump(hashes, f, indent=0, sort_keys=True)
         f.write("\n")

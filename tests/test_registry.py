@@ -3,13 +3,14 @@ prefix of the registry (observed: first 50 entries, insertion order), so the
 per-round verification agenda — encoded in _HOISTED — MUST land inside that
 prefix, and every query must have driver evidence from SOME round.
 
-Round 4 agenda: after round 3's rotation every query holds at least one
-driver row (r1∪r2∪r3 = full registry), so the window carries (a) the three
-queries changed after their last driver row (md5 oracle upgrade / IVF
-quantizer rework), (b) everything newly added this round, and (c) family
-canaries. This test reads the actual CORRECTNESS_r0*.json files, so it
-fails loudly if a future reorder silently re-orphans a query that only a
-past round's rotation covers.
+Round 5 agenda: every query holds at least one driver row across r1-r4
+(except the protobuf-gated tws query, exempt via requirements_met), so
+the window carries (a) the stale-oracle replay (q_stream_dedup_count),
+(b) the new apws twin, (c) everything the transitive fingerprint sees as
+changed this round, and (d) the oldest-evidence rotation. This test reads
+the actual CORRECTNESS_r0*.json files, so it fails loudly if a future
+reorder silently re-orphans a query that only a past round's rotation
+covers.
 
 Availability-gated queries (Query.requires non-empty) are registered
 unconditionally — the registry's CONTENTS are identical on every machine —
@@ -27,7 +28,7 @@ from als_pyspark_spark.registry import _HOISTED, load_all_queries, requirements_
 
 _WINDOW = 50
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ROUNDS = (1, 2, 3)
+_ROUNDS = (1, 2, 3, 4)
 
 
 def _driver_verified() -> set[str]:
@@ -105,13 +106,13 @@ def test_window_keeps_family_canaries():
 
 def test_changed_queries_are_hoisted():
     """Driver rows older than a query's last code change are not evidence
-    (round-3 ADVICE): any query whose build-source/oracle hash differs
-    from the end-of-last-round snapshot must sit in THIS round's window.
-    Fix a failure by hoisting the changed query in registry.py; regenerate
-    the snapshot (scripts/snapshot_query_sources.py) only at round end,
-    once the window is final."""
-    import hashlib
-    import inspect
+    (round-3 ADVICE): any query whose fingerprint — build source + oracle
+    + transitive package helpers (round-5 upgrade) — differs from the
+    end-of-last-round snapshot must sit in THIS round's window. Fix a
+    failure by hoisting the changed query in registry.py; regenerate the
+    snapshot (scripts/snapshot_query_sources.py) only at round end, once
+    the window is final."""
+    from als_pyspark_spark.registry import query_fingerprint
 
     path = os.path.join(_REPO, "tests", "query_source_hashes.json")
     with open(path) as f:
@@ -123,14 +124,52 @@ def test_changed_queries_are_hoisted():
     for name in names:
         if name not in snapshot:
             continue  # new query — covered by the never-verified invariant
-        src = inspect.getsource(q[name].build)
-        h = hashlib.sha256((src + "\n" + (q[name].oracle or "")).encode()).hexdigest()
-        if h != snapshot[name] and name not in window:
+        if query_fingerprint(q[name]) != snapshot[name] and name not in window:
             stale.append(name)
     assert not stale, (
         f"changed since their last driver evidence but outside the "
         f"{_WINDOW}-entry window: {stale}"
     )
+
+
+def test_fingerprint_reaches_transitive_helpers():
+    """The round-5 fingerprint closes round 4's acknowledged granularity
+    gap: helpers reached ONLY through a local import inside the build
+    body, helpers behind decorator wrappers (pandas_udf), and cross-module
+    text helpers (the word_ngrams class that caused round-3 hoist debt)
+    must all contribute source to the fingerprint."""
+    from als_pyspark_spark.registry import reachable_sources
+
+    q = load_all_queries()
+
+    # local `from als_pyspark_spark.streaming.events import ...` in body
+    srcs = reachable_sources(q["q_stream_apws_user_max"].build)
+    assert any(k.endswith("user_max_value_apws") for k in srcs), sorted(srcs)
+
+    # pandas_udf-wrapped helper referenced as a module-level global
+    srcs = reachable_sources(q["q_pandas_udf_doc_stats"].build)
+    assert any(k.endswith("word_count_udf") for k in srcs), sorted(srcs)
+
+    # cross-module helper (functions/text.py) used by a text query
+    srcs = reachable_sources(q["q_text_top_tokens"].build)
+    assert any(".text." in k or k.endswith("word_tokens") for k in srcs), sorted(srcs)
+
+
+def test_helper_edit_flips_fingerprint():
+    """Mechanical freshness: a one-character change in ANY reachable
+    helper's source yields a different fingerprint."""
+    from als_pyspark_spark.registry import (
+        fingerprint_from_sources,
+        reachable_sources,
+    )
+
+    q = load_all_queries()["q_stream_apws_user_max"]
+    srcs = reachable_sources(q.build)
+    helper = next(k for k in srcs if k.endswith("user_max_value_apws"))
+    base = fingerprint_from_sources(q.oracle, srcs)
+    edited = dict(srcs)
+    edited[helper] += " "
+    assert fingerprint_from_sources(q.oracle, edited) != base
 
 
 def test_hoisted_queries_lead():
