@@ -443,7 +443,7 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         ivf.join(
-            truth,
+            F.broadcast(truth),  # ≤ q·k rows — stats don't know, so say so
             (ivf.query_id == truth.query_id) & (ivf.neighbor_id == truth.true_id),
             "left",
         )
