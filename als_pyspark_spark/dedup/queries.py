@@ -565,3 +565,182 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= _CONTAIN_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: Bloom-prefilter a new ingestion batch against the
+# historical corpus. The canonical 100 TB ingestion shape — the historical
+# side is reduced ONCE to a compact membership filter; each new batch
+# probes the broadcast filter and only candidates pay the exact
+# verification join.
+
+_BLOOM_M = 1 << 17  # filter bits (16 KiB as a real bitmap)
+_BLOOM_K = 7        # hash functions (Kirsch-Mitzenmacher double hashing)
+
+
+def _bloom_positions(df: DataFrame, *keep: str, m: int = _BLOOM_M) -> DataFrame:
+    """Per-row Bloom bit positions g_i = (h1 + i*h2) mod m, i < K, from ONE
+    md5 of the text (the repo's cross-engine hash family — DuckDB computes
+    byte-identical md5, so the whole filter replays in the oracle).
+
+    Shape note: the position expression sits ABOVE the explode generator
+    while the md5 projection sits BELOW it, so the digest is computed once
+    per document, not once per (document, i) — the runtime twin of the
+    word_ngrams CollapseProject trap documented in functions/hashing.py.
+    """
+    hashed = df.select(
+        *keep,
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    return hashed.select(
+        *keep,
+        "h1",
+        "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i"),
+    ).select(
+        *keep,
+        ((F.col("h1") + F.col("i") * F.col("h2")) % m).alias("pos"),
+    )
+
+
+# The modeled ingestion batch: a re-crawl fetches some known pages again
+# byte-identical (doc_id % 5 == 0 — these are the true duplicates) and
+# some pages that changed since last crawl (doc_id % 5 == 1, a marker
+# appended — near the old text but NOT byte-equal, so exact dedup must
+# keep them). Derived deterministically from the fixture because the
+# driver corpus contains no exact text duplicates at all.
+_NEW_BATCH_SQL = """
+SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, source, text || ' [updated]' AS text
+FROM documents WHERE doc_id % 5 = 1
+"""
+
+
+def _new_batch(d: DataFrame) -> DataFrame:
+    recrawl = d.where(F.col("doc_id") % 5 == 0).select("doc_id", "source", "text")
+    updated = (
+        d.where(F.col("doc_id") % 5 == 1)
+        .select("doc_id", "source", F.concat("text", F.lit(" [updated]")).alias("text"))
+    )
+    return recrawl.unionAll(updated)
+
+
+@query(
+    "q_bloom_incremental_dedup",
+    oracle=f"""
+WITH new_docs AS ({_NEW_BATCH_SQL}),
+hist_pos AS (
+    SELECT DISTINCT (h1 + i * h2) % {_BLOOM_M} AS pos
+    FROM (SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT AS h1,
+                 ('0x' || substr(md5(text), 9, 8))::BIGINT AS h2
+          FROM documents),
+         generate_series(0, {_BLOOM_K - 1}) AS t(i)
+),
+new_pos AS (
+    SELECT doc_id, source, (h1 + i * h2) % {_BLOOM_M} AS pos
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5(text), 1, 8))::BIGINT AS h1,
+                 ('0x' || substr(md5(text), 9, 8))::BIGINT AS h2
+          FROM new_docs),
+         generate_series(0, {_BLOOM_K - 1}) AS t(i)
+),
+cand AS (
+    SELECT doc_id, source
+    FROM (SELECT np.doc_id, np.source,
+                 COUNT(DISTINCT np.pos) AS n_pos,
+                 COUNT(DISTINCT CASE WHEN hp.pos IS NOT NULL THEN np.pos END) AS n_hit
+          FROM new_pos np LEFT JOIN hist_pos hp ON np.pos = hp.pos
+          GROUP BY 1, 2)
+    WHERE n_hit = n_pos
+),
+dup AS (
+    SELECT n.doc_id, n.source
+    FROM new_docs n
+    WHERE EXISTS (SELECT 1 FROM documents h WHERE md5(h.text) = md5(n.text))
+)
+SELECT b.source,
+       b.n_new,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       COALESCE(d.n_true_dups, 0) AS n_true_dups,
+       COALESCE(c.n_candidates, 0) - COALESCE(d.n_true_dups, 0)
+           AS n_false_positives
+FROM (SELECT source, COUNT(*) AS n_new FROM new_docs GROUP BY source) b
+LEFT JOIN (SELECT source, COUNT(*) AS n_candidates FROM cand GROUP BY source) c
+       ON b.source = c.source
+LEFT JOIN (SELECT source, COUNT(*) AS n_true_dups FROM dup GROUP BY source) d
+       ON b.source = d.source
+""",
+    tags=("dedup", "bloom", "incremental"),
+)
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an ingestion batch against the historical
+    corpus through a Bloom prefilter. The batch models a re-crawl: some
+    pages come back byte-identical (true duplicates to drop), some changed
+    since the last crawl (must be kept — near-dup but not exact). The
+    historical corpus reduces ONCE to a 2^17-bit membership filter (here
+    its exact relational twin: the DISTINCT set of bit positions, ≤ 2^17
+    rows, broadcast; a production run packs it into the 16 KiB bitmap it
+    is); each new document probes its K=7 positions against the broadcast
+    filter; only probe-positive candidates pay the exact verification
+    join. Per source the row carries n_new, n_candidates (bloom-positive,
+    INCLUDING any false positives), n_true_dups (exact md5 match) and
+    n_false_positives — all EXACT: the md5 double-hash family replays
+    byte-identically in DuckDB, so the oracle reproduces the filter
+    bit-for-bit. (At fixture load factors the fp term is deterministically
+    0 — ~7n/2^17 bit load; tests/test_dedup.py drives the same filter at
+    m=256 to witness false positives firing and no false negative ever.)
+
+    100 TB shape: the historical scan happens once per ingestion epoch and
+    collapses to kilobytes; per batch the work is K in-memory probes per
+    document plus an equi-join over the (tiny) candidate set — the reason
+    large-scale ingestion pipelines front exact dedup with a filter. No
+    false negative is possible by construction (identical text →
+    identical positions, all present in the filter).
+
+    Spark surface note: Spark's own BloomFilter lives in
+    DataFrame.stat.bloomFilter (a driver-side object) and the runtime
+    bloom_filter_agg is not SQL-exposed, so the filter is expressed in
+    relational form — which is also what makes it oracle-checkable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    new_docs = _new_batch(d)
+
+    hist_pos = _bloom_positions(d).select("pos").distinct()
+    new_pos = _bloom_positions(new_docs, "doc_id", "source")
+    probed = (
+        new_pos.join(
+            F.broadcast(hist_pos.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("pos").alias("n_pos"),
+            F.countDistinct(F.when(F.col("hit") == 1, F.col("pos"))).alias("n_hit"),
+        )
+    )
+    cand = probed.where(F.col("n_hit") == F.col("n_pos")).select("doc_id", "source")
+
+    dup = new_docs.join(
+        d.select(F.md5("text").alias("th")).distinct(),
+        F.md5(new_docs.text) == F.col("th"),
+        "leftsemi",
+    ).select("doc_id", "source")
+
+    base = new_docs.groupBy("source").agg(F.count("*").alias("n_new"))
+    n_cand = cand.groupBy("source").agg(F.count("*").alias("n_candidates"))
+    n_dup = dup.groupBy("source").agg(F.count("*").alias("n_true_dups"))
+    return (
+        base.join(F.broadcast(n_cand), "source", "left")
+        .join(F.broadcast(n_dup), "source", "left")
+        .select(
+            "source",
+            "n_new",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_true_dups", F.lit(0)).alias("n_true_dups"),
+            (
+                F.coalesce("n_candidates", F.lit(0))
+                - F.coalesce("n_true_dups", F.lit(0))
+            ).alias("n_false_positives"),
+        )
+    )

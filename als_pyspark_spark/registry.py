@@ -249,6 +249,8 @@ _HOISTED = (
     "q_stream_dedup_count",
     # 2. new this round — first driver verification
     "q_stream_apws_user_max",
+    "q_bloom_incremental_dedup",
+    "q_sink_sorted_layout",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -301,8 +303,6 @@ _HOISTED = (
     "q_semi_join_priority_orders",
     "q_anti_join_silent_customers",
     "q_window_topk_orders_per_customer",
-    "q_window_running_spend",
-    "q_scalar_subquery_above_avg",
 )
 
 

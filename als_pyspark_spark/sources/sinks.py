@@ -235,3 +235,57 @@ def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_suppliers"),
         F.sum("bal").cast("double").alias("total_bal"),
     )
+
+
+@query(
+    "q_sink_sorted_layout",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag
+""",
+    tags=("sink", "parquet", "layout", "zorder"),
+)
+def q_sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, sort-within-partition data layout — the scan
+    locality pattern (linear Z-order) every 100 TB fact table wants:
+    ``repartitionByRange(l_shipdate)`` clusters each date range into its
+    own files and ``sortWithinPartitions`` orders rows inside them, so
+    parquet min/max footer stats become tight and a date-range reader
+    skips whole files and row groups instead of scanning the table.
+    The read-back applies a 3-month predicate (pushed to the scan —
+    PushedFilters on the parquet source) and aggregates; the oracle runs
+    the same predicate on the ORIGINAL unsorted table, so a match proves
+    the layout rewrite is content-preserving.
+
+    At 100 TB: the rewrite is one range shuffle (AQE-balanced, skew
+    handled by range-boundary sampling) paid once at ingestion; every
+    downstream time-windowed query then reads only its slice. The same
+    two calls generalize to multi-column linear clustering
+    (repartitionByRange(colA, colB)).
+    """
+    out = app_scratch(spark, "sink_sorted_layout")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+    )
+    (
+        l.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01 00:00:00").cast("timestamp"))
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

@@ -97,3 +97,42 @@ def test_containment_dominates_jaccard_on_shared_pairs(spark, sf_dir):
     for pair, j in jac.items():
         if pair in con:
             assert con[pair] >= j - 1e-12, (pair, con[pair], j)
+
+
+def test_bloom_filter_fp_fires_and_no_false_negatives(spark, sf_dir):
+    """Drive the Bloom machinery at m=256 (saturated for any fixture) so
+    false positives actually fire, and prove the no-false-negative
+    invariant: every document whose text exists in the historical corpus
+    is ALWAYS probe-positive. The registered query runs at m=2^17 where
+    fp is deterministically 0; this pins the fp-handling path."""
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.dedup.queries import _bloom_positions, _new_batch
+    from als_pyspark_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    new_docs = _new_batch(d)
+    m = 256
+    hist_pos = _bloom_positions(d, m=m).select("pos").distinct()
+    probed = (
+        _bloom_positions(new_docs, "doc_id", m=m)
+        .join(F.broadcast(hist_pos.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("pos").alias("n_pos"),
+            F.countDistinct(F.when(F.col("hit") == 1, F.col("pos"))).alias("n_hit"),
+        )
+    )
+    cand = {r.doc_id for r in probed.where("n_hit = n_pos").collect()}
+
+    truth = {
+        r.doc_id
+        for r in new_docs.join(
+            d.select(F.md5("text").alias("th")).distinct(),
+            F.md5(new_docs.text) == F.col("th"),
+            "leftsemi",
+        ).collect()
+    }
+    assert truth <= cand, "Bloom false negative — structurally impossible"
+    fp = cand - truth
+    assert fp, "m=256 should saturate the filter enough to produce fp"
