@@ -292,3 +292,43 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+@query(
+    "q_approx_topk_tokens",
+    oracle=None,  # frequent-items sketch output is engine-specific
+    tags=("text", "sketch", "approx", "topk"),
+)
+def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via approx_top_k (Spark 4's frequent-items sketch):
+    corpus-wide top-20 tokens from ONE aggregation whose state is a
+    bounded sketch (maxItemsTracked counters), not the full token
+    dictionary — the 100 TB path when the distinct-token space (think
+    URLs, n-grams, user ids) no longer fits a hash aggregate. Rows-only
+    by design, but each ROW witnesses the result quality: every sketch
+    item carries its exact count from a side-by-side exact aggregate and
+    an exact_match flag (count agreement) — on fixture corpora the
+    tracked space exceeds the distinct-token count, so the sketch is
+    lossless and every row must witness exact_match = true; at real
+    scale the flag is what an offline audit would sample.
+
+    Tie handling: ranks can differ between the sketch's internal order
+    and the exact ordering for equal counts, so the output pins
+    (token, count) pairs, not ranks."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sketch = toks.agg(
+        F.expr("approx_top_k(tok, 20, 100000)").alias("tk")
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").alias("approx_count"),
+    )
+    exact = toks.groupBy(F.col("tok").alias("token")).agg(
+        F.count("*").alias("exact_count")
+    )
+    return F.broadcast(sketch).join(exact, "token", "left").select(
+        "token",
+        "approx_count",
+        "exact_count",
+        (F.col("approx_count") == F.col("exact_count")).alias("exact_match"),
+    )

@@ -64,6 +64,13 @@ HEADLINE = [
     # curation operators add; measure them, don't assert them
     "q_repetition_metrics",
     "q_boilerplate_ngrams",
+    # round 5: the three new cost shapes — Bloom prefilter probe join
+    # (broadcast bit-set + per-doc K probes), Python arbitrary-state
+    # streaming (applyInPandasWithState over RocksDB-backed state), and
+    # the mergeable-sketch aggregate (DataSketches HLL build/union)
+    "q_bloom_incremental_dedup",
+    "q_stream_apws_user_max",
+    "q_hll_sketch_union",
 ]
 
 

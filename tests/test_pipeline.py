@@ -202,3 +202,33 @@ def test_packing_offsets_are_contiguous_per_shard(spark, sf_dir):
         | (F.col("start_offset") - F.col("bin_id") * _PACK_BUDGET >= _PACK_BUDGET)
     )
     assert bad.count() == 0
+
+
+def test_approx_topk_matches_exact_topk(spark, sf_dir):
+    """At fixture scale the frequent-items sketch tracks more slots than
+    distinct tokens, so its top-20 must agree with the exact aggregate:
+    identical count multiset (tie-safe — equal-count items may order
+    differently) and exact_match witnessed on every row."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.registry import load_all_queries
+    from als_pyspark_spark.functions.text import tokens
+    from als_pyspark_spark.sources.tables import load_table
+
+    q = load_all_queries()["q_approx_topk_tokens"]
+    rows = q.build(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.exact_match for r in rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(20)
+        .collect()
+    )
+    assert Counter(r.approx_count for r in rows) == Counter(r["count"] for r in exact)
