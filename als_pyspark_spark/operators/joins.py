@@ -327,3 +327,101 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.status_key").alias("status_key"))
         .agg(F.count("o.o_orderkey").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert: apply a keyed change batch (updates + inserts + deletes)
+# to a snapshot, producing the next snapshot — the operation Delta/Iceberg
+# MERGE INTO performs, expressed as its relational core. The change batch
+# is derived deterministically from the snapshot itself so the oracle can
+# rebuild it exactly.
+
+_UPSERT_UPDATE_MOD = 10   # o_orderkey % 10 == 0 → price restated (+10%)
+_UPSERT_DELETE_MOD = 10   # o_orderkey % 10 == 1 → order cancelled
+_UPSERT_INSERT_OFFSET = 1_000_000_000  # new orders: shifted key space
+
+
+@query(
+    "q_upsert_snapshot",
+    oracle=f"""
+WITH updates AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 110) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % {_UPSERT_UPDATE_MOD} = 0
+), deletes AS (
+    SELECT o_orderkey FROM orders WHERE o_orderkey % {_UPSERT_DELETE_MOD} = 1
+), inserts AS (
+    SELECT o_orderkey + {_UPSERT_INSERT_OFFSET} AS o_orderkey,
+           'I' AS o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % {_UPSERT_DELETE_MOD} = 2
+), next_snapshot AS (
+    SELECT o.o_orderkey,
+           o.o_orderstatus,
+           COALESCE(u.price_cents, CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+               AS price_cents
+    FROM orders o
+    LEFT JOIN updates u ON u.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents FROM inserts
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM next_snapshot
+GROUP BY o_orderstatus
+""",
+    tags=("merge", "upsert", "join"),
+)
+def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a composition: apply a change batch — price
+    restatements (matched → UPDATE), cancellations (matched → DELETE),
+    and late-arriving new orders (not matched → INSERT) — to the orders
+    snapshot and aggregate the NEXT snapshot. Exactly what a Delta or
+    Iceberg MERGE plans: an equi-join of snapshot × changes on the key,
+    per-row action resolution, and a rewrite of affected rows; here the
+    whole next snapshot is produced relationally (left join for updates,
+    anti join for deletes, union for inserts) and summarized.
+
+    Money travels as integer cents (the restatement is exactly +10% of a
+    2-decimal price, lossless in cents), so the aggregate hash-matches
+    the oracle exactly.
+
+    100 TB shape: the join is keyed on the snapshot's primary key —
+    co-partitioned with the table's layout when bucketed, and the change
+    batch side (typically ≪ snapshot) broadcasts; a table-format MERGE
+    additionally prunes to the files whose key ranges intersect the
+    batch, which is the q_sink_sorted_layout point applied to writes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    updates = o.where(F.col("o_orderkey") % _UPSERT_UPDATE_MOD == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 110).cast("long").alias("u_cents"),
+    )
+    deletes = o.where(F.col("o_orderkey") % _UPSERT_DELETE_MOD == 1).select("o_orderkey")
+    inserts = o.where(F.col("o_orderkey") % _UPSERT_DELETE_MOD == 2).select(
+        (F.col("o_orderkey") + _UPSERT_INSERT_OFFSET).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        cents.alias("price_cents"),
+    )
+    next_snapshot = (
+        o.select("o_orderkey", "o_orderstatus", cents.alias("price_cents"))
+        .join(F.broadcast(deletes), "o_orderkey", "left_anti")
+        .join(F.broadcast(updates), "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("u_cents", "price_cents").alias("price_cents"),
+        )
+        .unionByName(inserts)
+    )
+    return next_snapshot.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price_cents").alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -252,6 +252,7 @@ _HOISTED = (
     "q_bloom_incremental_dedup",
     "q_sink_sorted_layout",
     "q_approx_topk_tokens",
+    "q_upsert_snapshot",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -301,7 +302,6 @@ _HOISTED = (
     "q17_below_avg_qty_revenue",
     "q_broadcast_nation_rollup",
     "q_outer_join_order_counts",
-    "q_semi_join_priority_orders",
     "q_window_topk_orders_per_customer",
 )
 
