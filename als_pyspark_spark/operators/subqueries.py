@@ -342,3 +342,58 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4's WITH RECURSIVE): iterative plans expressed in
+# one SQL statement — previously this engine's only recursion was the
+# driver-side connected-components loop (dedup/queries.py), whose oracle
+# already leaned on DuckDB's recursive CTEs; here Spark itself runs one.
+
+_REFERRAL_SQL = """
+WITH RECURSIVE up (custkey, node, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM {customer}
+    UNION ALL
+    SELECT custkey, node {div} 2, depth + 1 FROM up WHERE node > 1
+),
+chain AS (
+    SELECT custkey, MAX(depth) AS tree_depth FROM up GROUP BY custkey
+)
+SELECT ch.tree_depth,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+FROM chain ch JOIN {customer} c ON c.c_custkey = ch.custkey
+GROUP BY ch.tree_depth
+"""
+
+
+@query(
+    "q_recursive_referral_depth",
+    oracle=_REFERRAL_SQL.format(customer="customer", div="//"),
+    tags=("sql", "recursive-cte", "hierarchy"),
+)
+def q_recursive_referral_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk: customers form a referral tree
+    (referrer = custkey DIV 2 — a deterministic binary hierarchy over the
+    fixture, since the corpus carries no explicit parent edges), every
+    customer walks its ancestor chain to the root, and the result is the
+    depth histogram with DECIMAL-exact balance totals per level.
+
+    The recursion is Spark 4's native WITH RECURSIVE (SQL-only surface,
+    hence spark.sql over a temp view); DuckDB runs the identical
+    statement, so the oracle replays the recursion itself, not a
+    closed-form shortcut. Depth is logarithmic in the key space (≤ 21
+    levels at SF 1000), so the iterative union runs O(log n) keyed joins
+    — the same bounded-iteration shape as the connected-components loop,
+    but planned and executed entirely inside the engine.
+
+    Integer ancestor arithmetic (node DIV 2) termination: every chain
+    reaches node = 1 in floor(log2(custkey)) steps; the recursion guard
+    node > 1 stops there. Both engines' integer division agrees on
+    positive keys."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "recursive_referral_customer"
+    )
+    return spark.sql(
+        _REFERRAL_SQL.format(customer="recursive_referral_customer", div="DIV")
+    )

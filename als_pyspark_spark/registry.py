@@ -253,6 +253,7 @@ _HOISTED = (
     "q_sink_sorted_layout",
     "q_approx_topk_tokens",
     "q_upsert_snapshot",
+    "q_recursive_referral_depth",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -300,7 +301,6 @@ _HOISTED = (
     "q6_forecast_revenue",
     "q10_returned_revenue",
     "q17_below_avg_qty_revenue",
-    "q_broadcast_nation_rollup",
     "q_outer_join_order_counts",
     "q_window_topk_orders_per_customer",
 )
