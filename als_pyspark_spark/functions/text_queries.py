@@ -326,7 +326,13 @@ def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.groupBy(F.col("tok").alias("token")).agg(
         F.count("*").alias("exact_count")
     )
-    return F.broadcast(sketch).join(exact, "token", "left").select(
+    # Scale shape: semi-filter the (huge at scale) exact aggregate down to
+    # the 20 sketch tokens first — a broadcast left-semi with the sketch as
+    # build side — so the outer witness join is tiny × tiny. A direct
+    # sketch-LEFT-JOIN-exact would have to broadcast or shuffle the full
+    # token dictionary.
+    exact_hits = exact.join(F.broadcast(sketch.select("token")), "token", "leftsemi")
+    return sketch.join(F.broadcast(exact_hits), "token", "left").select(
         "token",
         "approx_count",
         "exact_count",

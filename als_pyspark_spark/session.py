@@ -44,6 +44,13 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Recursive CTEs: the default 1M-row limit is a runaway-recursion
+        # guard sized for toy queries — a log-depth hierarchy walk over a
+        # real table exceeds it by SF ~0.5 (q_recursive_referral_depth
+        # needs ~n·log2(n) rows: ~31M at sf1). The level limit (100)
+        # stays: depth, not volume, is what catches a non-terminating
+        # recursion.
+        .config("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
