@@ -642,3 +642,75 @@ def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("seq_len"),
         )
     )
+
+
+@query(
+    "q_leakage_safe_split",
+    oracle=f"""
+WITH labeled AS (
+    SELECT doc_id, text,
+           CASE WHEN substr(md5(text), 1, 2) < '{_TRAIN_THRESHOLD}'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+),
+leak AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS leaked_groups
+    FROM (SELECT text FROM labeled GROUP BY text
+          HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT l.split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT l.text) AS n_texts,
+       MAX(k.leaked_groups) AS cross_split_dup_groups
+FROM labeled l CROSS JOIN leak k
+GROUP BY l.split
+""",
+    tags=("pipeline", "split", "leakage"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the split key is md5 of the
+    CONTENT, not the row id — so byte-identical documents (the exact-dup
+    groups a crawl inevitably carries) always land in the same split, and
+    a held-out set can never contain a training document's copy.
+    q_split_train_test is the row-id-keyed baseline; this is the form an
+    evaluation pipeline must use. Each output row carries the split
+    census plus a computed (not assumed) leak witness: the number of
+    text groups spanning both splits — structurally 0 here, verified by
+    the oracle, and the column a production run would alert on.
+
+    100 TB shape: one shuffle on the content hash for the census; the
+    leak check is the same hash-grouped pass (a real pipeline folds both
+    into the dedup stage it already runs). Splitting near-dup CLUSTERS
+    jointly (not just exact copies) composes this with
+    q_dedup_clusters' canonical ids as the hash key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        "text",
+        F.when(
+            F.substring(F.md5("text"), 1, 2) < _TRAIN_THRESHOLD, F.lit("train")
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leak = (
+        labeled.groupBy("text")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .agg(F.count("*").alias("leaked_groups"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_texts"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_docs",
+            "n_texts",
+            F.col("leaked_groups").alias("cross_split_dup_groups"),
+        )
+    )

@@ -254,6 +254,7 @@ _HOISTED = (
     "q_approx_topk_tokens",
     "q_upsert_snapshot",
     "q_recursive_referral_depth",
+    "q_leakage_safe_split",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -301,7 +302,6 @@ _HOISTED = (
     "q6_forecast_revenue",
     "q10_returned_revenue",
     "q17_below_avg_qty_revenue",
-    "q_outer_join_order_counts",
     "q_window_topk_orders_per_customer",
 )
 
