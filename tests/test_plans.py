@@ -298,3 +298,48 @@ def test_repetition_family_scan_prunes_text_only(spark, sf_dir):
     assert "text" in read_lines[0]
     assert "lang" not in read_lines[0]
     assert "source" not in read_lines[0]
+
+
+def test_bloom_dedup_all_broadcast_no_crossjoin(spark, sf_dir):
+    """The Bloom prefilter must plan as broadcast hash joins (bit-set ≤
+    2^17 rows, per-source tallies tiny) — never a sort-merge shuffle of
+    the probe side or a cartesian product."""
+    plan = plan_of(QUERIES["q_bloom_incremental_dedup"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_upsert_changes_broadcast(spark, sf_dir):
+    """MERGE application: the change batch (≪ snapshot) broadcasts for
+    both the delete anti join and the update left join; the snapshot side
+    is never shuffled for the merge itself."""
+    plan = plan_of(QUERIES["q_upsert_snapshot"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sorted_layout_readback_pushes_date_filter(spark, sf_dir):
+    """The whole point of the sorted layout: the date predicate must reach
+    the parquet scan of the REWRITTEN files (PushedFilters on l_shipdate),
+    where tight min/max stats turn it into row-group skipping."""
+    plan = formatted(QUERIES["q_sink_sorted_layout"].build(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), plan
+
+
+def test_leakage_safe_split_single_content_shuffle(spark, sf_dir):
+    """Census + leak witness: the one heavy operation is the content-hash
+    aggregation; the witness joins back as a broadcast of a single row,
+    so no nested-loop over the corpus."""
+    plan = plan_of(QUERIES["q_leakage_safe_split"].build(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
+def test_approx_topk_semi_filters_before_witness_join(spark, sf_dir):
+    """The exact token dictionary (huge at scale) must be reduced by a
+    broadcast semi join on the 20 sketch tokens before the witness outer
+    join — the full dictionary is never broadcast or sort-merge-joined."""
+    plan = plan_of(QUERIES["q_approx_topk_tokens"].build(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
