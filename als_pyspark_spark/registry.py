@@ -255,6 +255,7 @@ _HOISTED = (
     "q_upsert_snapshot",
     "q_recursive_referral_depth",
     "q_leakage_safe_split",
+    "q_stream_dedup_within_watermark",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -300,7 +301,6 @@ _HOISTED = (
     "q4_exists_returned_orders",
     "q5_nation_volume",
     "q6_forecast_revenue",
-    "q10_returned_revenue",
     "q17_below_avg_qty_revenue",
     "q_window_topk_orders_per_customer",
 )

@@ -113,6 +113,23 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful dedup via dropDuplicatesWithinWatermark (Spark 3.5+): like
+    dropDuplicates, but the engine GUARANTEES eviction of each key's state
+    once the watermark passes it — the API to use when duplicates arrive
+    within a bounded lateness window and unbounded key-state growth is the
+    concern. Emission differs from plain dropDuplicates (first arrival per
+    key within the watermark window wins; a key can re-emit after its
+    state expires), but on a bounded drain whose data spans less than the
+    watermark the surviving KEY SET is identical — what the exact oracle
+    pins."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap."""
     return (

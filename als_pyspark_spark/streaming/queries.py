@@ -250,6 +250,37 @@ def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup_within_watermark",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "dedup", "state", "watermark"),
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+) drained and reduced to
+    per-type distinct counts — the guaranteed-state-eviction sibling of
+    q_stream_dedup_count: plain dropDuplicates keeps every key forever
+    (state grows with distinct keys), while the WithinWatermark form
+    evicts each key once the watermark passes it, making state
+    proportional to the lateness window — the form an unbounded 100 TB/day
+    stream must use. Exact oracle by the same argument as
+    q_stream_dedup_count: every duplicate of an event_id carries the same
+    event_type, so the surviving key set and per-type counts are
+    deterministic on the bounded drain."""
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.streaming.events import streaming_dedup_within_watermark
+
+    name = "mem_stream_dedup_within_watermark"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    stream = streaming_dedup_within_watermark(read_events_stream(spark, sf_dir))
+    drained = run_to_memory(stream, name, mode="append")
+    return drained.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+@query(
     "q_stream_sliding_halfhour",
     oracle="""
 WITH both_windows AS (
