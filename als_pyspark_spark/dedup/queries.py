@@ -744,3 +744,76 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_positives"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching: edit-distance join with blocking — the entity-
+# resolution primitive (same product/supplier/customer under slightly
+# different names) that complements the token-set (Jaccard/MinHash) and
+# bit-signature (SimHash) near-dup tiers with a CHARACTER-level one.
+
+_FUZZY_MAX_DIST = 2
+
+
+@query(
+    "q_fuzzy_part_match",
+    oracle=f"""
+WITH p AS (
+    SELECT p_partkey, p_name,
+           string_split(p_name, ' ')[-1] AS block_key
+    FROM part
+),
+pairs AS (
+    SELECT a.block_key,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b
+      ON a.block_key = b.block_key AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+)
+SELECT block_key,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+FROM pairs
+GROUP BY block_key
+""",
+    tags=("dedup", "fuzzy", "entity-resolution", "levenshtein"),
+)
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching over part names: block on the last name token
+    (the product type), pair within blocks, keep pairs within Levenshtein
+    distance 2, and report per-block match tallies — exact-name collisions
+    (distance 0: the same product listed under different keys) separated
+    from near-misses (transposed/edited qualifiers). Both engines compute
+    classic Levenshtein on identical strings, so the integer tallies
+    hash-match exactly.
+
+    100 TB shape: the candidate set comes from the blocking equi-join
+    (never all-pairs); block sizes are bounded by the name vocabulary, and
+    a skewed block (one hyper-common type) is AQE skew-join territory.
+    Production blocking refines the key (type + first qualifier char, or
+    a phonetic code) to cap block width; the structure here is the same.
+    Character-level distance complements the token-set tiers: 'cold
+    widget' vs 'bold widget' is invisible to 3-gram Jaccard (no shared
+    shingles at n=3 tokens) but distance 1 here."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(F.col("a.block_key").alias("block_key"), dist.alias("dist"))
+        .where(F.col("dist") <= _FUZZY_MAX_DIST)
+    )
+    return pairs.groupBy("block_key").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0)).cast("long").alias("n_near"),
+    )

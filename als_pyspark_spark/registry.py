@@ -256,6 +256,7 @@ _HOISTED = (
     "q_recursive_referral_depth",
     "q_leakage_safe_split",
     "q_stream_dedup_within_watermark",
+    "q_fuzzy_part_match",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -301,7 +302,6 @@ _HOISTED = (
     "q4_exists_returned_orders",
     "q5_nation_volume",
     "q6_forecast_revenue",
-    "q17_below_avg_qty_revenue",
     "q_window_topk_orders_per_customer",
 )
 
