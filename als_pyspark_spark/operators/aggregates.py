@@ -535,3 +535,62 @@ def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_bucket.groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
     )
+
+
+@query(
+    "q_profile_orders",
+    oracle="""
+WITH s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS nn_custkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_status,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS nn_price,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+           CAST(MIN(ROUND(o_totalprice * 100)) AS BIGINT) AS min_price_cents,
+           CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_price_cents
+    FROM orders
+)
+SELECT 'o_custkey' AS column_name, n_rows, nn_custkey AS n_non_null,
+       nd_custkey AS n_distinct, NULL AS min_cents, NULL AS max_cents FROM s
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nn_status, nd_status, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_totalprice', n_rows, nn_price, nd_price,
+       min_price_cents, max_price_cents FROM s
+""",
+    tags=("profile", "data-quality", "aggregate"),
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling (the deequ/dbt-test staple): row count,
+    per-column non-null and distinct counts, and numeric min/max — ALL
+    columns' statistics from ONE aggregation over one scan, then unpivoted
+    to a (column_name, metric...) report with stack(). At 100 TB the one-
+    pass shape is the whole point: profiling k columns must not cost k
+    scans. Distinct counts share the expand+partial-agg plan Spark uses
+    for multi count-distinct; numeric extremes travel as integer cents so
+    the report hash-matches exactly. (approx_count_distinct swaps in when
+    estimates suffice — see q_approx_distinct_users.)"""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min(F.round(F.col("o_totalprice") * 100)).cast("long").alias("min_price_cents"),
+        F.max(F.round(F.col("o_totalprice") * 100)).cast("long").alias("max_price_cents"),
+    )
+    return s.selectExpr(
+        """stack(3,
+            'o_custkey',     n_rows, nn_custkey, nd_custkey,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+            'o_orderstatus', n_rows, nn_status, nd_status,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+            'o_totalprice',  n_rows, nn_price, nd_price,
+                min_price_cents, max_price_cents
+        ) AS (column_name, n_rows, n_non_null, n_distinct, min_cents, max_cents)"""
+    )
