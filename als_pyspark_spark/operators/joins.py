@@ -425,3 +425,104 @@ def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=f"""
+WITH v1 AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+), v2 AS (
+    SELECT o.o_orderkey,
+           CASE WHEN o.o_orderkey % {_UPSERT_UPDATE_MOD} = 0
+                THEN CAST(ROUND(o.o_totalprice * 110) AS BIGINT)
+                ELSE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) END AS price_cents
+    FROM orders o
+    WHERE o.o_orderkey % {_UPSERT_DELETE_MOD} <> 1
+    UNION ALL
+    SELECT o_orderkey + {_UPSERT_INSERT_OFFSET},
+           CAST(ROUND(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % {_UPSERT_DELETE_MOD} = 2
+), feed AS (
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           b.price_cents AS new_cents
+    FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.price_cents <> b.price_cents
+)
+SELECT op,
+       COUNT(*) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM(COALESCE(new_cents, 0)) AS BIGINT) AS new_cents_sum
+FROM feed
+GROUP BY op
+""",
+    tags=("merge", "cdc", "diff", "join"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation — the INVERSE of q_upsert_snapshot:
+    given two table versions, recover the change batch (insert / update /
+    delete per key) via a full outer join on the primary key, keeping only
+    rows that differ. This is what Delta's change data feed and any
+    snapshot-based CDC exporter computes; together with q_upsert_snapshot
+    the pair round-trips (diff(v1, apply(v1, B)) ≡ B — pinned in
+    tests/test_properties.py). v2 is derived from v1 with the
+    same restatement/cancellation/insertion rules as the upsert query, so
+    the oracle rebuilds both versions exactly; integer cents keep the
+    change-sums lossless.
+
+    100 TB shape: a full outer join co-keyed on the snapshot's primary
+    key — one shuffle each side (zero for bucketed snapshots), and a
+    table format prunes to files whose stats admit differences. The
+    anti-pattern this replaces is exporting full snapshots downstream."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = o.select("o_orderkey", cents.alias("price_cents"))
+    v2 = (
+        o.where(F.col("o_orderkey") % _UPSERT_DELETE_MOD != 1)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % _UPSERT_UPDATE_MOD == 0,
+                F.round(F.col("o_totalprice") * 110).cast("long"),
+            )
+            .otherwise(cents)
+            .alias("price_cents"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % _UPSERT_DELETE_MOD == 2).select(
+                (F.col("o_orderkey") + _UPSERT_INSERT_OFFSET).alias("o_orderkey"),
+                cents.alias("price_cents"),
+            )
+        )
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    feed = (
+        a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .where(
+            F.col("a.o_orderkey").isNull()
+            | F.col("b.o_orderkey").isNull()
+            | (F.col("a.price_cents") != F.col("b.price_cents"))
+        )
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("insert"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.col("b.price_cents").alias("new_cents"),
+        )
+    )
+    return feed.groupBy("op").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.coalesce("new_cents", F.lit(0))).alias("new_cents_sum"),
+    )

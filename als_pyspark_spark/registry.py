@@ -258,6 +258,7 @@ _HOISTED = (
     "q_stream_dedup_within_watermark",
     "q_fuzzy_part_match",
     "q_profile_orders",
+    "q_snapshot_diff",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -300,7 +301,6 @@ _HOISTED = (
     # ... and r1-vintage rows (TPC-H flagships + operator variety)
     "q1_pricing_summary",
     "q3_top_orders",
-    "q4_exists_returned_orders",
     "q6_forecast_revenue",
     "q_window_topk_orders_per_customer",
 )

@@ -176,3 +176,29 @@ def test_discrete_percentile_bounds_match_naive(spark, lengths):
     lo_want = s[max(0, (nn + 19) // 20 - 1)]
     hi_want = s[max(0, (19 * nn + 19) // 20 - 1)]
     assert (row.lo, row.hi) == (lo_want, hi_want), (lengths, row, lo_want, hi_want)
+
+
+def test_snapshot_diff_roundtrips_upsert_batch(spark, sf_dir):
+    """CDC round-trip: diff(v1, apply(v1, B)) must recover exactly the
+    change batch B — op counts equal the batch's update/delete/insert
+    populations derived from the base table."""
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.operators.joins import (
+        _UPSERT_DELETE_MOD,
+        _UPSERT_UPDATE_MOD,
+    )
+    from als_pyspark_spark.registry import load_all_queries
+    from als_pyspark_spark.sources.tables import load_table
+
+    got = {
+        r.op: r.n_rows
+        for r in load_all_queries()["q_snapshot_diff"].build(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    expect = {
+        "update": o.where(F.col("o_orderkey") % _UPSERT_UPDATE_MOD == 0).count(),
+        "delete": o.where(F.col("o_orderkey") % _UPSERT_DELETE_MOD == 1).count(),
+        "insert": o.where(F.col("o_orderkey") % _UPSERT_DELETE_MOD == 2).count(),
+    }
+    assert got == expect
