@@ -1,0 +1,485 @@
+"""Warehouse / analytics staples the reference lacks entirely (its only
+"query" is the ALS scoring pipeline, reference ALS.py:581-631): SCD Type 2
+dimension history, exact z-score outlier detection, discrete-percentile
+winsorization, Pareto/ABC classification, an inverted-index build, and
+OHLC time bars. Each is a composition of built-in DataFrame ops — no UDFs —
+with an exact DuckDB oracle.
+
+Exactness discipline (matches the rest of the repo): money travels as
+integer cents (``ROUND(x*100)`` — lossless for the 2-decimal synthetic
+prices), second moments as DECIMAL(38,0) (HUGEINT on the DuckDB side), and
+every ordering that feeds a pick (row_number, cumulative sum, value-at-rank)
+carries a unique tie-break key so both engines resolve ties identically.
+Floats in output are only ever *picked* (min/max/first/last), never summed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.functions.text import tokens
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_scd2_customer_history",
+    oracle="""
+WITH base AS (
+    SELECT c_custkey, c_mktsegment AS seg,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer
+), snaps AS (
+    SELECT c_custkey, seg, bal_cents, 1 AS version FROM base
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE seg END,
+           bal_cents, 2
+    FROM base
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE seg END,
+           CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 1000 ELSE bal_cents END,
+           3
+    FROM base
+), changed AS (
+    SELECT c_custkey, seg, bal_cents, version,
+           LAG(seg) OVER w AS prev_seg,
+           LAG(bal_cents) OVER w AS prev_bal
+    FROM snaps
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+), hist AS (
+    SELECT c_custkey, seg, bal_cents, version AS valid_from
+    FROM changed
+    WHERE prev_seg IS NULL OR seg <> prev_seg OR bal_cents <> prev_bal
+)
+SELECT c_custkey,
+       seg AS c_mktsegment,
+       bal_cents AS acctbal_cents,
+       valid_from,
+       LEAD(valid_from) OVER w2 AS valid_to,
+       (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+FROM hist
+WINDOW w2 AS (PARTITION BY c_custkey ORDER BY valid_from)
+""",
+    tags=("warehouse", "scd2", "window"),
+)
+def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build: collapse a series of full dimension
+    snapshots into validity intervals ``[valid_from, valid_to)`` with an
+    ``is_current`` flag — the standard slowly-changing-dimension load.
+
+    Three snapshot versions are derived deterministically from ``customer``
+    (v2 moves every 7th customer's segment, v3 restates every 5th balance),
+    then change detection keeps only rows whose tracked attributes differ
+    from the previous version (LAG per key) and LEAD closes each interval.
+
+    100 TB shape: both windows are partitioned by the dimension's primary
+    key — per-key state is the (tiny, bounded) number of snapshot versions,
+    so the shuffle is a plain hash exchange on the key with no skew and no
+    global ordering. This is exactly how a Delta/Iceberg SCD2 MERGE plans
+    its change-detection subquery.
+    """
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    seg2 = F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED")).otherwise(F.col("seg"))
+    bal3 = F.when(F.col("c_custkey") % 5 == 0, F.col("bal_cents") + 1000).otherwise(
+        F.col("bal_cents")
+    )
+    snaps = (
+        base.select("c_custkey", "seg", "bal_cents", F.lit(1).alias("version"))
+        .unionByName(
+            base.select(
+                "c_custkey", seg2.alias("seg"), "bal_cents", F.lit(2).alias("version")
+            )
+        )
+        .unionByName(
+            base.select(
+                "c_custkey", seg2.alias("seg"), bal3.alias("bal_cents"),
+                F.lit(3).alias("version"),
+            )
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    hist = (
+        snaps.withColumn("prev_seg", F.lag("seg").over(w))
+        .withColumn("prev_bal", F.lag("bal_cents").over(w))
+        .where(
+            F.col("prev_seg").isNull()
+            | (F.col("seg") != F.col("prev_seg"))
+            | (F.col("bal_cents") != F.col("prev_bal"))
+        )
+        .select("c_custkey", "seg", "bal_cents", F.col("version").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("c_custkey").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w2)
+    return hist.select(
+        "c_custkey",
+        F.col("seg").alias("c_mktsegment"),
+        F.col("bal_cents").alias("acctbal_cents"),
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_zscore_outlier_orders",
+    oracle="""
+WITH c AS (
+    SELECT o_orderpriority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), g AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(cents) AS HUGEINT) AS s,
+           SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+    FROM c GROUP BY o_orderpriority
+), flagged AS (
+    SELECT c.o_orderpriority, c.cents,
+           ((g.n * c.cents - g.s) * (g.n * c.cents - g.s) * (g.n - 1)
+              > 4 * g.n * (g.n * g.ss - g.s * g.s)) AS is_outlier
+    FROM c JOIN g USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN is_outlier THEN cents ELSE 0 END) AS BIGINT)
+           AS outlier_cents_sum
+FROM flagged
+GROUP BY o_orderpriority
+""",
+    tags=("warehouse", "outlier", "agg"),
+)
+def q_zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection with EXACT arithmetic: flag
+    orders whose total price deviates from their priority group's mean by
+    more than 2 sample standard deviations — without ever materializing a
+    float mean or stddev.  ``|x - mean| > 2·sigma`` is restated over integer
+    cents as ``(n·x - s)² · (n-1) > 4 · n · (n·ss - s²)`` (s = sum,
+    ss = sum of squares), evaluated in DECIMAL(38,0) on the Spark side and
+    HUGEINT on the DuckDB side, so the boolean — and therefore the output
+    aggregates — hash-match exactly (the second moments themselves stay
+    internal; only BIGINT-safe counts/sums are returned).
+
+    100 TB shape: one partial+final aggregate over the fact table builds
+    the 5-row moment table, which broadcasts back onto the fact scan for
+    the per-row flag — two passes, zero windows, no skew sensitivity.
+    The same moment algebra is the reference's NormalEquation accumulation
+    pattern (Solver.py:31-48) applied to anomaly detection.
+    """
+    c = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    dec = "decimal(38,0)"
+    g = c.groupBy("o_orderpriority").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("cents").cast(dec).alias("s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias("ss"),
+    )
+    joined = c.join(F.broadcast(g), "o_orderpriority")
+    dev = F.col("n") * F.col("cents").cast(dec) - F.col("s")
+    lhs = dev * dev * (F.col("n") - F.lit(1).cast(dec))
+    rhs = (
+        F.lit(4).cast(dec)
+        * F.col("n")
+        * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    flagged = joined.withColumn("is_outlier", lhs > rhs)
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
+        F.sum(F.when(F.col("is_outlier"), F.col("cents")).otherwise(0)).alias(
+            "outlier_cents_sum"
+        ),
+    )
+
+
+@query(
+    "q_winsorize_prices",
+    oracle="""
+WITH c AS (
+    SELECT p_brand, p_partkey,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+    FROM part
+), ranked AS (
+    SELECT p_brand, cents,
+           ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY cents, p_partkey)
+               AS rn,
+           COUNT(*) OVER (PARTITION BY p_brand) AS n
+    FROM c
+), thresholds AS (
+    SELECT p_brand,
+           MIN(CASE WHEN rn = ((n * 5 + 99) // 100) THEN cents END) AS lo_cents,
+           MIN(CASE WHEN rn = ((n * 95 + 99) // 100) THEN cents END) AS hi_cents
+    FROM ranked GROUP BY p_brand
+)
+SELECT r.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       t.lo_cents, t.hi_cents,
+       CAST(SUM(CASE WHEN r.cents < t.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(SUM(CASE WHEN r.cents > t.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+       CAST(SUM(LEAST(GREATEST(r.cents, t.lo_cents), t.hi_cents)) AS BIGINT)
+           AS winsorized_sum_cents
+FROM ranked r JOIN thresholds t USING (p_brand)
+GROUP BY r.p_brand, t.lo_cents, t.hi_cents
+""",
+    tags=("warehouse", "winsorize", "percentile", "window"),
+)
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand winsorization at the discrete p5/p95: clip retail prices
+    into ``[value@rank ceil(.05n), value@rank ceil(.95n)]`` and report the
+    clipped aggregate.  The feature-preprocessing staple for taming heavy
+    tails before model training.
+
+    Discrete (value-at-rank) percentiles are used instead of interpolated
+    ones so both engines pick an actual data value — rank arithmetic is
+    pure integers (``(n·p + 99) // 100``) and the rank ordering carries the
+    partkey tie-break, making the thresholds bit-identical.
+
+    100 TB shape: ranking windows are partitioned by brand (dimension-
+    bounded groups); the per-brand threshold table is tiny and broadcast
+    back. At fact-table scale you would swap exact ranks for
+    ``approx_percentile`` — registered separately as
+    ``q_approx_percentile_sketch`` with its error-bound witness.
+    """
+    c = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("cents", "p_partkey")
+    ranked = c.select(
+        "p_brand",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("p_brand")).alias("n"),
+    )
+    lo_rank = F.floor((F.col("n") * 5 + 99) / 100)
+    hi_rank = F.floor((F.col("n") * 95 + 99) / 100)
+    thresholds = ranked.groupBy("p_brand").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("cents"))).alias("lo_cents"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("cents"))).alias("hi_cents"),
+    )
+    j = ranked.join(F.broadcast(thresholds), "p_brand")
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+    return j.groupBy("p_brand", "lo_cents", "hi_cents").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0)).alias(
+            "n_clipped_lo"
+        ),
+        F.sum(F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0)).alias(
+            "n_clipped_hi"
+        ),
+        F.sum(clipped).alias("winsorized_sum_cents"),
+    ).select(
+        "p_brand", "n_parts", "lo_cents", "hi_cents",
+        "n_clipped_lo", "n_clipped_hi", "winsorized_sum_cents",
+    )
+
+
+@query(
+    "q_pareto_abc_parts",
+    oracle="""
+WITH rev AS (
+    SELECT l.l_partkey, p.p_brand,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS rev_e4
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY l.l_partkey, p.p_brand
+), ranked AS (
+    SELECT p_brand, rev_e4,
+           SUM(rev_e4) OVER (PARTITION BY p_brand
+                             ORDER BY rev_e4 DESC, l_partkey
+                             ROWS UNBOUNDED PRECEDING) AS cum_rev,
+           SUM(rev_e4) OVER (PARTITION BY p_brand) AS total_rev
+    FROM rev
+), classed AS (
+    SELECT p_brand, rev_e4,
+           CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+                WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT p_brand, abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_e4) AS BIGINT) AS class_rev_e4
+FROM classed
+GROUP BY p_brand, abc_class
+""",
+    tags=("warehouse", "pareto", "window"),
+)
+def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: within each brand, rank parts
+    by revenue and bucket them A (first 80% of cumulative revenue),
+    B (80-95%), C (tail) — the merchandising 80/20 analysis.
+
+    Revenue is exact in 10⁻⁴-dollar units (``cents × (100 - discount%)``,
+    lossless for 2-decimal prices and discounts), cumulative shares compare
+    as cross-multiplied integers (``cum·100 ≤ total·80``) so no division
+    ever happens, and the running sum's frame carries the partkey
+    tie-break.
+
+    100 TB shape: the fact-side revenue rollup is the only big shuffle
+    (partial+final on partkey); the running-sum window partitions by brand
+    over the *aggregated* part rows — dimension-bounded, never fact-sized.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev_row = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = (
+        l.join(p.select("p_partkey", "p_brand"), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "p_brand")
+        .agg(F.sum(rev_row).alias("rev_e4"))
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    classed = rev.select(
+        "p_brand",
+        "rev_e4",
+        (F.sum("rev_e4").over(w_cum) * 100).alias("cum100"),
+        F.sum("rev_e4").over(w_tot).alias("total_rev"),
+    ).select(
+        "p_brand",
+        "rev_e4",
+        F.when(F.col("cum100") <= F.col("total_rev") * 80, "A")
+        .when(F.col("cum100") <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("p_brand", "abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev_e4").alias("class_rev_e4"),
+    )
+
+
+@query(
+    "q_inverted_index_tokens",
+    oracle="""
+WITH exploded AS (
+    SELECT UNNEST(string_split(text, ' ')) AS tok, doc_id FROM documents
+), pairs AS (
+    SELECT DISTINCT tok, doc_id FROM exploded
+), tf AS (
+    SELECT tok, COUNT(*) AS tf FROM exploded GROUP BY tok
+), inv AS (
+    SELECT p.tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           list_slice(list_sort(list(p.doc_id)), 1, 8) AS postings
+    FROM pairs p GROUP BY p.tok
+)
+SELECT i.tok, i.df, CAST(t.tf AS BIGINT) AS tf, i.postings
+FROM inv i JOIN tf t USING (tok)
+ORDER BY i.df DESC, i.tok
+LIMIT 50
+""",
+    tags=("text", "inverted-index", "topk"),
+)
+def q_inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the document corpus: per token, document
+    frequency, total term frequency, and the head of the sorted posting
+    list — the core structure behind every search/retrieval system and the
+    exact-match complement of the BM25 query (``q_bm25_retrieval``).
+
+    Top-50 tokens by (df DESC, token) keep the result stable; posting
+    lists are truncated to their first 8 sorted doc ids on BOTH sides so
+    arrays hash identically.
+
+    100 TB shape: distinct (token, doc) pairs and the df/tf rollups are
+    partial+final aggregates on the token key (partial aggregation absorbs
+    within-document repetition before the shuffle); skewed head tokens are
+    exactly what AQE skew-split handles. A production index would cap each
+    posting list with a per-token top-k window instead of collecting it
+    whole — here collect+slice keeps the oracle exact at test scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(F.explode(tokens(F.col("text"))).alias("tok"), "doc_id")
+    pairs = exploded.distinct()
+    tf = exploded.groupBy("tok").agg(F.count("*").alias("tf"))
+    inv = pairs.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8).alias("postings"),
+    )
+    return (
+        inv.join(tf, "tok")
+        .select("tok", "df", "tf", "postings")
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+@query(
+    "q_ohlc_hourly_bars",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_hour,
+           value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_asc,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_desc
+    FROM events
+)
+SELECT event_type, bucket_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(CASE WHEN rn_asc = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MIN(CASE WHEN rn_desc = 1 THEN value END) AS close_value
+FROM b
+GROUP BY event_type, bucket_hour
+""",
+    tags=("events", "ohlc", "window", "timeseries"),
+)
+def q_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars: per (event type, hour), the opening, highest,
+    lowest, and closing ``value`` — the financial candlestick rollup, and
+    the general first/last-in-window downsampling shape for sensor or
+    metric streams.
+
+    Open/close are resolved by row_number with the (ts, event_id) unique
+    tie-break — not ``first()``/``min_by`` on a possibly-tied timestamp —
+    so both engines pick the same row; floats are only picked, never
+    summed, keeping the result hash-exact.
+
+    100 TB shape: windows partition by (type, hour bucket) — bounded
+    per-bucket state, embarrassingly parallel across buckets; the same
+    query runs incrementally as a streaming tumbling window
+    (``q_stream_tumbling_hourly``) when the input is unbounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
+    b = e.select("event_type", bucket, "value", "ts", "event_id")
+    w_asc = Window.partitionBy("event_type", "bucket_hour").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "bucket_hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = b.select(
+        "event_type",
+        "bucket_hour",
+        "value",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+    )
+    return ranked.groupBy("event_type", "bucket_hour").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.min(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close_value"),
+    )

@@ -199,6 +199,7 @@ def requirements_met(q: Query) -> bool:
 # per-round verification agenda itself lives in _HOISTED below, which
 # overrides module order query-by-query.
 _MODULE_ORDER = (
+    "als_pyspark_spark.operators.warehouse",
     "als_pyspark_spark.functions.curation_queries",
     "als_pyspark_spark.dedup.queries",
     "als_pyspark_spark.similarity.queries",
@@ -243,7 +244,11 @@ _MODULE_ORDER = (
 #      witnesses;
 #   4. evidence rotation — the oldest (r1/r2-vintage) driver rows cycle
 #      back through, keeping every family within ~two rounds of a live
-#      row; each displaced family keeps a canary inside the window.
+#      row; each displaced family keeps a canary inside the window. The
+#      late-round warehouse additions (SCD2, z-score, winsorize, Pareto,
+#      inverted index, OHLC) displaced the r1-vintage TPC-H flagships
+#      from the rotation tail — those are unchanged-fingerprint r1-green
+#      and cycle back in round 6.
 _HOISTED = (
     # 1. stale exact oracle — driver-replay first
     "q_stream_dedup_count",
@@ -259,6 +264,12 @@ _HOISTED = (
     "q_fuzzy_part_match",
     "q_profile_orders",
     "q_snapshot_diff",
+    "q_scd2_customer_history",
+    "q_zscore_outlier_orders",
+    "q_winsorize_prices",
+    "q_pareto_abc_parts",
+    "q_inverted_index_tokens",
+    "q_ohlc_hourly_bars",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -296,13 +307,6 @@ _HOISTED = (
     "q_text_lang_id",
     "q_text_fingerprints",
     "q_events_dedup_first",
-    "q_events_tumbling_hourly",
-    "q_asof_last_order_before_event",
-    # ... and r1-vintage rows (TPC-H flagships + operator variety)
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q6_forecast_revenue",
-    "q_window_topk_orders_per_customer",
 )
 
 

@@ -211,13 +211,11 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     # only the matching partition directory (PartitionFilters, not a full
     # scan + post-filter)
     QUERIES["q_sink_partitioned_parquet"].build(spark, sf_dir).collect()
-    import os
+    # same applicationId-scoped path the query wrote to (the unsuffixed
+    # pre-r4 path only worked while a stale directory lingered on disk)
+    from als_pyspark_spark.sources.sinks import app_scratch
 
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scratch",
-        "sink_partitioned_parquet",
-    )
+    out = app_scratch(spark, "sink_partitioned_parquet")
     back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
     plan = formatted(back)
     assert "PartitionFilters" in plan
@@ -343,3 +341,55 @@ def test_approx_topk_semi_filters_before_witness_join(spark, sf_dir):
     plan = plan_of(QUERIES["q_approx_topk_tokens"].build(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_windows_partition_by_key(spark, sf_dir):
+    """SCD2 change detection: every window partitions by the dimension
+    key — no SinglePartition exchange anywhere in the plan."""
+    plan = plan_of(QUERIES["q_scd2_customer_history"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(c_custkey" in plan, plan
+
+
+def test_zscore_moments_broadcast_no_window(spark, sf_dir):
+    """Exact z-score: the 5-row moment table broadcasts back onto the fact
+    scan — two aggregates + a broadcast join, zero windows, zero
+    SinglePartition exchanges."""
+    plan = plan_of(QUERIES["q_zscore_outlier_orders"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_winsorize_thresholds_broadcast(spark, sf_dir):
+    """Winsorization: ranking windows partition by brand; the per-brand
+    threshold table joins back as a broadcast, never sort-merge."""
+    plan = plan_of(QUERIES["q_winsorize_prices"].build(spark, sf_dir))
+    assert "hashpartitioning(p_brand" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pareto_window_partitions_by_brand(spark, sf_dir):
+    """ABC classification: the cumulative-revenue window runs over the
+    AGGREGATED part rows partitioned by brand — never over the fact table
+    and never in a single partition."""
+    plan = plan_of(QUERIES["q_pareto_abc_parts"].build(spark, sf_dir))
+    assert "hashpartitioning(p_brand" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_inverted_index_topk_is_take_ordered(spark, sf_dir):
+    """Inverted index: the top-50 head is TakeOrderedAndProject
+    (per-partition top-k), not a global sort."""
+    plan = plan_of(QUERIES["q_inverted_index_tokens"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ohlc_windows_partition_by_bucket(spark, sf_dir):
+    """OHLC bars: both rank windows partition by (event_type, hour
+    bucket) — bounded per-bucket state, no SinglePartition."""
+    plan = plan_of(QUERIES["q_ohlc_hourly_bars"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(event_type" in plan, plan
