@@ -338,3 +338,70 @@ def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         (F.col("approx_count") == F.col("exact_count")).alias("exact_match"),
     )
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+    SELECT tok, COUNT(*) AS wc
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    WHERE len(tok) >= 2
+    GROUP BY tok
+), pairs AS (
+    SELECT UNNEST(list_transform(generate_series(1, len(tok) - 1),
+                                 i -> substr(tok, i, 2))) AS pair,
+           wc
+    FROM words
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+""",
+    tags=("text", "bpe", "tokenizer"),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round: count adjacent character pairs across the
+    corpus, weighted by word frequency — the argmax of this table IS the
+    first merge a BPE tokenizer trainer would learn. Complements
+    ``q_text_bpe_token_counts`` (which counts pre-tokenized pieces) with
+    the actual merge-statistics computation.
+
+    The corpus collapses to the word-frequency table FIRST (the standard
+    BPE-training trick: pair counts are ``Σ wc(word) · pairs(word)``, so
+    the expensive explode runs over distinct words, not over every token
+    occurrence), then each word explodes into its ``len-1`` overlapping
+    2-grams via sequence+substr — all JVM-side HOFs, no UDFs. Single-char
+    words are filtered symmetrically on both engines (they contribute no
+    pairs; the filter also keeps Spark's ``sequence(1, 0)`` from emitting
+    its descending-step artifact).
+
+    100 TB shape: the word rollup is the only corpus-sized shuffle
+    (partial aggregation absorbs within-doc repetition); the pair explode
+    runs over the (vastly smaller, Zipf-truncated) distinct-word table and
+    its rollup is dictionary-sized; top-30 is TakeOrdered.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(30)
+    )

@@ -1,0 +1,143 @@
+"""Iterative graph computation as distributed joins: fixed-point PageRank
+over the supplier↔part co-purchase graph.
+
+The reference's whole training loop is this shape — per-iteration keyed
+join + aggregate with persisted state (reference ALS.py:137-156 /
+compute_factors ALS.py:421-560) — and the repo already demonstrates it for
+connected components (dedup/queries.py CC loop). PageRank adds the classic
+score-propagation variant, with EXACT fixed-point integer arithmetic so the
+whole 3-iteration computation hash-matches a DuckDB replay: ranks travel as
+integer micro-units, damping is ``(85 · x) DIV 100``, and per-edge
+contributions are ``rank DIV out_degree`` — truncating integer division,
+identical in both engines for the non-negative values involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+_PR_ITERS = 3
+
+
+@query(
+    "q_pagerank_copurchase",
+    oracle=f"""
+WITH li AS (
+    SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+    FROM lineitem
+), edges AS (
+    SELECT src, dst FROM li
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM li
+), eo AS (
+    SELECT e.src, e.dst, o.od
+    FROM edges e
+    JOIN (SELECT src, COUNT(*) AS od FROM edges GROUP BY src) o USING (src)
+), nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+), r0 AS (
+    SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+), r1 AS (
+    SELECT n.node,
+           150000 + (85 * COALESCE(c.c, 0)) // 100 AS r
+    FROM nodes n
+    LEFT JOIN (
+        SELECT eo.dst AS node, CAST(SUM(r0.r // eo.od) AS BIGINT) AS c
+        FROM eo JOIN r0 ON r0.node = eo.src GROUP BY eo.dst
+    ) c USING (node)
+), r2 AS (
+    SELECT n.node,
+           150000 + (85 * COALESCE(c.c, 0)) // 100 AS r
+    FROM nodes n
+    LEFT JOIN (
+        SELECT eo.dst AS node, CAST(SUM(r1.r // eo.od) AS BIGINT) AS c
+        FROM eo JOIN r1 ON r1.node = eo.src GROUP BY eo.dst
+    ) c USING (node)
+), r3 AS (
+    SELECT n.node,
+           150000 + (85 * COALESCE(c.c, 0)) // 100 AS r
+    FROM nodes n
+    LEFT JOIN (
+        SELECT eo.dst AS node, CAST(SUM(r2.r // eo.od) AS BIGINT) AS c
+        FROM eo JOIN r2 ON r2.node = eo.src GROUP BY eo.dst
+    ) c USING (node)
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       node // 2 AS entity_id,
+       CAST(r AS BIGINT) AS rank_micro
+FROM r3
+ORDER BY r DESC, node
+LIMIT 25
+""",
+    tags=("graph", "pagerank", "iterative"),
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, three iterations) over the undirected
+    supplier↔part co-purchase graph derived from lineitem, in exact
+    fixed-point integer arithmetic (micro-units): per iteration each node
+    sends ``r DIV out_degree`` along every out-edge and receives
+    ``150000 + (85 · Σ inbound) DIV 100``.
+
+    Every arithmetic step is integer (+, ·, truncating DIV on non-negative
+    operands), so the DuckDB oracle replays all three iterations
+    bit-identically — no float accumulation order to diverge. Node ids are
+    parity-packed (supplier→2k, part→2k+1) to union the bipartite sides
+    into one key space without collisions.
+
+    100 TB shape: per iteration one hash join of the rank vector with the
+    (src-keyed) edge list and one hash aggregate on dst — the canonical
+    distributed PageRank plan. The edge list with out-degrees is computed
+    once and persisted across iterations (the reference's C1-C3
+    persist/materialize/unpersist discipline, ALS.py:63-189); iterations
+    are unrolled lineage here (3 rounds), while a production run would
+    checkpoint every ~5 rounds exactly as the CC loop in dedup/queries.py
+    does. Undirected edges mean no dangling-mass correction is needed —
+    every node has out-degree ≥ 1 by construction.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = li.unionByName(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    eo = edges.join(outdeg, "src").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            eo.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r DIV od").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(150000).cast("long")
+                + F.expr("(85 * COALESCE(c, 0)) DIV 100")
+            ).alias("r"),
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "supplier")
+            .otherwise("part")
+            .alias("node_type"),
+            F.expr("node DIV 2").alias("entity_id"),
+            F.col("r").alias("rank_micro"),
+            "node",
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("node"))
+        .limit(25)
+        .drop("node")
+    )

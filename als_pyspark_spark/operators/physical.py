@@ -149,3 +149,53 @@ def q_two_phase_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_orders"),
         F.sum("ps").cast("double").alias("total_spend"),
     )
+
+
+@query(
+    "q_skew_diagnostics",
+    oracle="""
+WITH counts AS (
+    SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+), tot AS (
+    SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM counts
+)
+SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST((c.cnt * 1000000) // t.total AS BIGINT) AS share_ppm,
+       CAST((c.cnt * t.n_keys * 100) // t.total AS BIGINT) AS x_avg_pct
+FROM counts c, tot t
+ORDER BY c.cnt DESC, c.key
+LIMIT 20
+""",
+    tags=("physical", "skew", "diagnostics"),
+)
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the 20 heaviest l_partkey values with
+    their absolute count, parts-per-million share of the table, and
+    percent-of-average multiplier — the pre-flight check that decides
+    whether a key needs the salted-join treatment (``q_salted_skew_join``)
+    or can rely on AQE skew-splitting. Shares are cross-multiplied
+    integers (``cnt·1e6 DIV total``), so the report is hash-exact.
+
+    100 TB shape: one partial+final count per key, a single-row total
+    broadcast onto the (already aggregated) key counts, TakeOrdered
+    top-20 — the diagnostic itself never does worse than the join it is
+    protecting.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("(cnt * 1000000) DIV total").alias("share_ppm"),
+            F.expr("(cnt * n_keys * 100) DIV total").alias("x_avg_pct"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(20)
+    )

@@ -199,6 +199,7 @@ def requirements_met(q: Query) -> bool:
 # per-round verification agenda itself lives in _HOISTED below, which
 # overrides module order query-by-query.
 _MODULE_ORDER = (
+    "als_pyspark_spark.operators.graph",
     "als_pyspark_spark.operators.warehouse",
     "als_pyspark_spark.functions.curation_queries",
     "als_pyspark_spark.dedup.queries",
@@ -270,6 +271,9 @@ _HOISTED = (
     "q_pareto_abc_parts",
     "q_inverted_index_tokens",
     "q_ohlc_hourly_bars",
+    "q_pagerank_copurchase",
+    "q_bpe_pair_counts",
+    "q_skew_diagnostics",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -304,9 +308,6 @@ _HOISTED = (
     "q_stream_static_enrich",
     "q_stream_stream_join",
     "q_text_bpe_token_counts",
-    "q_text_lang_id",
-    "q_text_fingerprints",
-    "q_events_dedup_first",
 )
 
 

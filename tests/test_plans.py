@@ -393,3 +393,29 @@ def test_ohlc_windows_partition_by_bucket(spark, sf_dir):
     plan = plan_of(QUERIES["q_ohlc_hourly_bars"].build(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_pagerank_topk_take_ordered_no_cartesian(spark, sf_dir):
+    """PageRank: three unrolled join+agg iterations must stay keyed hash
+    operations (no cartesian anywhere) and the final top-25 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(QUERIES["q_pagerank_copurchase"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_pairs_explode_over_words_take_ordered(spark, sf_dir):
+    """BPE pair counts: the pair explode must run over the aggregated
+    word table (an Expand/Generate above a HashAggregate), and top-30 is
+    TakeOrdered."""
+    plan = plan_of(QUERIES["q_bpe_pair_counts"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_skew_diagnostics_broadcasts_total(spark, sf_dir):
+    """Skew report: the single-row total joins as a broadcast; the key
+    counts are never sort-merge-joined or globally sorted."""
+    plan = plan_of(QUERIES["q_skew_diagnostics"].build(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
