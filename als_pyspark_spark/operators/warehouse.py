@@ -483,3 +483,152 @@ def q_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low_value"),
         F.min(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close_value"),
     )
+
+
+@query(
+    "q_activity_streak_islands",
+    oracle="""
+WITH months AS (
+    SELECT DISTINCT o_custkey,
+           EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)
+               AS month_idx
+    FROM orders
+), grouped AS (
+    SELECT o_custkey, month_idx,
+           month_idx - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY month_idx) AS island
+    FROM months
+), islands AS (
+    SELECT o_custkey, island, COUNT(*) AS streak_len
+    FROM grouped GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_months,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+FROM islands
+GROUP BY o_custkey
+""",
+    tags=("warehouse", "gaps-islands", "window"),
+)
+def q_activity_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per customer, collapse the months they ordered in
+    into consecutive-month streaks via the classic ``month_idx − row_number``
+    grouping key, reporting active months, number of streaks, and the
+    longest streak — the engagement-streak metric behind retention
+    dashboards (and the batch mirror of session windows, which solve the
+    same problem on event-time gaps).
+
+    Month indices are exact integers (year·12+month), so island keys,
+    streak lengths, and every output column hash-match with no float in
+    sight.
+
+    100 TB shape: the distinct collapses the fact table to at most
+    |customers|·|months| rows before any window; the row_number window
+    partitions by customer with per-partition state bounded by the
+    calendar. No global window, no skew hazard beyond the customer key
+    itself.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month_idx"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("month_idx")
+    grouped = months.select(
+        "o_custkey",
+        "month_idx",
+        (F.col("month_idx") - F.row_number().over(w)).alias("island"),
+    )
+    islands = grouped.groupBy("o_custkey", "island").agg(
+        F.count("*").alias("streak_len")
+    )
+    return islands.groupBy("o_custkey").agg(
+        F.sum("streak_len").alias("n_active_months"),
+        F.count("*").alias("n_islands"),
+        F.max("streak_len").alias("longest_streak"),
+    )
+
+
+@query(
+    "q_constraint_checks",
+    oracle="""
+SELECT 'orders_orderkey_not_null' AS check_name,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+           AS n_violations
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM
+             (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_custkey_references_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_status_accepted_values',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+""",
+    tags=("warehouse", "quality", "constraints"),
+)
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the dbt-test / deequ
+    check set): NOT NULL, primary-key uniqueness, referential integrity
+    into the dimension, accepted values, and a range rule — each emitted
+    as one (check_name, n_violations) row, the contract a pipeline gate
+    consumes. Complements ``q_profile_orders`` (which describes the data;
+    this one judges it).
+
+    100 TB shape: the null/accepted/range checks fold into per-scan
+    conditional aggregates (one pass, no shuffle); uniqueness is a
+    partial+final count on the key; referential integrity is a LEFT ANTI
+    broadcast of the dimension key set — none of the five checks performs
+    worse than the query it guards. A production run unions the check
+    rows exactly like this and alerts on any n_violations > 0.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    not_null = one(
+        "orders_orderkey_not_null",
+        o.agg(F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n")),
+    )
+    unique = one(
+        "orders_orderkey_unique",
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n")),
+    )
+    ref = one(
+        "orders_custkey_references_customer",
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        ).agg(F.count("*").alias("n")),
+    )
+    accepted = one(
+        "orders_status_accepted_values",
+        o.agg(
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            ).alias("n")
+        ),
+    )
+    positive = one(
+        "orders_totalprice_positive",
+        o.agg(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n")),
+    )
+    return not_null.unionByName(unique).unionByName(ref).unionByName(
+        accepted
+    ).unionByName(positive)

@@ -274,6 +274,9 @@ _HOISTED = (
     "q_pagerank_copurchase",
     "q_bpe_pair_counts",
     "q_skew_diagnostics",
+    "q_embedding_quantize_int8",
+    "q_activity_streak_islands",
+    "q_constraint_checks",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -302,10 +305,7 @@ _HOISTED = (
     "als_predictions",
     "als_implicit_top3",
     "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_metadata",
     "q_stream_sliding_halfhour",
-    "q_stream_static_enrich",
     "q_stream_stream_join",
     "q_text_bpe_token_counts",
 )

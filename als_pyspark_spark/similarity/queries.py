@@ -574,3 +574,75 @@ def q_semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("vec_id", "cluster")
     )
+
+
+@query(
+    "q_embedding_quantize_int8",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), scaled AS (
+    SELECT vec_id,
+           list_max(list_transform(emb, x -> abs(x))) AS maxabs,
+           emb
+    FROM v
+), q AS (
+    SELECT vec_id, maxabs,
+           list_transform(emb, x -> CASE WHEN maxabs = 0 THEN 0
+               ELSE CAST(FLOOR((x * 127.0) / maxabs) AS INTEGER) END) AS quant
+    FROM scaled
+)
+SELECT vec_id, maxabs AS scale, quant,
+       CAST(list_aggregate(quant, 'sum') AS BIGINT) AS quant_sum,
+       CAST(list_aggregate(list_transform(quant, x -> CASE WHEN x < -127 OR x > 127
+                THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_out_of_range
+FROM q
+""",
+    tags=("similarity", "quantization", "embeddings"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    compression every large-scale vector pipeline applies before ANN
+    serving (4× smaller than float32, 8× smaller than float64).
+
+    Per vector: scale = max |x_i| (an exact float PICK), quantized value =
+    ``FLOOR((x · 127.0) / scale)`` — multiplication-then-division in a
+    fixed expression shape, so both engines execute the identical IEEE
+    double sequence and FLOOR lands on the same integer; the zero-vector
+    guard avoids the 0/0 NaN on both sides. The out-of-range witness
+    column proves every code fits int8 in-row.
+
+    100 TB shape: purely per-row JVM expressions (transform/array_max/
+    aggregate HOFs) — no shuffle, no UDF, pipeline-parallel with the scan;
+    the int8 codes then feed the IVF/LSH paths at a quarter of the I/O.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scaled = e.select(
+        "vec_id",
+        F.array_max(F.transform(emb, lambda x: F.abs(x))).alias("maxabs"),
+        emb.alias("emb"),
+    )
+    quant = F.transform(
+        F.col("emb"),
+        lambda x: F.when(F.col("maxabs") == 0, F.lit(0)).otherwise(
+            F.floor((x * F.lit(127.0)) / F.col("maxabs")).cast("int")
+        ),
+    )
+    q = scaled.select("vec_id", F.col("maxabs").alias("scale"), quant.alias("quant"))
+    return q.select(
+        "vec_id",
+        "scale",
+        "quant",
+        F.aggregate(
+            "quant", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("quant_sum"),
+        F.aggregate(
+            F.transform(
+                "quant",
+                lambda x: F.when((x < -127) | (x > 127), 1).otherwise(0),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("n_out_of_range"),
+    )

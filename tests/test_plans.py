@@ -419,3 +419,26 @@ def test_skew_diagnostics_broadcasts_total(spark, sf_dir):
     plan = plan_of(QUERIES["q_skew_diagnostics"].build(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quantize_int8_no_shuffle(spark, sf_dir):
+    """int8 quantization is per-row HOF math — the plan must contain no
+    Exchange at all (pipeline-parallel with the scan)."""
+    plan = plan_of(QUERIES["q_embedding_quantize_int8"].build(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_streak_islands_windows_partition_by_customer(spark, sf_dir):
+    """Gaps-and-islands: the row_number window partitions by customer
+    AFTER the distinct collapse — no SinglePartition exchange."""
+    plan = plan_of(QUERIES["q_activity_streak_islands"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_constraint_checks_anti_join_broadcast(spark, sf_dir):
+    """Referential integrity runs as a broadcast LEFT ANTI of the
+    dimension key set; nothing in the suite sort-merges."""
+    plan = plan_of(QUERIES["q_constraint_checks"].build(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
