@@ -23,9 +23,9 @@ from als_pyspark_spark.registry import query
 from als_pyspark_spark.sources.tables import load_table
 
 
-@query(
-    "q_scd2_customer_history",
-    oracle="""
+# Shared SCD2 oracle CTEs: snapshots → change detection → validity
+# intervals. Reused by the history build and the point-in-time join.
+_SCD2_IVALS_SQL = """
 WITH base AS (
     SELECT c_custkey, c_mktsegment AS seg,
            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
@@ -53,34 +53,19 @@ WITH base AS (
     SELECT c_custkey, seg, bal_cents, version AS valid_from
     FROM changed
     WHERE prev_seg IS NULL OR seg <> prev_seg OR bal_cents <> prev_bal
+), ivals AS (
+    SELECT c_custkey, seg, bal_cents, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+               AS valid_to
+    FROM hist
 )
-SELECT c_custkey,
-       seg AS c_mktsegment,
-       bal_cents AS acctbal_cents,
-       valid_from,
-       LEAD(valid_from) OVER w2 AS valid_to,
-       (LEAD(valid_from) OVER w2 IS NULL) AS is_current
-FROM hist
-WINDOW w2 AS (PARTITION BY c_custkey ORDER BY valid_from)
-""",
-    tags=("warehouse", "scd2", "window"),
-)
-def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type 2 dimension build: collapse a series of full dimension
-    snapshots into validity intervals ``[valid_from, valid_to)`` with an
-    ``is_current`` flag — the standard slowly-changing-dimension load.
+"""
 
-    Three snapshot versions are derived deterministically from ``customer``
-    (v2 moves every 7th customer's segment, v3 restates every 5th balance),
-    then change detection keeps only rows whose tracked attributes differ
-    from the previous version (LAG per key) and LEAD closes each interval.
 
-    100 TB shape: both windows are partitioned by the dimension's primary
-    key — per-key state is the (tiny, bounded) number of snapshot versions,
-    so the shuffle is a plain hash exchange on the key with no skew and no
-    global ordering. This is exactly how a Delta/Iceberg SCD2 MERGE plans
-    its change-detection subquery.
-    """
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 history: (c_custkey, seg, bal_cents, valid_from,
+    valid_to) validity intervals derived from three deterministic
+    snapshot versions of ``customer`` (see q_scd2_customer_history)."""
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_mktsegment").alias("seg"),
@@ -118,12 +103,48 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("c_custkey").orderBy("valid_from")
     valid_to = F.lead("valid_from").over(w2)
     return hist.select(
+        "c_custkey", "seg", "bal_cents", "valid_from", valid_to.alias("valid_to")
+    )
+
+
+@query(
+    "q_scd2_customer_history",
+    oracle=_SCD2_IVALS_SQL
+    + """
+SELECT c_custkey,
+       seg AS c_mktsegment,
+       bal_cents AS acctbal_cents,
+       valid_from,
+       valid_to,
+       (valid_to IS NULL) AS is_current
+FROM ivals
+""",
+    tags=("warehouse", "scd2", "window"),
+)
+def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build: collapse a series of full dimension
+    snapshots into validity intervals ``[valid_from, valid_to)`` with an
+    ``is_current`` flag — the standard slowly-changing-dimension load.
+
+    Three snapshot versions are derived deterministically from ``customer``
+    (v2 moves every 7th customer's segment, v3 restates every 5th balance),
+    then change detection keeps only rows whose tracked attributes differ
+    from the previous version (LAG per key) and LEAD closes each interval
+    (extracted to ``_scd2_history`` so the point-in-time join reuses it).
+
+    100 TB shape: both windows are partitioned by the dimension's primary
+    key — per-key state is the (tiny, bounded) number of snapshot versions,
+    so the shuffle is a plain hash exchange on the key with no skew and no
+    global ordering. This is exactly how a Delta/Iceberg SCD2 MERGE plans
+    its change-detection subquery.
+    """
+    return _scd2_history(spark, sf_dir).select(
         "c_custkey",
         F.col("seg").alias("c_mktsegment"),
         F.col("bal_cents").alias("acctbal_cents"),
         "valid_from",
-        valid_to.alias("valid_to"),
-        valid_to.isNull().alias("is_current"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
     )
 
 
@@ -632,3 +653,237 @@ def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return not_null.unionByName(unique).unionByName(ref).unionByName(
         accepted
     ).unionByName(positive)
+
+
+@query(
+    "q_cdc_last_writer_wins",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), changes AS (
+    SELECT o_orderkey, 1 AS seq, 'U' AS op,
+           CAST(ROUND(o_totalprice * 105) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 2, 'U', CAST(ROUND(o_totalprice * 110) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 3, 'D', NULL
+    FROM orders WHERE o_orderkey % 9 = 0
+), winners AS (
+    SELECT o_orderkey, op, cents
+    FROM (SELECT o_orderkey, op, cents,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC)
+                     AS rn
+          FROM changes)
+    WHERE rn = 1
+), applied AS (
+    SELECT b.o_orderkey, b.o_orderstatus,
+           COALESCE(w.cents, b.cents) AS cents
+    FROM base b
+    LEFT JOIN winners w ON w.o_orderkey = b.o_orderkey
+    WHERE w.op IS NULL OR w.op <> 'D'
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM applied
+GROUP BY o_orderstatus
+""",
+    tags=("warehouse", "cdc", "compaction"),
+)
+def q_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction with last-writer-wins semantics: a change feed
+    carrying MULTIPLE out-of-order versions per key (two price updates and,
+    for some keys, a later delete) is compacted to each key's
+    highest-sequence change before being applied to the base snapshot —
+    the Debezium-to-table materialization step, and the piece
+    ``q_upsert_snapshot`` (single change per key) deliberately leaves out.
+
+    Sequence numbers are unique per key, so the ROW_NUMBER pick is
+    deterministic; prices travel as integer cents.
+
+    100 TB shape: compaction is a per-key window over the (change-feed
+    sized, not table-sized) stream; the apply is one keyed left join
+    against the snapshot — broadcastable when the compacted batch is
+    small, AQE-skew-safe otherwise. In Structured Streaming the same
+    compaction runs per micro-batch with ``max_by(state, seq)`` state.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    k3 = o.where(F.col("o_orderkey") % 3 == 0)
+    changes = (
+        k3.select(
+            "o_orderkey",
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            F.round(F.col("o_totalprice") * 105).cast("long").alias("cents"),
+        )
+        .unionByName(
+            k3.select(
+                "o_orderkey",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                F.round(F.col("o_totalprice") * 110).cast("long").alias("cents"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 9 == 0).select(
+                "o_orderkey",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("cents"),
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    winners = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "op", F.col("cents").alias("w_cents"))
+    )
+    applied = (
+        base.join(winners, "o_orderkey", "left")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderstatus",
+            F.coalesce("w_cents", "cents").alias("cents"),
+        )
+    )
+    return applied.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@query(
+    "q_revenue_trend_ols",
+    oracle="""
+WITH monthly AS (
+    SELECT n.n_name,
+           (EXTRACT(YEAR FROM o.o_orderdate) - 1990) * 12
+               + EXTRACT(MONTH FROM o.o_orderdate) AS x,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) // 100) AS y
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, x
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM monthly
+GROUP BY n_name
+""",
+    tags=("warehouse", "regression", "agg"),
+)
+def q_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact least-squares revenue trend per nation: the OLS slope of
+    monthly revenue over a month index, returned as the integer FRACTION
+    ``slope_num / slope_den`` (``n·Σxy − Σx·Σy`` over ``n·Σx² − (Σx)²``)
+    instead of a float — no division ever executes, so the regression is
+    hash-exact. The normal-equation moment accumulation is the reference's
+    Gramian/A4 pattern (ALS.py:562-578, Solver.py:31-48) in its simplest
+    1-feature form, distributed as one partial+final aggregate.
+
+    Magnitudes: y is whole dollars (cents DIV 100 — an exact integer
+    step), x a recentred month index (< ~10³), so ``n·Σxy`` stays within
+    int64 up to ~SF 1000 (≈1.3e18 vs the 9.2e18 limit) — the same
+    documented bound style as q_corr_covar_exact.
+
+    100 TB shape: fact rows collapse to (nation × month) partials
+    map-side; the per-nation moment rollup is dimension-sized. Nothing
+    else shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            ((F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")).alias("x"),
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100"
+            ).alias("dollars"),
+        )
+        .groupBy("n_name", "x")
+        .agg(F.sum("dollars").alias("y"))
+    )
+    return monthly.groupBy("n_name").agg(
+        F.count("*").alias("n_months"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        ).alias("slope_num"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        ).alias("slope_den"),
+    )
+
+
+@query(
+    "q_scd2_point_in_time",
+    oracle=_SCD2_IVALS_SQL
+    + """
+SELECT (1 + o.o_orderkey % 3) AS as_of_version,
+       i.seg AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders o
+JOIN ivals i
+  ON i.c_custkey = o.o_custkey
+ AND i.valid_from <= (1 + o.o_orderkey % 3)
+ AND (i.valid_to IS NULL OR (1 + o.o_orderkey % 3) < i.valid_to)
+GROUP BY as_of_version, i.seg
+""",
+    tags=("warehouse", "scd2", "temporal-join"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension lookup: each fact row joins to
+    the SCD2 interval that was valid AT ITS OWN effective version — the
+    query pattern SCD2 exists to serve, and the leakage-safe way to
+    attach dimension attributes to historical facts (today's segment on
+    last year's order is exactly the train-serve skew
+    ``q_leakage_safe_split`` guards against elsewhere).
+
+    Each order's effective version is derived deterministically
+    (``1 + o_orderkey % 3``); the join key is the customer key plus the
+    half-open interval containment ``valid_from <= v < valid_to``.
+
+    100 TB shape: the equality key (custkey) bounds the shuffle — the
+    interval predicate is a residual filter on the key-matched pairs, of
+    which there are at most |versions| per fact row (same plan discipline
+    as q_range_join_purchase_context: never a pure theta join). The
+    SCD2 history side is dimension-sized and broadcastable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ivals = _scd2_history(spark, sf_dir)
+    v = (1 + F.col("o_orderkey") % 3).alias("as_of_version")
+    facts = o.select(
+        "o_custkey",
+        v,
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    j = facts.join(
+        F.broadcast(ivals),
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("as_of_version"))
+        & (F.col("valid_to").isNull() | (F.col("as_of_version") < F.col("valid_to"))),
+    )
+    return j.groupBy("as_of_version", F.col("seg").alias("c_mktsegment")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

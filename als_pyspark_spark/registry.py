@@ -277,6 +277,9 @@ _HOISTED = (
     "q_embedding_quantize_int8",
     "q_activity_streak_islands",
     "q_constraint_checks",
+    "q_cdc_last_writer_wins",
+    "q_revenue_trend_ols",
+    "q_scd2_point_in_time",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -301,9 +304,6 @@ _HOISTED = (
     "q_dedup_clusters",
     "q_ann_bruteforce_top10",
     "als_mse",
-    "als_user_factors",
-    "als_predictions",
-    "als_implicit_top3",
     "q_multimodal_features",
     "q_stream_sliding_halfhour",
     "q_stream_stream_join",

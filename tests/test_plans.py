@@ -442,3 +442,31 @@ def test_constraint_checks_anti_join_broadcast(spark, sf_dir):
     plan = plan_of(QUERIES["q_constraint_checks"].build(spark, sf_dir))
     assert "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_compaction_window_partitions_by_key(spark, sf_dir):
+    """CDC last-writer-wins: the compaction window partitions by the
+    change key; the apply join never degrades to a cartesian."""
+    plan = plan_of(QUERIES["q_cdc_last_writer_wins"].build(spark, sf_dir))
+    assert "hashpartitioning(o_orderkey" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ols_trend_broadcasts_dims(spark, sf_dir):
+    """OLS trend: customer and nation join as broadcasts onto the fact
+    scan; the moment rollup is the only shuffle chain."""
+    plan = plan_of(QUERIES["q_revenue_trend_ols"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_scd2_pit_join_keeps_equality_key(spark, sf_dir):
+    """Point-in-time lookup: the custkey equality must be the join KEY
+    (interval containment as residual condition) — never a nested-loop
+    theta join of facts x history."""
+    plan = plan_of(QUERIES["q_scd2_point_in_time"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
