@@ -71,6 +71,11 @@ HEADLINE = [
     "q_bloom_incremental_dedup",
     "q_stream_apws_user_max",
     "q_hll_sketch_union",
+    # late round 5: the iterative-graph shape (3 unrolled join+agg rounds
+    # over the co-purchase edge list) and the corpus-wide posting-list
+    # build — the two heaviest of the warehouse/graph additions
+    "q_pagerank_copurchase",
+    "q_inverted_index_tokens",
 ]
 
 
