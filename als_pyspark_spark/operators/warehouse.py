@@ -887,3 +887,102 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@query(
+    "q_event_transition_matrix",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       COUNT(*) AS n_transitions
+FROM ordered
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    tags=("events", "markov", "window"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event stream, count every (previous event → next event)
+    pair — the Markov-chain estimate behind next-action prediction and
+    journey analysis, and the pairwise complement of the strict-ordering
+    funnel (``q_funnel_steps``).
+
+    The LAG ordering carries the (ts, event_id) unique tie-break, so both
+    engines see identical adjacencies.
+
+    100 TB shape: one window partitioned by user (per-user state = one
+    previous row) feeding a partial+final count on the (prev, next) pair —
+    the |types|² output is tiny regardless of input scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@query(
+    "q_table_checksum",
+    oracle="""
+WITH rows_hashed AS (
+    SELECT ('0x' || substr(MD5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|'
+               || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 15))::BIGINT AS h
+    FROM orders
+)
+SELECT 'orders' AS table_name,
+       COUNT(*) AS n_rows,
+       CAST(BIT_XOR(h) AS BIGINT) AS checksum_xor,
+       CAST(MIN(h) AS BIGINT) AS checksum_min,
+       CAST(MAX(h) AS BIGINT) AS checksum_max
+FROM rows_hashed
+""",
+    tags=("warehouse", "checksum", "reconciliation"),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: hash each row's canonical
+    serialization (md5 → first 60 bits as int64, the repo's cross-engine
+    hash family) and combine with commutative aggregates — BIT_XOR as the
+    checksum (overflow-free at any row count, any SF) plus count/min/max.
+    Two replicas — or a source table and its migrated copy — match iff
+    their fingerprint rows match, with no sorting and no row shipping:
+    the anti-entropy check every cross-cluster reconciliation runs.
+
+    Money enters the serialization as integer cents, making the canonical
+    string — and therefore the md5 — deterministic on both engines.
+
+    100 TB shape: row hashing fuses into the scan (embarrassingly
+    parallel), and the combine is one partial+final aggregate to a single
+    row — XOR's associativity/commutativity is exactly what makes the
+    map-side partials safe. Zero shuffle beyond the 1-row combine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return o.select(h.alias("h")).agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.expr("BIT_XOR(h)").alias("checksum_xor"),
+        F.min("h").alias("checksum_min"),
+        F.max("h").alias("checksum_max"),
+    )

@@ -280,6 +280,8 @@ _HOISTED = (
     "q_cdc_last_writer_wins",
     "q_revenue_trend_ols",
     "q_scd2_point_in_time",
+    "q_event_transition_matrix",
+    "q_table_checksum",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -302,7 +304,6 @@ _HOISTED = (
     # 4. rotation — r2-vintage rows (oldest families first) ...
     "q_text_top_tokens",
     "q_dedup_clusters",
-    "q_ann_bruteforce_top10",
     "als_mse",
     "q_multimodal_features",
     "q_stream_sliding_halfhour",

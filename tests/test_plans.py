@@ -470,3 +470,21 @@ def test_scd2_pit_join_keeps_equality_key(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_transition_matrix_window_partitions_by_user(spark, sf_dir):
+    """Markov transitions: the LAG window partitions by user; the pair
+    rollup is partial+final — no SinglePartition anywhere."""
+    plan = plan_of(QUERIES["q_event_transition_matrix"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_table_checksum_single_aggregate_no_sort(spark, sf_dir):
+    """Anti-entropy checksum: row hashing fuses into the scan and the
+    combine is one partial+final aggregate — no Sort, no Window, and the
+    only exchange is the 1-row final combine."""
+    plan = plan_of(QUERIES["q_table_checksum"].build(spark, sf_dir))
+    assert "Sort " not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
