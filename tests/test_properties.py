@@ -202,3 +202,114 @@ def test_snapshot_diff_roundtrips_upsert_batch(spark, sf_dir):
         "insert": o.where(F.col("o_orderkey") % _UPSERT_DELETE_MOD == 2).count(),
     }
     assert got == expect
+
+
+def test_scd2_intervals_partition_version_space(spark, sf_dir):
+    """SCD2 invariants per key: intervals start at version 1, chain
+    contiguously (each valid_to equals the next valid_from), and exactly
+    one open (is_current) interval exists."""
+    from als_pyspark_spark.registry import load_all_queries
+
+    rows = (
+        load_all_queries()["q_scd2_customer_history"]
+        .build(spark, sf_dir)
+        .collect()
+    )
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    assert by_key
+    for key, ivals in by_key.items():
+        ivals.sort(key=lambda r: r.valid_from)
+        assert ivals[0].valid_from == 1, key
+        opens = [r for r in ivals if r.valid_to is None]
+        assert len(opens) == 1 and ivals[-1].valid_to is None, key
+        for a, b in zip(ivals, ivals[1:]):
+            assert a.valid_to == b.valid_from, key
+
+
+def test_table_checksum_matches_python_reference(spark, sf_dir):
+    """The XOR fingerprint must equal an independent pure-Python
+    recomputation (hashlib.md5 over the same canonical serialization) —
+    a third implementation beyond Spark and DuckDB."""
+    import hashlib
+
+    from als_pyspark_spark.registry import load_all_queries
+    from als_pyspark_spark.sources.tables import load_table
+
+    row = load_all_queries()["q_table_checksum"].build(spark, sf_dir).collect()[0]
+    xor = 0
+    n = 0
+    for r in load_table(spark, sf_dir, "orders").collect():
+        canon = "|".join(
+            [
+                str(r.o_orderkey),
+                str(r.o_custkey),
+                r.o_orderstatus,
+                str(round(r.o_totalprice * 100)),
+            ]
+        )
+        xor ^= int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
+        n += 1
+    assert row.n_rows == n
+    assert row.checksum_xor == xor
+
+
+def test_cdc_lww_equals_sequential_apply(spark, sf_dir):
+    """Last-writer-wins compaction must be equivalent to applying the
+    change feed one sequence number at a time (update@1, update@2,
+    delete@3) — the semantic contract of CDC compaction."""
+    from als_pyspark_spark.registry import load_all_queries
+    from als_pyspark_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    state = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # seq 1 then seq 2: successive full-price restatements on %3==0 keys
+    for factor in (105, 110):
+        upd = o.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * factor).cast("long").alias("u"),
+        )
+        state = (
+            state.join(upd, "o_orderkey", "left")
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.coalesce("u", "cents").alias("cents"),
+            )
+        )
+    # seq 3: deletes on %9==0 keys
+    dels = o.where(F.col("o_orderkey") % 9 == 0).select("o_orderkey")
+    state = state.join(dels, "o_orderkey", "left_anti")
+    expect = {
+        r.o_orderstatus: (r.n, r.c)
+        for r in state.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+        .collect()
+    }
+    got = {
+        r.o_orderstatus: (r.n_orders, r.total_cents)
+        for r in load_all_queries()["q_cdc_last_writer_wins"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_pagerank_rank_bounds(spark, sf_dir):
+    """Fixed-point PageRank invariants: every rank is at least the
+    damping base (150000 micro-units) and truncating division can only
+    lose mass, so no rank exceeds the total initial mass."""
+    from als_pyspark_spark.registry import load_all_queries
+
+    rows = (
+        load_all_queries()["q_pagerank_copurchase"].build(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.rank_micro >= 150000
+        assert r.rank_micro < 10**6 * 10**6  # << n * 1e6 for any fixture
