@@ -352,6 +352,11 @@ def q_pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the fact-side revenue rollup is the only big shuffle
     (partial+final on partkey); the running-sum window partitions by brand
     over the *aggregated* part rows — dimension-bounded, never fact-sized.
+
+    Magnitude bound (documented like q_corr_covar_exact): brand count is
+    fixed, so per-brand cumulative revenue grows with SF — ``cum·100``
+    stays within int64 through ~SF 300 (≈2.4e17·100 vs 9.2e18); beyond
+    that, lift ``cum100``/``total_rev`` to DECIMAL(38,0) on both engines.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
@@ -450,18 +455,19 @@ WITH b AS (
     SELECT event_type,
            date_trunc('hour', ts) AS bucket_hour,
            value,
-           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                              ORDER BY ts, event_id) AS rn_asc,
-           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                              ORDER BY ts DESC, event_id DESC) AS rn_desc
+           ROW_NUMBER() OVER w AS rn_asc,
+           COUNT(*) OVER (PARTITION BY event_type, date_trunc('hour', ts))
+               AS n_bucket
     FROM events
+    WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                 ORDER BY ts, event_id)
 )
 SELECT event_type, bucket_hour,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(CASE WHEN rn_asc = 1 THEN value END) AS open_value,
        MAX(value) AS high_value,
        MIN(value) AS low_value,
-       MIN(CASE WHEN rn_desc = 1 THEN value END) AS close_value
+       MIN(CASE WHEN rn_asc = n_bucket THEN value END) AS close_value
 FROM b
 GROUP BY event_type, bucket_hour
 """,
@@ -476,33 +482,35 @@ def q_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     Open/close are resolved by row_number with the (ts, event_id) unique
     tie-break — not ``first()``/``min_by`` on a possibly-tied timestamp —
     so both engines pick the same row; floats are only picked, never
-    summed, keeping the result hash-exact.
+    summed, keeping the result hash-exact. The close is the row at
+    ``rn == count`` over the same ASCENDING window (not a second
+    descending ranking), so the bucket is sorted exactly once.
 
-    100 TB shape: windows partition by (type, hour bucket) — bounded
-    per-bucket state, embarrassingly parallel across buckets; the same
-    query runs incrementally as a streaming tumbling window
+    100 TB shape: one window partitioned by (type, hour bucket) — bounded
+    per-bucket state, one sort, embarrassingly parallel across buckets;
+    the same query runs incrementally as a streaming tumbling window
     (``q_stream_tumbling_hourly``) when the input is unbounded.
     """
     e = load_table(spark, sf_dir, "events")
     bucket = F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
     b = e.select("event_type", bucket, "value", "ts", "event_id")
     w_asc = Window.partitionBy("event_type", "bucket_hour").orderBy("ts", "event_id")
-    w_desc = Window.partitionBy("event_type", "bucket_hour").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    w_cnt = Window.partitionBy("event_type", "bucket_hour")
     ranked = b.select(
         "event_type",
         "bucket_hour",
         "value",
         F.row_number().over(w_asc).alias("rn_asc"),
-        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count("*").over(w_cnt).alias("n_bucket"),
     )
     return ranked.groupBy("event_type", "bucket_hour").agg(
         F.count("*").alias("n_events"),
         F.min(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open_value"),
         F.max("value").alias("high_value"),
         F.min("value").alias("low_value"),
-        F.min(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close_value"),
+        F.min(F.when(F.col("rn_asc") == F.col("n_bucket"), F.col("value"))).alias(
+            "close_value"
+        ),
     )
 
 
