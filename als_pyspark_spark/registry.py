@@ -282,6 +282,7 @@ _HOISTED = (
     "q_scd2_point_in_time",
     "q_event_transition_matrix",
     "q_table_checksum",
+    "q_stream_ohlc_hourly",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -306,7 +307,6 @@ _HOISTED = (
     "q_dedup_clusters",
     "als_mse",
     "q_multimodal_features",
-    "q_stream_sliding_halfhour",
     "q_stream_stream_join",
     "q_text_bpe_token_counts",
 )

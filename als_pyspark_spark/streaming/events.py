@@ -371,3 +371,35 @@ def user_max_value_tws(events: DataFrame, threshold: float = 400.0) -> DataFrame
         outputMode="append",
         timeMode="None",
     )
+
+
+def ohlc_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming OHLC candlesticks: per (event_type, 1-hour tumbling
+    window), open/close resolved by min_by/max_by over the UNIQUE
+    (ts, event_id) struct ordering key — a pure declarative streaming
+    aggregate (no row_number, which streaming cannot express), so state
+    per group is O(1): running min/max of (key, value) pairs. The batch
+    twin (q_ohlc_hourly_bars) proves the same picks via row_number."""
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", ordkey).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", ordkey).alias("close_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+        )
+    )

@@ -417,3 +417,51 @@ def q_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "q_stream_ohlc_hourly",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS bh,
+           value,
+           ROW_NUMBER() OVER w AS rn_asc,
+           COUNT(*) OVER (PARTITION BY event_type, date_trunc('hour', ts))
+               AS n_bucket
+    FROM events
+    WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+                 ORDER BY ts, event_id)
+)
+SELECT STRFTIME(bh, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       MIN(CASE WHEN rn_asc = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MIN(CASE WHEN rn_asc = n_bucket THEN value END) AS close_value
+FROM b
+GROUP BY bh, event_type
+""",
+    tags=("streaming", "window", "ohlc"),
+)
+def q_stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling AS A STREAM: open/close are min_by/
+    max_by over the unique (ts, event_id) struct key — the declarative
+    trick that turns a 'needs row_number' shape into a pure streaming
+    aggregate with O(1) per-group state (streaming cannot window-rank).
+    Drained via availableNow and checked against the exact batch oracle,
+    which resolves the same picks via ROW_NUMBER — equality proves the
+    min_by/max_by streaming formulation matches rank-based batch
+    semantics. Batch twin: q_ohlc_hourly_bars.
+
+    100 TB shape: per-group state is four scalars plus two (key, value)
+    pairs regardless of events-per-bucket; watermark bounds the live
+    window count; RocksDB state store holds the tail.
+    """
+    from als_pyspark_spark.streaming.events import ohlc_hourly
+
+    name = "mem_stream_ohlc_hourly"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    stream = ohlc_hourly(read_events_stream(spark, sf_dir))
+    return run_to_memory(stream, name, mode="complete")
