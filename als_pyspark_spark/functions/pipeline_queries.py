@@ -714,3 +714,71 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("leaked_groups").alias("cross_split_dup_groups"),
         )
     )
+
+
+@query(
+    "q_weighted_sampling",
+    oracle="""
+WITH scored AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS n_tokens,
+           LEAST(1000000, len(string_split(text, ' ')) * 20000) AS weight_ppm,
+           ('0x' || substr(MD5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 1000000 AS u_ppm
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN u_ppm < weight_ppm THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN u_ppm < weight_ppm THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS kept_tokens,
+       CAST(SUM(weight_ppm) AS BIGINT) AS expected_ppm_mass
+FROM scored
+GROUP BY source
+""",
+    tags=("pipeline", "sampling", "weighted"),
+)
+def q_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (quality-proportional) document sampling:
+    each document is kept with probability proportional to its token
+    count (capped at 1) — the data-mixing primitive behind
+    quality-weighted corpus construction, where better/longer documents
+    should be over-represented without a separate duplication pass.
+
+    The Bernoulli draw is the repo's seeded-hash idiom: u = md5(salt ‖
+    doc_id) mod 1e6 compared against the weight in ppm — reproducible
+    across runs AND engines (md5 replays byte-identically in DuckDB), so
+    the kept set is exact, not statistical. The ``expected_ppm_mass``
+    column emits Σweight as the in-row expectation witness the kept
+    counts can be sanity-checked against.
+
+    100 TB shape: per-row hash + comparison fused into the scan, one
+    partial+final rollup — the same zero-shuffle profile as
+    q_split_train_test; changing the mixture just changes the weight
+    expression.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text"))).cast("long")
+    weight = F.least(F.lit(1000000).cast("long"), n_tokens * 20000)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    scored = d.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        weight.alias("weight_ppm"),
+        u.alias("u_ppm"),
+    )
+    kept = F.col("u_ppm") < F.col("weight_ppm")
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        F.sum("weight_ppm").alias("expected_ppm_mass"),
+    )

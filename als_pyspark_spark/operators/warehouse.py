@@ -994,3 +994,81 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("checksum_min"),
         F.max("h").alias("checksum_max"),
     )
+
+
+@query(
+    "q_incremental_agg_merge",
+    oracle="""
+WITH split AS (SELECT TIMESTAMP '1996-01-01' AS cut),
+old_agg AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+    FROM orders, split WHERE o_orderdate < cut GROUP BY 1
+), delta_agg AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+    FROM orders, split WHERE o_orderdate >= cut GROUP BY 1
+), merged AS (
+    SELECT month, SUM(n) AS n, SUM(c) AS c
+    FROM (SELECT * FROM old_agg UNION ALL SELECT * FROM delta_agg)
+    GROUP BY month
+), full_agg AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+    FROM orders GROUP BY 1
+)
+SELECT STRFTIME(m.month, '%Y-%m') AS month,
+       CAST(m.n AS BIGINT) AS n_orders,
+       CAST(m.c AS BIGINT) AS total_cents,
+       (m.n = f.n AND m.c = f.c) AS matches_full_recompute
+FROM merged m JOIN full_agg f USING (month)
+""",
+    tags=("warehouse", "incremental", "agg"),
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's materialized rollup
+    merges with the new partition's delta rollup instead of recomputing
+    from scratch — the pattern behind every incrementally-maintained
+    summary table (and the user-facing form of the partial+final
+    aggregation Catalyst performs inside one query). Count and integer-
+    cent sums are MERGEABLE states, so merge(old, delta) must equal the
+    full recompute — emitted per month as the ``matches_full_recompute``
+    in-row witness (all true), the same self-witnessing style as the
+    sketch queries.
+
+    100 TB shape: the delta side scans only the new partition (partition
+    pruning on the date cut); the merge shuffles |months| pre-aggregated
+    rows, not facts. Averages/variances extend the same way by carrying
+    (n, Σx, Σx²) — see q_corr_covar_exact; non-mergeable forms (exact
+    median) are exactly the ones that force full recompute.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    month = F.date_format(
+        F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+    ).alias("month")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.select(month, cents.alias("cents")).groupBy("month").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("c")
+        )
+
+    old_agg = rollup(o.where(F.col("o_orderdate") < cut))
+    delta_agg = rollup(o.where(F.col("o_orderdate") >= cut))
+    merged = (
+        old_agg.unionByName(delta_agg)
+        .groupBy("month")
+        .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+    )
+    full_agg = rollup(o).select(
+        "month", F.col("n").alias("fn"), F.col("c").alias("fc")
+    )
+    return merged.join(full_agg, "month").select(
+        "month",
+        F.col("n").alias("n_orders"),
+        F.col("c").alias("total_cents"),
+        ((F.col("n") == F.col("fn")) & (F.col("c") == F.col("fc"))).alias(
+            "matches_full_recompute"
+        ),
+    )

@@ -283,6 +283,8 @@ _HOISTED = (
     "q_event_transition_matrix",
     "q_table_checksum",
     "q_stream_ohlc_hourly",
+    "q_weighted_sampling",
+    "q_incremental_agg_merge",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -307,8 +309,6 @@ _HOISTED = (
     "q_dedup_clusters",
     "als_mse",
     "q_multimodal_features",
-    "q_stream_stream_join",
-    "q_text_bpe_token_counts",
 )
 
 

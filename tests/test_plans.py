@@ -488,3 +488,19 @@ def test_table_checksum_single_aggregate_no_sort(spark, sf_dir):
     assert "Sort " not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_weighted_sampling_no_shuffle_before_rollup(spark, sf_dir):
+    """Weighted sampling: hash + compare fuse into the scan; the only
+    exchange is the per-source rollup."""
+    plan = plan_of(QUERIES["q_weighted_sampling"].build(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_incremental_merge_prunes_delta_scan(spark, sf_dir):
+    """Incremental maintenance: the delta side's date cut must reach the
+    parquet scan as a pushed filter (partition pruning at scale)."""
+    plan = formatted(QUERIES["q_incremental_agg_merge"].build(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed), plan
