@@ -1072,3 +1072,70 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matches_full_recompute"
         ),
     )
+
+
+@query(
+    "q_latency_percentile_bands",
+    oracle="""
+WITH b AS (
+    SELECT date_trunc('hour', ts) AS bh,
+           value,
+           ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+    FROM events
+)
+SELECT STRFTIME(bh, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+       MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95,
+       MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99,
+       MAX(value) AS p100
+FROM b
+GROUP BY bh
+""",
+    tags=("warehouse", "percentile", "observability", "window"),
+)
+def q_latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour p50/p95/p99/p100 bands over the event value — the
+    latency-dashboard rollup every observability pipeline computes.
+    Discrete (value-at-rank) percentiles with integer rank arithmetic
+    (``ceil(n·p/100)`` as ``(n·p + 99) // 100``) and an (value, event_id)
+    tie-broken ranking, so every band is an actual data value both
+    engines pick identically — floats picked, never interpolated.
+
+    100 TB shape: one window partitioned by the hour bucket (bounded
+    per-bucket state, parallel across buckets) folded into the per-bucket
+    aggregate. At fact scale you trade the exact rank for the
+    approx_percentile sketch — registered with its error-bound witness as
+    q_approx_percentile_sketch; this query is its exact-band twin.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bh")
+    w_rn = Window.partitionBy("bh").orderBy("value", "event_id")
+    w_n = Window.partitionBy("bh")
+    ranked = e.select(bucket, "value", "event_id").select(
+        "bh",
+        "value",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+
+    def band(p: int):
+        rank = F.floor((F.col("n") * p + 99) / 100)
+        return F.min(F.when(F.col("rn") == rank, F.col("value")))
+
+    return ranked.groupBy("bh").agg(
+        F.count("*").alias("n_events"),
+        band(50).alias("p50"),
+        band(95).alias("p95"),
+        band(99).alias("p99"),
+        F.max("value").alias("p100"),
+    ).select(
+        F.date_format("bh", "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
+        "n_events",
+        "p50",
+        "p95",
+        "p99",
+        "p100",
+    )

@@ -285,6 +285,7 @@ _HOISTED = (
     "q_stream_ohlc_hourly",
     "q_weighted_sampling",
     "q_incremental_agg_merge",
+    "q_latency_percentile_bands",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
@@ -308,7 +309,6 @@ _HOISTED = (
     "q_text_top_tokens",
     "q_dedup_clusters",
     "als_mse",
-    "q_multimodal_features",
 )
 
 

@@ -504,3 +504,11 @@ def test_incremental_merge_prunes_delta_scan(spark, sf_dir):
     plan = formatted(QUERIES["q_incremental_agg_merge"].build(spark, sf_dir))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("o_orderdate" in l for l in pushed), plan
+
+
+def test_latency_bands_window_partitions_by_bucket(spark, sf_dir):
+    """Percentile bands: the rank window partitions by the hour bucket —
+    no SinglePartition, no global sort."""
+    plan = plan_of(QUERIES["q_latency_percentile_bands"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(bh" in plan, plan
