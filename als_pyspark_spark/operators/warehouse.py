@@ -1139,3 +1139,158 @@ def q_latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99",
         "p100",
     )
+
+
+@query(
+    "q_market_basket_pairs",
+    oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a,
+       b.l_partkey AS part_b,
+       COUNT(*) AS n_orders_together
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders_together DESC, part_a, part_b
+LIMIT 20
+""",
+    tags=("warehouse", "market-basket", "self-join"),
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs bought together in
+    one order — the frequent-itemset k=2 pass behind every
+    'frequently bought together' feature. The self-join is keyed on the
+    ORDER (the equality key bounds the shuffle) with ``part_a < part_b``
+    canonicalizing each unordered pair once.
+
+    100 TB shape: pair fan-out is Σ C(items_per_order, 2) — per-order
+    basket size is bounded (TPC-H: ≤7), so the join output is a small
+    constant times the fact table, and the pair rollup is partial+final.
+    A pathological mega-basket is exactly what the q_skew_diagnostics
+    check catches before this runs; the k>2 generalization goes through
+    frequent-itemset pruning (count k-1 sets first), not bigger joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders_together"))
+        .orderBy(F.desc("n_orders_together"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_multitouch_attribution",
+    oracle="""
+WITH purchases AS (
+    SELECT event_id AS p_id, user_id, ts AS p_ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS p_cents
+    FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT event_id AS c_id, user_id, ts AS c_ts,
+           ('0x' || substr(MD5('ch|' || CAST(event_id AS VARCHAR)), 1, 2))
+               ::BIGINT % 3 AS channel
+    FROM events WHERE event_type = 'click'
+), touches AS (
+    SELECT p.p_id, p.p_cents, c.channel, c.c_id,
+           COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches,
+           ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY c.c_ts, c.c_id)
+               AS touch_rank
+    FROM purchases p
+    JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+     AND c.c_ts < p.p_ts
+), credited AS (
+    SELECT channel,
+           p_cents // n_touches
+             + CASE WHEN touch_rank = n_touches
+                    THEN p_cents % n_touches ELSE 0 END AS credit_cents
+    FROM touches
+)
+SELECT channel,
+       COUNT(*) AS n_touches,
+       CAST(SUM(credit_cents) AS BIGINT) AS credited_cents
+FROM credited
+GROUP BY channel
+""",
+    tags=("warehouse", "attribution", "range-join"),
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch (linear) marketing attribution: each purchase's value
+    splits evenly across all of that user's clicks in the preceding hour,
+    by synthetic channel — the fan-out generalization of last-touch
+    (``q_asof_last_order_before_event`` is the 1:1 case). Exactness under
+    division: every touch gets ``cents DIV n`` and the LAST touch absorbs
+    the remainder (``cents MOD n``), so credited cents sum EXACTLY to the
+    attributed purchase value — the penny-allocation discipline of
+    financial ledgers, hash-exact on both engines.
+
+    100 TB shape: the user-key equality bounds the interval-join shuffle
+    (same plan contract as q_range_join_purchase_context); the per-
+    purchase windows partition by purchase id over the (bounded-lookback)
+    touch fan-in, never over the raw event table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("p_cents"),
+    )
+    channel = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ch|"), F.col("event_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        channel.alias("channel"),
+    )
+    touches = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("p_id", "p_cents", "channel", "c_id", "c_ts")
+    w_n = Window.partitionBy("p_id")
+    w_rank = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    credited = touches.select(
+        "channel",
+        "p_cents",
+        F.count("*").over(w_n).alias("n_touches"),
+        F.row_number().over(w_rank).alias("touch_rank"),
+    ).select(
+        "channel",
+        (
+            F.expr("p_cents DIV n_touches")
+            + F.when(
+                F.col("touch_rank") == F.col("n_touches"),
+                F.expr("p_cents % n_touches"),
+            ).otherwise(0)
+        ).alias("credit_cents"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("credit_cents").alias("credited_cents"),
+    )

@@ -286,6 +286,8 @@ _HOISTED = (
     "q_weighted_sampling",
     "q_incremental_agg_merge",
     "q_latency_percentile_bands",
+    "q_market_basket_pairs",
+    "q_multitouch_attribution",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",

@@ -512,3 +512,22 @@ def test_latency_bands_window_partitions_by_bucket(spark, sf_dir):
     plan = plan_of(QUERIES["q_latency_percentile_bands"].build(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(bh" in plan, plan
+
+
+def test_market_basket_joins_on_order_key(spark, sf_dir):
+    """Co-occurrence pairs: the self-join must key on the order (bounded
+    fan-out), never degrade to a nested loop, and pick top-20 via
+    TakeOrdered."""
+    plan = plan_of(QUERIES["q_market_basket_pairs"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_multitouch_keeps_user_equality_key(spark, sf_dir):
+    """Attribution: the user equality must be the join KEY with the time
+    band residual; credit windows partition by purchase id."""
+    plan = plan_of(QUERIES["q_multitouch_attribution"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Nested" not in plan, plan
+    assert "hashpartitioning(p_id" in plan, plan
