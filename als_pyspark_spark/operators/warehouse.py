@@ -1294,3 +1294,111 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_touches"),
         F.sum("credit_cents").alias("credited_cents"),
     )
+
+
+@query(
+    "q_ab_test_analysis",
+    oracle="""
+WITH assigned AS (
+    SELECT user_id,
+           ('0x' || substr(MD5('exp1|' || CAST(user_id AS VARCHAR)), 1, 2))
+               ::BIGINT % 2 AS variant,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM events
+    GROUP BY user_id
+), v AS (
+    SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(converted) AS HUGEINT) AS c
+    FROM assigned GROUP BY variant
+), w AS (
+    SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+           MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+           MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+           MAX(CASE WHEN variant = 1 THEN c END) AS c1
+    FROM v
+)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(c0 AS BIGINT) AS conv_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
+       CAST(c1 AS BIGINT) AS conv_treatment,
+       CAST((c1 * 1000000) // n1 - (c0 * 1000000) // n0 AS BIGINT) AS lift_ppm,
+       (625 * (c0 * n1 - c1 * n0) * (c0 * n1 - c1 * n0) * (n0 + n1)
+          > 2401 * n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1))
+           AS significant_95
+FROM w
+""",
+    tags=("warehouse", "experiment", "ab-test"),
+)
+def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with an EXACT two-proportion z-test: users
+    hash-assign to control/treatment (salted md5 — the reproducible
+    bucketing every experimentation platform uses), conversion = any
+    purchase event, and the 95% significance flag evaluates
+    ``|z| > 1.96`` with ZERO floating point: z² > 3.8416 is
+    cross-multiplied to ``625·(c0·n1 − c1·n0)²·N > 2401·n0·n1·C·(N−C)``
+    — integers end to end (DECIMAL(38,0) on Spark, HUGEINT on DuckDB),
+    so the verdict — the thing an experiment gate acts on — hash-matches
+    exactly. Lift is emitted in ppm via integer division.
+
+    Magnitude bound (documented like q_corr_covar_exact): the squared
+    term reaches ~4e32 at SF 1000 user counts; the product stays within
+    DECIMAL(38,0)/HUGEINT through ~SF 20 — past that, run the test on
+    the per-variant aggregate in a float z-test (counts stay exact; only
+    the flag needs floats at that scale).
+
+    100 TB shape: one pass over events (groupBy user with a max-flag —
+    partial aggregation collapses per-user events map-side), then a
+    2-row rollup and a single-row pivot. The heavy lifting is the
+    per-user collapse, which is the minimum any experiment readout pays.
+    """
+    e = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1|"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = (
+        e.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "converted"
+            )
+        )
+        .select(variant.alias("variant"), "converted")
+    )
+    dec = "decimal(38,0)"
+    v = assigned.groupBy("variant").agg(
+        F.count("*").cast(dec).alias("n"), F.sum("converted").cast(dec).alias("c")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    d = F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0")
+    lhs = F.lit(625).cast(dec) * d * d * (F.col("n0") + F.col("n1"))
+    rhs = (
+        F.lit(2401).cast(dec)
+        * F.col("n0")
+        * F.col("n1")
+        * (F.col("c0") + F.col("c1"))
+        * (F.col("n0") + F.col("n1") - F.col("c0") - F.col("c1"))
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("c1").cast("long").alias("conv_treatment"),
+        (
+            F.expr("CAST(c1 * 1000000 AS BIGINT) DIV CAST(n1 AS BIGINT)")
+            - F.expr("CAST(c0 * 1000000 AS BIGINT) DIV CAST(n0 AS BIGINT)")
+        ).alias("lift_ppm"),
+        (lhs > rhs).alias("significant_95"),
+    )

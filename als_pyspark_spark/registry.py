@@ -288,6 +288,7 @@ _HOISTED = (
     "q_latency_percentile_bands",
     "q_market_basket_pairs",
     "q_multitouch_attribution",
+    "q_ab_test_analysis",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",

@@ -531,3 +531,13 @@ def test_multitouch_keeps_user_equality_key(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Nested" not in plan, plan
     assert "hashpartitioning(p_id" in plan, plan
+
+
+def test_ab_test_single_user_collapse(spark, sf_dir):
+    """Experiment readout: the only fact-sized operation is the per-user
+    conversion collapse (hash aggregate) — no windows, no joins beyond
+    the single-row pivot."""
+    plan = plan_of(QUERIES["q_ab_test_analysis"].build(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
