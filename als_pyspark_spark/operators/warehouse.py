@@ -1237,7 +1237,12 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     division: every touch gets ``cents DIV n`` and the LAST touch absorbs
     the remainder (``cents MOD n``), so credited cents sum EXACTLY to the
     attributed purchase value — the penny-allocation discipline of
-    financial ledgers, hash-exact on both engines.
+    financial ledgers, hash-exact on both engines. Precondition (same as
+    the PageRank fixed-point math): purchase values are non-negative —
+    Spark's DIV truncates toward zero while DuckDB's ``//`` floors, and
+    the two agree only on non-negative operands (events.value ≥ 0 by the
+    fixture's data contract; a refund-bearing feed would route negatives
+    through a separate credit pass).
 
     100 TB shape: the user-key equality bounds the interval-join shuffle
     (same plan contract as q_range_join_purchase_context); the per-
