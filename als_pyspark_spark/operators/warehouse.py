@@ -1407,3 +1407,120 @@ def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift_ppm"),
         (lhs > rhs).alias("significant_95"),
     )
+
+
+@query(
+    "q_recency_weighted_engagement",
+    oracle="""
+WITH anchor AS (
+    SELECT MAX(ts) AS max_ts FROM events
+), scored AS (
+    SELECT e.user_id,
+           CAST(ROUND(e.value * 100) AS BIGINT)
+               // CAST(POW(2, LEAST(30, CAST(date_diff('day', e.ts, a.max_ts)
+                                             AS BIGINT) // 7)) AS BIGINT)
+               AS decayed_cents
+    FROM events e, anchor a
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(decayed_cents) AS BIGINT) AS engagement_score
+FROM scored
+GROUP BY user_id
+""",
+    tags=("warehouse", "feature-engineering", "decay"),
+)
+def q_recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score: each event's value decays by
+    half per week of age (relative to the corpus's newest event), summed
+    per user — the exponential-decay feature every churn/propensity model
+    consumes, usually computed with floats and therefore usually
+    non-reproducible. Here the decay is EXACT: weight 2^-w applied as
+    integer division by a power of two (exponent clamped at 30), so the
+    feature is bit-stable across engines, runs, and row orders.
+
+    100 TB shape: the single-row MAX(ts) anchor broadcasts onto the scan
+    (never a window), the decay is per-row arithmetic, and the per-user
+    rollup is partial+final. Incremental maintenance composes with
+    q_incremental_agg_merge by keeping per-(user, week) partials and
+    re-weighting on read.
+    """
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("max_ts"))
+    scored = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr(
+            "CAST(ROUND(value * 100) AS BIGINT) DIV "
+            "CAST(POW(2, LEAST(30, CAST(datediff(max_ts, ts) AS BIGINT) DIV 7)) AS BIGINT)"
+        ).alias("decayed_cents"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("decayed_cents").alias("engagement_score"),
+    )
+
+
+@query(
+    "q_benford_digit_profile",
+    oracle="""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS BIGINT) AS first_digit
+    FROM orders WHERE o_totalprice > 0
+), tot AS (SELECT COUNT(*) AS n FROM digits)
+SELECT d.first_digit,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST((COUNT(*) * 1000000) // t.n AS BIGINT) AS observed_ppm,
+       CAST(CASE d.first_digit
+            WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+            WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+            WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+            END AS BIGINT) AS benford_ppm
+FROM digits d, tot t
+GROUP BY d.first_digit, t.n
+""",
+    tags=("warehouse", "benford", "quality"),
+)
+def q_benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals: observed
+    leading-digit frequencies (ppm, integer cross-division) beside the
+    Benford expectation (log10(1+1/d), precomputed as exact ppm
+    literals) — the forensic-accounting / synthetic-data smell test. A
+    fabricated or truncated money column shows up as a digit profile far
+    from the expectation; the comparison itself is left to the consumer
+    since 'far' is a policy choice (TPC-H-ish uniforms, for instance,
+    deliberately fail Benford).
+
+    First digits are extracted from the integer-cents STRING — no
+    logarithms, no floats — so the profile is hash-exact.
+
+    100 TB shape: per-row string head + one partial+final count per
+    digit, with the single-row total broadcast for the ppm division —
+    the same ≤9-row output at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(F.count("*").alias("n_values"))
+    tot = counts.agg(F.sum("n_values").alias("n"))
+    benford = F.create_map(
+        *[
+            x
+            for d, ppm in [
+                (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+                (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+            ]
+            for x in (F.lit(d), F.lit(ppm))
+        ]
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n_values",
+        F.expr("(n_values * 1000000) DIV n").alias("observed_ppm"),
+        benford[F.col("first_digit")].cast("long").alias("benford_ppm"),
+    )

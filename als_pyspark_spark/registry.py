@@ -289,6 +289,8 @@ _HOISTED = (
     "q_market_basket_pairs",
     "q_multitouch_attribution",
     "q_ab_test_analysis",
+    "q_recency_weighted_engagement",
+    "q_benford_digit_profile",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",

@@ -541,3 +541,18 @@ def test_ab_test_single_user_collapse(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_recency_decay_anchor_broadcast_no_window(spark, sf_dir):
+    """Decay scoring: the MAX(ts) anchor joins as a broadcast of one row;
+    no Window over the fact table."""
+    plan = plan_of(QUERIES["q_recency_weighted_engagement"].build(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_benford_total_broadcast(spark, sf_dir):
+    """Benford profile: digit counts roll up once; the total joins back
+    as a broadcast; output is digit-bounded."""
+    plan = plan_of(QUERIES["q_benford_digit_profile"].build(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
