@@ -246,10 +246,11 @@ _MODULE_ORDER = (
 #   4. evidence rotation — the oldest (r1/r2-vintage) driver rows cycle
 #      back through, keeping every family within ~two rounds of a live
 #      row; each displaced family keeps a canary inside the window. The
-#      late-round warehouse additions (SCD2, z-score, winsorize, Pareto,
-#      inverted index, OHLC) displaced the r1-vintage TPC-H flagships
-#      from the rotation tail — those are unchanged-fingerprint r1-green
-#      and cycle back in round 6.
+#      ~27 late-round additions (warehouse analytics, graph, tokenizer
+#      statistics, experimentation, streaming OHLC) displaced most of the
+#      rotation tail — every displaced entry is unchanged-fingerprint
+#      r1/r2-green and cycles back in round 6; entries past the 50-entry
+#      sweep prefix simply wait for that rotation.
 _HOISTED = (
     # 1. stale exact oracle — driver-replay first
     "q_stream_dedup_count",
