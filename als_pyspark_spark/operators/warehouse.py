@@ -1524,3 +1524,68 @@ def q_benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_values * 1000000) DIV n").alias("observed_ppm"),
         benford[F.col("first_digit")].cast("long").alias("benford_ppm"),
     )
+
+
+@query(
+    "q_target_encoding_loo",
+    oracle="""
+WITH c AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), g AS (
+    SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS s
+    FROM c GROUP BY o_orderpriority
+), enc AS (
+    SELECT c.o_orderkey, c.o_orderpriority,
+           g.s - c.cents AS loo_num,
+           g.n - 1 AS loo_den
+    FROM c JOIN g USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(loo_num % 1000003) AS BIGINT) AS num_residue_sum,
+       CAST(MIN(loo_num) AS BIGINT) AS min_num,
+       CAST(MAX(loo_num) AS BIGINT) AS max_num,
+       CAST(MIN(loo_den) AS BIGINT) AS loo_den
+FROM enc
+GROUP BY o_orderpriority
+""",
+    tags=("warehouse", "feature-engineering", "target-encoding"),
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category feature is the
+    mean target of its group EXCLUDING the row itself — the standard
+    leakage-corrected categorical encoding (naive target encoding leaks
+    each row's own label into its feature; LOO removes it, the same
+    train-serve-hygiene theme as q_leakage_safe_split and
+    q_scd2_point_in_time). The encoding is carried as the exact integer
+    fraction ``(Σ − x) / (n − 1)`` — no division executes — and the
+    per-group summary folds every row's numerator through a modular
+    residue so the driver row witnesses ALL per-row encodings, not just
+    the extremes.
+
+    100 TB shape: identical to the z-score pass — one partial+final
+    group aggregate broadcast back onto the scan; the encoding adds zero
+    shuffles beyond the rollup it needs anyway.
+    """
+    c = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = c.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    enc = c.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderpriority",
+        (F.col("s") - F.col("cents")).alias("loo_num"),
+        (F.col("n") - 1).alias("loo_den"),
+    )
+    return enc.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("loo_num") % 1000003).alias("num_residue_sum"),
+        F.min("loo_num").alias("min_num"),
+        F.max("loo_num").alias("max_num"),
+        F.min("loo_den").alias("loo_den"),
+    )

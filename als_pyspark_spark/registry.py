@@ -292,6 +292,7 @@ _HOISTED = (
     "q_ab_test_analysis",
     "q_recency_weighted_engagement",
     "q_benford_digit_profile",
+    "q_target_encoding_loo",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
