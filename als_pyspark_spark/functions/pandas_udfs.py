@@ -220,3 +220,61 @@ def q_udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.* FROM udtf_poly_docs, "
         "LATERAL split_first_n(doc_id, text, 4) t"
     )
+
+
+@pandas_udf(LongType())
+def trimmed_sum_udf(cents: pd.Series) -> int:
+    """GROUPED_AGG pandas UDF: sum minus one min and one max instance —
+    the robust-statistics trim, integer-exact (pandas int64 arithmetic,
+    no floats). Receives the whole group as one Arrow batch and returns
+    a scalar — the custom-UDAF surface (reference §2.10 has no UDAF
+    concept at all; its aggregations are hand-rolled merge closures,
+    e.g. NormalEquation.merge, Solver.py:50-59)."""
+    return int(cents.sum() - cents.min() - cents.max())
+
+
+@pandas_udf(LongType())
+def group_count_udf(cents: pd.Series) -> int:
+    """GROUPED_AGG count companion — Spark disallows mixing a group
+    aggregate pandas UDF with non-pandas aggregates in one agg()
+    (INVALID_PANDAS_UDF_PLACEMENT), so the row count rides the same
+    Arrow batch."""
+    return int(len(cents))
+
+
+@query(
+    "q_pandas_grouped_agg_trimmed",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) - MIN(cents) - MAX(cents) AS BIGINT) AS trimmed_cents
+FROM (SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY o_orderpriority
+""",
+    tags=("udf", "pandas", "grouped-agg"),
+)
+def q_pandas_grouped_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas UDF: per priority group, the
+    extreme-trimmed sum of order cents — completing the §2.10 UDF
+    surface (scalar pandas_udf, grouped-map applyInPandas, mapInPandas,
+    UDTF, VARIANT, and now grouped-agg). The trim is ``Σ − min − max``,
+    so the oracle replays it with plain SQL aggregates and the Arrow
+    aggregation boundary is proven lossless on integers.
+
+    100 TB shape: GROUPED_AGG ships each group to Python as one Arrow
+    batch — fine for bounded groups like this 5-priority rollup, and
+    exactly the shape to AVOID on high-cardinality fact keys, where the
+    built-in equivalent (as in the oracle) keeps partial aggregation
+    JVM-side; the docstring IS the decision rule, same as the labeled
+    scalar-UDF demo above.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        group_count_udf("cents").alias("n_orders"),
+        trimmed_sum_udf("cents").alias("trimmed_cents"),
+    )

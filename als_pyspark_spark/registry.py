@@ -293,6 +293,7 @@ _HOISTED = (
     "q_recency_weighted_engagement",
     "q_benford_digit_profile",
     "q_target_encoding_loo",
+    "q_pandas_grouped_agg_trimmed",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
