@@ -405,3 +405,155 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(30)
     )
+
+
+@query(
+    "q_bigram_lm_counts",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bigrams AS (
+    SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks WHERE len(t) >= 2
+), unigrams AS (
+    SELECT UNNEST(t) AS w1 FROM toks
+), bg AS (
+    SELECT string_split(bigram, ' ')[1] AS w1,
+           string_split(bigram, ' ')[2] AS w2,
+           COUNT(*) AS cond_num
+    FROM bigrams GROUP BY 1, 2
+), ug AS (
+    SELECT w1, COUNT(*) AS w1_count FROM unigrams GROUP BY w1
+)
+SELECT bg.w1, bg.w2,
+       CAST(bg.cond_num AS BIGINT) AS cond_num,
+       CAST(ug.w1_count AS BIGINT) AS cond_den
+FROM bg JOIN ug USING (w1)
+ORDER BY cond_num DESC, w1, w2
+LIMIT 30
+""",
+    tags=("text", "ngram-lm", "tokenizer"),
+)
+def q_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation counts: for the corpus's top
+    bigrams, the maximum-likelihood conditional ``P(w2|w1)`` as the exact
+    integer fraction ``count(w1 w2) / count(w1)`` — the statistics an
+    n-gram LM (or a data-quality perplexity filter) is built from, with
+    no division and therefore no float drift. Complements
+    q_bpe_pair_counts (character level) and q_text_top_tokens (unigram
+    level) at the token-bigram level.
+
+    Bigrams explode via the same sequence+zip idiom as the shingling
+    queries (JVM HOFs, single-char-free since documents are
+    space-tokenized); the conditional denominator joins from the unigram
+    rollup on w1.
+
+    100 TB shape: two partial+final aggregates (bigram, unigram) — the
+    unigram table is vocabulary-sized, so the denominator join
+    broadcasts; top-30 is TakeOrdered. Zipf head skew on w1 is absorbed
+    by map-side partial aggregation before the shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("t"))
+    bigrams = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cond_num"))
+    )
+    unigrams = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("w1_count"))
+    )
+    return (
+        bigrams.join(F.broadcast(unigrams), "w1")
+        .select("w1", "w2", "cond_num", F.col("w1_count").alias("cond_den"))
+        .orderBy(F.desc("cond_num"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )
+
+
+@query(
+    "q_source_vocab_overlap",
+    oracle="""
+WITH vocab AS (
+    SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS tok
+    FROM documents
+), sizes AS (
+    SELECT source, COUNT(*) AS n FROM vocab GROUP BY source
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+    FROM vocab a JOIN vocab b
+      ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(sa.n AS BIGINT) AS vocab_a,
+       CAST(sb.n AS BIGINT) AS vocab_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST((i.n_common * 1000000) // (sa.n + sb.n - i.n_common) AS BIGINT)
+           AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+""",
+    tags=("text", "corpus-similarity", "jaccard"),
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source similarity: pairwise vocabulary Jaccard
+    between sources (in exact ppm via integer cross-division) — the
+    dataset-comparison readout behind mixture design and contamination
+    triage (two sources with near-identical vocabularies are candidates
+    for dedup ahead of mixing; q_mixture_rebalance decides the weights,
+    this measures the redundancy).
+
+    100 TB shape: the corpus collapses to the DISTINCT (source, token)
+    vocabulary first — vocabulary-sized, Zipf-truncated — so the pair
+    join runs over dictionaries, not documents; with |sources| small the
+    intersect join is dictionary × dictionary on the token key. The same
+    computation over MinHash signatures (q_dedup_minhash_lsh's family)
+    replaces the exact intersect when vocabularies stop fitting."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = d.select("source", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.expr(
+                "(n_common * 1000000) DIV (vocab_a + vocab_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )

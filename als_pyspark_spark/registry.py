@@ -294,6 +294,8 @@ _HOISTED = (
     "q_benford_digit_profile",
     "q_target_encoding_loo",
     "q_pandas_grouped_agg_trimmed",
+    "q_bigram_lm_counts",
+    "q_source_vocab_overlap",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",

@@ -556,3 +556,19 @@ def test_benford_total_broadcast(spark, sf_dir):
     as a broadcast; output is digit-bounded."""
     plan = plan_of(QUERIES["q_benford_digit_profile"].build(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_lm_unigram_broadcast_take_ordered(spark, sf_dir):
+    """LM counts: the unigram denominator joins as a broadcast; top-30
+    is TakeOrdered."""
+    plan = plan_of(QUERIES["q_bigram_lm_counts"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_vocab_overlap_joins_on_token(spark, sf_dir):
+    """Source similarity: the intersect join keys on the token (never
+    cartesian over sources x sources x vocab)."""
+    plan = plan_of(QUERIES["q_source_vocab_overlap"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
