@@ -1589,3 +1589,70 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("loo_num").alias("max_num"),
         F.min("loo_den").alias("loo_den"),
     )
+
+
+@query(
+    "q_churn_labels",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, MIN(ts) AS first_ts
+    FROM events GROUP BY user_id
+), labeled AS (
+    SELECT f.user_id,
+           COUNT(CASE WHEN e.ts < f.first_ts + INTERVAL 7 DAY
+                      THEN 1 END) AS n_first_week,
+           MAX(CASE WHEN e.event_type = 'purchase'
+                     AND e.ts >= f.first_ts + INTERVAL 7 DAY
+                     AND e.ts <  f.first_ts + INTERVAL 7 DAY + INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END) AS retained_label
+    FROM firsts f JOIN events e ON e.user_id = f.user_id
+    GROUP BY f.user_id
+)
+SELECT retained_label,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_first_week) AS BIGINT) AS first_week_events
+FROM labeled
+GROUP BY retained_label
+""",
+    tags=("warehouse", "labels", "feature-engineering"),
+)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning label construction: per user, the
+    retained/churned label (a PURCHASE inside the 12-hour outcome window
+    opening 7 days after their first event — narrow enough that both
+    classes materialize in the dense fixture) beside the first-week activity feature — the
+    observation-window / outcome-window split every churn or LTV model
+    needs, with the windows anchored per-entity (not calendar-global) so
+    the label can never see feature-window data. Summarized as the label
+    distribution the training job logs before fitting.
+
+    Interval arithmetic is exact (timestamp + literal INTERVAL, integer
+    event counts), so labels hash-match.
+
+    100 TB shape: one MIN-rollup for anchors, one keyed join back onto
+    the event scan (the anchor side is user-dimension-sized), one
+    conditional aggregate — the per-entity-window pattern that a naive
+    per-user window function would do with far more state.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = e.join(F.broadcast(firsts), "user_id")
+    wk = F.col("first_ts") + F.expr("INTERVAL 7 DAY")
+    outcome_end = F.col("first_ts") + F.expr("INTERVAL 7 DAY") + F.expr(
+        "INTERVAL 12 HOUR"
+    )
+    labeled = j.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < wk, 1)).alias("n_first_week"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= wk)
+                & (F.col("ts") < outcome_end),
+                1,
+            ).otherwise(0)
+        ).alias("retained_label"),
+    )
+    return labeled.groupBy("retained_label").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_first_week").alias("first_week_events"),
+    )

@@ -296,6 +296,7 @@ _HOISTED = (
     "q_pandas_grouped_agg_trimmed",
     "q_bigram_lm_counts",
     "q_source_vocab_overlap",
+    "q_churn_labels",
     # 3a. ADVICE fixes (code changed after last driver row)
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
