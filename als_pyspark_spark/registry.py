@@ -297,25 +297,34 @@ _HOISTED = (
     "q_bigram_lm_counts",
     "q_source_vocab_overlap",
     "q_churn_labels",
-    # 3a. ADVICE fixes (code changed after last driver row)
+    # 3a. rows-only queries upgraded with in-row bound witnesses — their
+    # OUTPUT PAYLOAD changed this round, so the pre-upgrade driver rows
+    # don't witness the new form; these take the refresh slots left after
+    # the ~43 never-verified entries above (the late-round additions
+    # displaced the remaining refreshes past the 50-entry prefix).
+    "q_approx_distinct_users",
+    "q_approx_percentile_sketch",
+    "q_tablesample_stats",
+    "q_hll_sketch_union",
+    "q_ann_ivf_top10",
+    # 3b. behavior-relevant ADVICE fixes (manifest-only read-back;
+    # empty-payload guard) — code changed after last driver row
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
+    # --- entries below here sit past the 50-entry sweep prefix this
+    # round: behavior-preserving refreshes (widened max_by key — same
+    # formula both sides; app_scratch GC rewrite — unit-tested, shared
+    # by the in-prefix q_python_datasource_write; docstring-only
+    # pandas_udf change) whose fixes are locally verified and which
+    # rotate through the round-6 window first.
     "q_maxby_top_order_per_customer",
-    # 3b. app_scratch GC rewrite reaches every scratch-dir sink
     "q_sink_partitioned_parquet",
     "q_sink_csv_roundtrip",
     "q_sink_json_roundtrip",
     "q_sink_orc_roundtrip",
     "q_sink_xml_roundtrip",
     "q_stream_foreachbatch_sink",
-    # 3c. pandas_udf surface-proof docstrings (fingerprint-visible)
     "q_pandas_udf_doc_stats",
-    # 3d. rows-only queries upgraded with in-row bound witnesses
-    "q_approx_distinct_users",
-    "q_approx_percentile_sketch",
-    "q_tablesample_stats",
-    "q_hll_sketch_union",
-    "q_ann_ivf_top10",
     # 4. rotation — r2-vintage rows (oldest families first) ...
     "q_text_top_tokens",
     "q_dedup_clusters",
