@@ -1656,3 +1656,52 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("n_first_week").alias("first_week_events"),
     )
+
+
+@query(
+    "q_relational_division",
+    oracle="""
+WITH all_priorities AS (
+    SELECT COUNT(DISTINCT o_orderpriority) AS n_all FROM orders
+), spans AS (
+    SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_prio,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(s.n_prio = a.n_all AS BOOLEAN) AS covers_all,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(s.n_orders) AS BIGINT) AS n_orders
+FROM spans s CROSS JOIN all_priorities a
+GROUP BY covers_all
+""",
+    tags=("warehouse", "relational-division", "agg"),
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the textbook 'for all' operator (Codd's ÷):
+    which customers have placed orders under EVERY priority class? The
+    classic formulations are a double NOT EXISTS or a set-difference;
+    the scale-correct one used here is the count-match reduction:
+    a customer qualifies iff their DISTINCT-priority count equals the
+    divisor's cardinality — one grouped aggregate against a broadcast
+    1-row divisor count, no correlated subquery, no row multiplication.
+
+    100 TB shape: one partial+final aggregate on the customer key (the
+    distinct-priority count partial-aggregates map-side); the divisor
+    cardinality is a 1-row broadcast. The double-NOT-EXISTS form the
+    textbooks teach decorrelates to exactly this plan — expressing it
+    directly skips relying on the decorrelator.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    n_all = o.agg(F.countDistinct("o_orderpriority").alias("n_all"))
+    spans = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spans.crossJoin(F.broadcast(n_all))
+        .groupBy((F.col("n_prio") == F.col("n_all")).alias("covers_all"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )

@@ -297,6 +297,7 @@ _HOISTED = (
     "q_bigram_lm_counts",
     "q_source_vocab_overlap",
     "q_churn_labels",
+    "q_relational_division",
     # 3a. rows-only queries upgraded with in-row bound witnesses — their
     # OUTPUT PAYLOAD changed this round, so the pre-upgrade driver rows
     # don't witness the new form; these take the refresh slots left after
