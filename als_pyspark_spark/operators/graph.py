@@ -141,3 +141,135 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("node")
     )
+
+
+@query(
+    "q_triangle_count_parts",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+    SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+    SELECT e1.x AS a, e1.y AS b, e2.y AS c
+    FROM e e1
+    JOIN e e2 ON e2.x = e1.y
+    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+), nodes AS (
+    SELECT a AS p FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT p AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY p
+ORDER BY n_triangles DESC, p_partkey ASC
+LIMIT 20
+""",
+    tags=("graph", "triangles", "self-join"),
+)
+def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the part co-purchase
+    graph (edge = two parts share an order): the clustering/community
+    primitive behind recommendation diversity and graph-quality metrics.
+
+    The Spark side uses the DEGREE-ORIENTED algorithm: each undirected
+    edge is directed from its lower-(degree, id) endpoint to the higher,
+    so every triangle is enumerated exactly once as a wedge u→v, u→w
+    (ord(v) < ord(w)) closed by the oriented edge v→w. Orientation bounds
+    per-node out-degree by O(√m), turning the wedge explosion of naive
+    enumeration into the O(m^1.5) plan that survives dense co-purchase
+    graphs at 100 TB — while the ORACLE enumerates triangles naively as
+    the canonical a<b<c triple join, proving the oriented plan finds the
+    identical triangle set (the set is algorithm-independent).
+
+    100 TB shape: basket fan-out bounds the per-order pair explosion
+    (the q_market_basket_pairs argument); the wedge join and closure join
+    are plain hash equi-joins on node keys; the final top-20 is
+    TakeOrderedAndProject with a total (count, partkey) order so ties are
+    deterministic.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("p"))
+        .unionByName(e.select(F.col("y").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Direct each edge from the lower (deg, id) endpoint to the higher;
+    # carry both endpoints' order keys for the wedge comparison below.
+    ed = (
+        e.join(deg.withColumnRenamed("p", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("p", "y").withColumnRenamed("deg", "dy"), "y")
+        .select(
+            F.when(
+                (F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                F.struct(
+                    F.col("x").alias("id"),
+                    F.col("dx").alias("deg"),
+                    F.col("y").alias("oid"),
+                    F.col("dy").alias("odeg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("y").alias("id"),
+                    F.col("dy").alias("deg"),
+                    F.col("x").alias("oid"),
+                    F.col("dx").alias("odeg"),
+                )
+            )
+            .alias("s")
+        )
+        .select(
+            F.col("s.id").alias("u"),
+            F.col("s.oid").alias("v"),
+            F.col("s.deg").alias("du"),
+            F.col("s.odeg").alias("dv"),
+        )
+        .persist()
+    )
+    w1 = ed.select(
+        F.col("u"), F.col("v"), F.col("dv").alias("ord_v_deg")
+    ).alias("w1")
+    w2 = ed.select(
+        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("ord_w_deg")
+    ).alias("w2")
+    wedges = w1.join(w2, "u").where(
+        (F.col("ord_v_deg") < F.col("ord_w_deg"))
+        | ((F.col("ord_v_deg") == F.col("ord_w_deg")) & (F.col("v") < F.col("w")))
+    )
+    closure = ed.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    ).alias("cl")
+    tri = wedges.join(closure, ["v", "w"]).select("u", "v", "w")
+    nodes = (
+        tri.select(F.col("u").alias("p"))
+        .unionByName(tri.select(F.col("v").alias("p")))
+        .unionByName(tri.select(F.col("w").alias("p")))
+    )
+    return (
+        nodes.groupBy("p")
+        .agg(F.count("*").alias("n_triangles"))
+        .select(F.col("p").alias("p_partkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), F.asc("p_partkey"))
+        .limit(20)
+    )

@@ -1,0 +1,238 @@
+"""Time-series analytics: calendar gap-fill with LOCF interpolation,
+sweep-line interval concurrency, and cumulative-distinct growth curves.
+
+These are the hypertable-adjacent operators a timeseries store (Timescale's
+``time_bucket_gapfill``/``locf``, QuestDB's ``SAMPLE BY ... FILL``) ships
+natively and the reference's batch engine has no analogue for; here each is
+a composition of built-in DataFrame ops whose only ordered windows run over
+*calendar-grain* or *entity-grain* aggregates, never over the raw fact
+table — the same bounded-window discipline as q_revenue_mom_change
+(operators/windows.py).
+
+Exactness discipline (matches the rest of the repo): money travels as
+integer cents (``ROUND(value·100)``), counts as BIGINT, days as 'yyyy-MM-dd'
+strings — every output column hash-matches the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from als_pyspark_spark.registry import query
+from als_pyspark_spark.sources.tables import load_table
+
+
+@query(
+    "q_gapfill_locf_daily",
+    oracle="""
+WITH e AS (
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), daily AS (
+    SELECT event_type, day,
+           COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS c
+    FROM e GROUP BY 1, 2
+), bounds AS (
+    SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+), cal AS (
+    SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+), grid AS (
+    SELECT t.event_type, cal.day
+    FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN cal
+)
+SELECT g.event_type,
+       STRFTIME(g.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n, 0) AS n_events,
+       LAST_VALUE(d.c IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS UNBOUNDED PRECEDING
+       ) AS total_cents_locf,
+       d.n IS NULL AS is_gap
+FROM grid g
+LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day
+""",
+    tags=("timeseries", "gapfill", "locf", "window"),
+)
+def q_gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with last-observation-carried-forward: the daily
+    per-type revenue rollup joined against the FULL min..max calendar, so
+    silent days materialize as rows with ``n_events = 0`` and the previous
+    day's total carried forward (Timescale ``time_bucket_gapfill`` +
+    ``locf`` semantics; days before a type's first observation stay NULL).
+
+    100 TB shape: the fact scan collapses to (type × day) grain in one
+    partial-aggregated groupBy before anything ordered happens. The
+    calendar is built from a 1-row min/max aggregate via ``sequence`` and
+    cross-joined against the distinct type list — both broadcast-sized by
+    construction. The LOCF window (``last(..., ignorenulls)`` per type,
+    ordered by day) runs over that bounded grid, never the fact table, so
+    there is no single-partition sort of raw data at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    cal = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(cal))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("c", ignorenulls=True).over(w).alias("total_cents_locf"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query(
+    "q_max_concurrent_sessions",
+    oracle="""
+WITH deltas AS (
+    SELECT ts AS t, 1 AS d FROM events
+    UNION ALL
+    SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM events
+), run AS (
+    SELECT CAST(t AS DATE) AS day, d,
+           SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS r
+    FROM deltas
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(MAX(r) AS BIGINT) AS max_concurrent,
+       CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened
+FROM run
+GROUP BY day
+""",
+    tags=("timeseries", "intervals", "sweep-line", "two-phase"),
+)
+def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day over half-open 30-minute sessions
+    ``[ts, ts+30m)`` — the classic sweep-line (+1 at open, −1 at close,
+    max of the running sum), computed as a DISTRIBUTED two-phase prefix
+    sum rather than one global ordered window:
+
+    1. each delta's day partitions the sweep; the within-day running sum
+       is a window partitioned BY DAY (parallel across days);
+    2. the carry into each day (sum of all deltas of prior days) comes
+       from a day-grain aggregate with a calendar-bounded cumulative
+       window — the q_revenue_mom_change discipline;
+    3. global running value = carry + within-day prefix; max per day.
+
+    Tie order is pinned to (t, d) ascending so a close at exactly t never
+    overlaps an open at t (half-open semantics), and within a tie group
+    all deltas share a sign, so the per-day max is permutation-stable —
+    the DuckDB oracle's single global window computes the identical
+    per-day maxima.
+
+    100 TB shape: no SinglePartition sort of the fact table — phase 1
+    parallelizes across days, phase 2's ordered window sees one row per
+    calendar day.
+    """
+    e = load_table(spark, sf_dir, "events")
+    deltas = e.select(F.col("ts").alias("t"), F.lit(1).alias("d")).unionByName(
+        e.select(
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    ).withColumn("day", F.to_date("t"))
+    in_day = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_delta = deltas.select(
+        "day", "d", F.sum("d").over(in_day).alias("r_in_day")
+    )
+    day_stats = per_delta.groupBy("day").agg(
+        F.max("r_in_day").alias("max_in_day"),
+        F.sum("d").alias("day_total"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opened"),
+    )
+    carry_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return day_stats.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.coalesce(F.sum("day_total").over(carry_w), F.lit(0))
+            + F.col("max_in_day")
+        ).alias("max_concurrent"),
+        "n_opened",
+    )
+
+
+@query(
+    "q_cumulative_distinct_users",
+    oracle="""
+WITH per_day AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events GROUP BY 1, 2
+), first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), active AS (
+    SELECT day, COUNT(*) AS active_users FROM per_day GROUP BY day
+), fresh AS (
+    SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+)
+SELECT STRFTIME(a.day, '%Y-%m-%d') AS day,
+       a.active_users,
+       COALESCE(f.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(f.new_users, 0)) OVER (
+           ORDER BY a.day ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cumulative_users
+FROM active a LEFT JOIN fresh f ON f.day = a.day
+""",
+    tags=("timeseries", "distinct", "growth", "two-phase"),
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative-distinct user counts — the growth
+    dashboard's headline curve, computed EXACTLY without any
+    distinct-per-window blowup: cumulative distinct as of day d equals the
+    count of users whose FIRST-SEEN day ≤ d, so one groupBy(user) min()
+    plus a day-grain cumulative window replaces the naive
+    count(distinct) over an expanding frame (which would rescan every
+    prefix).
+
+    100 TB shape: two hash aggregates over the fact table (user-grain
+    first-seen, (day,user)-grain active), both partial-aggregated map-side;
+    the only ordered window runs over the day-grain result (calendar-
+    bounded, q_revenue_mom_change discipline).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    active = e.distinct().groupBy("day").agg(F.count("*").alias("active_users"))
+    fresh = (
+        e.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    cum_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(fresh, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "new_users",
+            F.sum("new_users").over(cum_w).alias("cumulative_users"),
+        )
+    )

@@ -224,6 +224,7 @@ _MODULE_ORDER = (
     "als_pyspark_spark.operators.aggregates",
     "als_pyspark_spark.operators.setops",
     "als_pyspark_spark.operators.scalar_funcs",
+    "als_pyspark_spark.operators.timeseries",
 )
 
 # Individual queries hoisted to the very front of the registry, ahead of
@@ -298,6 +299,13 @@ _HOISTED = (
     "q_source_vocab_overlap",
     "q_churn_labels",
     "q_relational_division",
+    # 2b. timeseries + graph tail additions — never driver-verified, so
+    # they must sit inside the prefix; the displaced stale-refresh
+    # entries below (older but EXISTING driver rows) absorb the slip.
+    "q_gapfill_locf_daily",
+    "q_max_concurrent_sessions",
+    "q_cumulative_distinct_users",
+    "q_triangle_count_parts",
     # 3a. rows-only queries upgraded with in-row bound witnesses — their
     # OUTPUT PAYLOAD changed this round, so the pre-upgrade driver rows
     # don't witness the new form; these take the refresh slots left after
