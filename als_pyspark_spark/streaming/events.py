@@ -236,6 +236,41 @@ def stream_stream_purchase_click(
     ).select("p_user", "purchase_id", "click_id")
 
 
+def stream_stream_purchase_click_outer(
+    purchases: DataFrame, clicks: DataFrame, lookback: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits — paired with
+    that user's preceding-hour clicks when they exist, with a NULL click
+    otherwise. The outer side is the semantically harder stream-stream
+    flavor: Spark can only emit the unmatched-left row once the global
+    watermark proves no future click can still join it, so null rows
+    surface on state EVICTION in a LATER micro-batch, not when the
+    purchase arrives. Same watermark + event-time-range discipline as the
+    inner variant (state stays bounded at any scale); the caller must feed
+    ≥2 micro-batches for any outer row to flush at all, and only purchases
+    whose join window is fully below the final-advanced watermark have
+    deterministic outer results (q_stream_left_outer_join pins exactly
+    that closed subset against the batch oracle).
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("p_user", "purchase_id", "p_ts", "click_id")
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

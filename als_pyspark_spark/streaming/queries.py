@@ -465,3 +465,121 @@ def q_stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = ohlc_hourly(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, name, mode="complete")
+
+
+@query(
+    "q_stream_left_outer_join",
+    oracle="""
+WITH t0 AS (
+    SELECT MAX(ts) - INTERVAL 6 DAY AS v FROM events
+), wm AS (
+    SELECT LEAST(
+        (SELECT MAX(ts) FROM events
+          WHERE event_type = 'purchase' AND ts < (SELECT v FROM t0)),
+        (SELECT MAX(ts) FROM events
+          WHERE event_type = 'click' AND ts < (SELECT v FROM t0))
+    ) - INTERVAL 4 HOUR AS v
+), closed AS (
+    SELECT event_id, user_id, ts FROM events
+    WHERE event_type = 'purchase' AND ts <= (SELECT v FROM wm)
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id AS p_user,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+FROM closed p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "stream-stream", "outer", "watermark"),
+)
+def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join, driven through the part of the
+    semantics the inner variant never touches: unmatched-left emission on
+    watermark-driven state eviction.
+
+    An outer null row can only flush in a micro-batch AFTER the watermark
+    has passed the purchase's join window, so a single-batch drain (the
+    inner join's setup) would emit no outer rows at all. This query
+    therefore re-stages events as TWO parquet files split at
+    ``max(ts) − 6 days`` and streams them with ``maxFilesPerTrigger=1``:
+    batch 1 (early file) loads both join states, the watermark advances on
+    the batch boundary, and batch 2 (late file) evicts expired purchases —
+    emitting their NULL-click rows — while still matching its own inner
+    pairs.
+
+    Determinism contract: only purchases whose entire join window is
+    provably below the batch-1 watermark have settled outer results, so
+    both sides compare the CLOSED subset — ``p_ts ≤ wm₁ − 2h`` where
+    ``wm₁ = min(max purchase ts, max click ts in file 1) − 2h delay`` —
+    computed from the data by identical expressions in Spark and the
+    oracle. Clicks for a closed purchase cannot live in file 2
+    (``c_ts ≤ p_ts ≤ wm₁ − 2h < t0``), so the split loses no matches;
+    unmatched tail purchases (file 2 era, watermark never passes them) are
+    excluded on BOTH sides. A missing eviction row or a dropped pair
+    anywhere in the closed subset hash-mismatches the batch LEFT JOIN
+    oracle.
+
+    100 TB shape: identical state-store plan to the inner join — watermark
+    bounds both states, the event-time range keys eviction; the two-file
+    re-stage exists only to exercise multi-batch watermark advancement
+    deterministically in a bounded test.
+    """
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.sources.sinks import app_scratch
+    from als_pyspark_spark.sources.tables import load_table
+    from als_pyspark_spark.streaming.events import (
+        stream_stream_purchase_click_outer,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    t0 = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 6 DAYS")).alias("v")
+    ).collect()[0]["v"]
+    staged = app_scratch(spark, "stream_louter_in")
+    # Two sequential single-file writes => distinct mtimes => the file
+    # source (latestFirst=false) replays them oldest-first as two batches.
+    events.where(F.col("ts") < F.lit(t0)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    events.where(F.col("ts") >= F.lit(t0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+
+    cutoff = (
+        events.where(F.col("ts") < F.lit(t0))
+        .groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select((F.col("m") - F.expr("INTERVAL 4 HOURS")).alias("v"))
+        .collect()[0]["v"]
+    )
+
+    raw = (
+        spark.readStream.schema(events.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(staged)
+    )
+    purchases = raw.where(F.col("event_type") == "purchase")
+    clicks = raw.where(F.col("event_type") == "click")
+    joined = stream_stream_purchase_click_outer(purchases, clicks)
+
+    name = "mem_stream_left_outer_join"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    drained = run_to_memory(joined, name, mode="append")
+    return (
+        drained.where(F.col("p_ts") <= F.lit(cutoff))
+        .groupBy("purchase_id", "p_user")
+        .agg(F.count("click_id").alias("n_clicks"))
+    )
