@@ -572,3 +572,41 @@ def test_vocab_overlap_joins_on_token(spark, sf_dir):
     plan = plan_of(QUERIES["q_source_vocab_overlap"].build(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gapfill_locf_window_partitions_by_type(spark, sf_dir):
+    """Gap-fill: the LOCF window partitions by event_type over the
+    (type × day) grid; the only SinglePartition exchange is the 1-row
+    min/max calendar-bounds aggregate, and the grid cross-join broadcasts
+    (both sides dimension-sized by construction)."""
+    plan = plan_of(QUERIES["q_gapfill_locf_daily"].build(spark, sf_dir))
+    assert "hashpartitioning(event_type" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_max_concurrent_in_day_window_partitions_by_day(spark, sf_dir):
+    """Sweep-line concurrency: phase 1's running sum partitions BY DAY
+    (parallel), so the only SinglePartition window is the day-grain carry
+    — the two-phase prefix-sum contract."""
+    plan = plan_of(QUERIES["q_max_concurrent_sessions"].build(spark, sf_dir))
+    assert "hashpartitioning(day" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_cumulative_distinct_no_expanding_window(spark, sf_dir):
+    """Cumulative distinct: both heavy aggregates hash-partition; the only
+    ordered window runs over the day grain (≤1 SinglePartition)."""
+    plan = plan_of(QUERIES["q_cumulative_distinct_users"].build(spark, sf_dir))
+    assert "hashpartitioning(day" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_triangle_count_hash_joins_and_take_ordered(spark, sf_dir):
+    """Triangles: wedge + closure joins stay keyed hash/sort-merge joins
+    (never a nested loop over edge pairs); top-20 is TakeOrdered; no
+    global sort or SinglePartition anywhere."""
+    plan = plan_of(QUERIES["q_triangle_count_parts"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
