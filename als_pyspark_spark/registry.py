@@ -307,6 +307,7 @@ _HOISTED = (
     "q_cumulative_distinct_users",
     "q_triangle_count_parts",
     "q_stream_left_outer_join",
+    "q_zorder_layout_sink",
     # 3a. rows-only queries upgraded with in-row bound witnesses — their
     # OUTPUT PAYLOAD changed this round, so the pre-upgrade driver rows
     # don't witness the new form; these take the refresh slots left after

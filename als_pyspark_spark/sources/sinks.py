@@ -289,3 +289,101 @@ def q_sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+def _morton_spread(col: str) -> str:
+    """SQL expression spreading a 16-bit value's bits to the even bit
+    positions of a 32-bit value (the multiply-mask Morton trick) — pure
+    integer shifts/masks, so Spark and DuckDB evaluate it bit-identically."""
+    x = f"CAST({col} AS BIGINT)"
+    x = f"(({x} | ({x} << 8)) & 16711935)"
+    x = f"(({x} | ({x} << 4)) & 252645135)"
+    x = f"(({x} | ({x} << 2)) & 858993459)"
+    x = f"(({x} | ({x} << 1)) & 1431655765)"
+    return x
+
+
+@query(
+    "q_zorder_layout_sink",
+    oracle="""
+WITH z AS (
+    SELECT o_custkey % 1024 AS cx,
+           DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS dy
+    FROM orders
+), s1 AS (
+    SELECT cx, dy,
+           (CAST(cx AS BIGINT) | (CAST(cx AS BIGINT) << 8)) & 16711935 AS a,
+           (CAST(dy AS BIGINT) | (CAST(dy AS BIGINT) << 8)) & 16711935 AS b
+    FROM z
+), s2 AS (
+    SELECT cx, dy, (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1
+), s3 AS (
+    SELECT cx, dy, (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2
+), s4 AS (
+    SELECT cx, dy, (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3
+), zv AS (
+    SELECT cx, dy, (a | (b << 1)) AS zval FROM s4
+)
+SELECT CAST(zval >> 16 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(cx) AS BIGINT) AS min_cust,
+       CAST(MAX(cx) AS BIGINT) AS max_cust,
+       CAST(MIN(dy) AS BIGINT) AS min_day,
+       CAST(MAX(dy) AS BIGINT) AS max_day
+FROM zv
+GROUP BY 1
+""",
+    tags=("sink", "parquet", "layout", "zorder", "morton"),
+)
+def q_zorder_layout_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional Z-ORDER layout (Delta ``OPTIMIZE ZORDER BY``, the
+    step beyond q_sink_sorted_layout's linear clustering): customer key
+    and order-date day index are bit-interleaved into a Morton code, the
+    table is range-partitioned and sorted by that code, and rewritten to
+    parquet — so file/row-group min-max stats become tight in BOTH
+    dimensions at once and a reader filtering on either column (or a 2-D
+    cell) skips most files.
+
+    The returned DataFrame aggregates the READ-BACK layout per top-4-bit
+    z-bucket: each bucket's (min,max) envelope in both dimensions is the
+    data-skipping witness, and every value is integer (mod, shift, mask),
+    so the oracle — which replays the identical interleave on the raw
+    table — hash-matches bit-for-bit. A content drop or duplication in
+    the rewrite, or a divergent interleave, breaks the match.
+
+    100 TB shape: one range shuffle on the z-value at ingestion (AQE
+    balances boundaries), identical cost to any sorted rewrite; the
+    payoff is multiplicative scan pruning for every 2-D-selective reader
+    after. Dimensions are folded to a 10-bit domain (1024 cells per axis)
+    so the top-4-bit buckets quarter BOTH axes — each bucket's envelope
+    is ≤¼ of each dimension's range, the stats a reader's 2-D predicate
+    prunes against; wider keys compose by dividing first.
+    """
+    out = app_scratch(spark, "sink_zorder_layout")
+    cx = "(o_custkey % 1024)"
+    dy = "(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 1024)"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(cx).alias("cx"),
+        F.expr(dy).alias("dy"),
+    )
+    z = o.withColumn(
+        "zval",
+        F.expr(f"{_morton_spread('cx')} | ({_morton_spread('dy')} << 1)"),
+    )
+    (
+        z.repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.expr("zval >> 16").cast("long").alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("cx").cast("long").alias("min_cust"),
+        F.max("cx").cast("long").alias("max_cust"),
+        F.min("dy").cast("long").alias("min_day"),
+        F.max("dy").cast("long").alias("max_day"),
+    )
