@@ -261,6 +261,7 @@ _MODULE_ORDER = (
 # silent gap.
 _CARRYOVER = (
     "q_stream_update_mode_totals",
+    "q_python_stream_datasource_sink",
 )
 
 _HOISTED = (
@@ -320,6 +321,7 @@ _HOISTED = (
     "q_stream_left_outer_join",
     "q_zorder_layout_sink",
     "q_stream_update_mode_totals",
+    "q_python_stream_datasource_sink",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -340,3 +341,166 @@ GROUP BY o_orderstatus
 
 
 _writer_queries()
+
+
+class JsonlStreamScratchWriter(DataSourceStreamWriter):
+    """Streaming flavor of JsonlScratchWriter: one file per task per
+    micro-batch; commit(messages, batchId) publishes a PER-BATCH manifest
+    (``_BATCH-<id>.json``) listing exactly that batch's committed files —
+    the micro-log a streaming table format (Delta/Iceberg commit per
+    batch) is built from. abort() removes the batch's files so a failed
+    batch leaves no committed trace."""
+
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        path = os.path.join(self.dir, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _WroteFile(path)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = os.path.join(self.dir, f"_BATCH-{batchId:05d}.json")
+        with open(manifest, "w") as f:
+            json.dump(sorted(m.path for m in messages if m is not None), f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlStreamScratchSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_stream_scratch"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JsonlStreamScratchWriter(self.options)
+
+
+def _stream_writer_queries():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.registry import query
+
+    @query(
+        "q_python_stream_datasource_sink",
+        oracle="""
+WITH t0 AS (
+    SELECT MAX(ts) - INTERVAL 6 DAY AS v FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(
+           (CASE WHEN COUNT(CASE WHEN ts <  (SELECT v FROM t0) THEN 1 END) > 0
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN COUNT(CASE WHEN ts >= (SELECT v FROM t0) THEN 1 END) > 0
+                 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_batches
+FROM events
+GROUP BY event_type
+""",
+        tags=("source", "python-datasource", "streaming", "sink"),
+    )
+    def q_python_stream_datasource_sink(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Custom Python STREAMING sink (DataSourceStreamWriter) — the
+        last quadrant of the Python DataSource surface (batch read/write
+        and stream read are covered elsewhere in this module). A
+        two-micro-batch drain (stage_events_two_batches) writes events
+        through per-task JSONL files with a PER-BATCH commit manifest;
+        the read-back loads exactly the files each batch manifest lists
+        (never a directory glob — the Delta/Iceberg log-is-the-table
+        contract, same as q_python_datasource_write) and tags rows with
+        their batch id.
+
+        Exactness: per-type counts and integer-cent totals must equal the
+        batch oracle (the commit protocol lost and duplicated nothing),
+        and ``n_batches`` — distinct batch manifests containing the type —
+        must match the oracle's independent derivation from the split
+        boundary, witnessing that the sink really committed once per
+        micro-batch. 100 TB shape: write is partition-parallel per batch,
+        commit is one driver-side manifest append per batch — the shape
+        every transactional streaming sink shares.
+        """
+        import glob
+        import json
+        import os
+        import shutil
+
+        from als_pyspark_spark.sources.sinks import app_scratch
+        from als_pyspark_spark.streaming.events import (
+            read_staged_stream,
+            stage_events_two_batches,
+        )
+
+        spark.dataSource.register(JsonlStreamScratchSink)
+        staged, _t0, schema = stage_events_two_batches(
+            spark, sf_dir, "pyds_stream_sink_in"
+        )
+        out = app_scratch(spark, "pyds_stream_sink_out")
+        ckpt = app_scratch(spark, "pyds_stream_sink_ckpt")
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        rows = read_staged_stream(spark, staged, schema).select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        q = (
+            rows.writeStream.format("jsonl_stream_scratch")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        manifests = sorted(glob.glob(os.path.join(out, "_BATCH-*.json")))
+        assert len(manifests) >= 2, f"expected ≥2 batch commits, got {manifests}"
+        parts = []
+        for i, mpath in enumerate(manifests):
+            with open(mpath) as f:
+                committed = json.load(f)
+            if not committed:
+                continue
+            parts.append(
+                spark.read.schema(
+                    "event_id bigint, event_type string, cents bigint"
+                )
+                .json(committed)
+                .withColumn("batch_id", F.lit(i))
+            )
+        back = parts[0]
+        for p in parts[1:]:
+            back = back.unionByName(p)
+        return back.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+            F.countDistinct("batch_id").alias("n_batches"),
+        )
+
+    return q_python_stream_datasource_sink
+
+
+_stream_writer_queries()
