@@ -76,6 +76,14 @@ HEADLINE = [
     # build — the two heaviest of the warehouse/graph additions
     "q_pagerank_copurchase",
     "q_inverted_index_tokens",
+    # round 5 tail: the distributed two-phase prefix sum (sweep-line
+    # concurrency) and the Morton range-shuffle rewrite sink — the two
+    # cheap-but-new cost shapes of the timeseries/layout additions. The
+    # heavy tail shapes (triangle wedge join 31s, two-batch streaming
+    # stages 22-26s at sf0.1) are measured once in PERF.md instead of
+    # doubling the per-round bench wall time.
+    "q_max_concurrent_sessions",
+    "q_zorder_layout_sink",
 ]
 
 
