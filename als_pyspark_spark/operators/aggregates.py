@@ -10,7 +10,7 @@ rows-only query (sketch values are engine-specific, so no value oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from als_pyspark_spark.registry import query
@@ -593,4 +593,101 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             'o_totalprice',  n_rows, nn_price, nd_price,
                 min_price_cents, max_price_cents
         ) AS (column_name, n_rows, n_non_null, n_distinct, min_cents, max_cents)"""
+    )
+
+
+@query(
+    "q_equidepth_deciles",
+    oracle="""
+WITH c AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), n AS (
+    SELECT COUNT(*) AS c FROM c
+), t AS (
+    SELECT k, (k * (SELECT c FROM n)) // 10 AS r
+    FROM (SELECT UNNEST(generate_series(1, 9)) AS k)
+), s AS (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c
+)
+SELECT CAST(t.k AS BIGINT) AS decile,
+       CAST(t.r AS BIGINT) AS global_rank,
+       s.v AS value_cents
+FROM t JOIN s ON s.rn = t.r
+""",
+    tags=("aggregate", "percentile", "equi-depth", "two-phase"),
+)
+def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact equi-depth decile boundaries (value at rank ⌊k·n/10⌋,
+    k=1..9) over order prices — without ever globally sorting the fact
+    table. This is the distributed exact-quantile algorithm:
+
+    1. map prices to integer cents and coarse VALUE-RANGE buckets
+       (``cents DIV 100000`` — bucket count bounded by the price DOMAIN,
+       a few thousand, independent of row count);
+    2. one hash aggregate → per-bucket counts; a cumulative window over
+       the bucket grain (bounded, q_revenue_mom_change discipline)
+       locates, for each of the 9 target ranks, its containing bucket
+       and in-bucket offset;
+    3. only the ≤9 hit buckets' rows are ranked — a window partitioned
+       by bucket over a vanishing fraction of the table — and the row at
+       each offset is the boundary. Ties collapse safely: ordering by
+       the value alone leaves equal values interchangeable, so the value
+       at a fixed offset is deterministic.
+
+    The DuckDB oracle computes the same ranks with one global
+    ROW_NUMBER, so a match proves the two-phase decomposition exact.
+    Contrast with q_percentiles_totalprice (percentile_cont on doubles)
+    and q_latency_percentile_bands (exact, but per-hour partitions) —
+    this one is exact AND global AND shuffle-bounded; at 100 TB phase 3
+    touches ~(9/buckets) of the data while a naive global rank would
+    sort all of it.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    bucketed = o.select("v", F.expr("v DIV 100000").alias("b")).persist()
+    counts = bucketed.groupBy("b").agg(F.count("*").alias("cnt"))
+    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "b",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)).alias("below"),
+    )
+    n = o.count()
+    targets = spark.range(1, 10).select(
+        F.col("id").alias("decile"),
+        ((F.col("id") * n) / 10).cast("long").alias("r"),
+    )
+    # ≤9 rows by construction (one per target rank) — materializing them
+    # driver-side is bounded at ANY scale (the IVF-centroid pattern) and
+    # keeps phase 3's plan free of the bucket-cumsum subtree.
+    hits = (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("below") < F.col("r"))
+            & (F.col("below") + F.col("cnt") >= F.col("r")),
+        )
+        .select("decile", "r", "b", (F.col("r") - F.col("below")).alias("off"))
+        .collect()
+    )
+    hit_lit = spark.createDataFrame(
+        [(int(h.decile), int(h.r), int(h.b), int(h.off)) for h in hits],
+        "decile long, r long, hb long, off long",
+    )
+    in_bucket = Window.partitionBy("b").orderBy("v")
+    ranked = (
+        bucketed.where(F.col("b").isin([int(h.b) for h in hits]))
+        .select("b", "v", F.row_number().over(in_bucket).alias("rn"))
+    )
+    return (
+        ranked.join(
+            F.broadcast(hit_lit),
+            (ranked["b"] == hit_lit["hb"])
+            & (ranked["rn"].cast("long") == hit_lit["off"]),
+        )
+        .select(
+            "decile",
+            F.col("r").alias("global_rank"),
+            F.col("v").alias("value_cents"),
+        )
     )

@@ -262,6 +262,7 @@ _MODULE_ORDER = (
 _CARRYOVER = (
     "q_stream_update_mode_totals",
     "q_python_stream_datasource_sink",
+    "q_equidepth_deciles",
 )
 
 _HOISTED = (
@@ -322,6 +323,7 @@ _HOISTED = (
     "q_zorder_layout_sink",
     "q_stream_update_mode_totals",
     "q_python_stream_datasource_sink",
+    "q_equidepth_deciles",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

@@ -610,3 +610,14 @@ def test_triangle_count_hash_joins_and_take_ordered(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_equidepth_deciles_bounded_windows(spark, sf_dir):
+    """Global exact deciles, phase-3 plan (phases 1-2 end in a bounded
+    ≤9-row collect): rows filter to the hit buckets map-side, the rank
+    window partitions by bucket, the 9-row target table broadcasts — and
+    no SinglePartition exchange survives into the returned plan."""
+    plan = plan_of(QUERIES["q_equidepth_deciles"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(b" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
