@@ -263,6 +263,7 @@ _CARRYOVER = (
     "q_stream_update_mode_totals",
     "q_python_stream_datasource_sink",
     "q_equidepth_deciles",
+    "q_stream_late_data_drop",
 )
 
 _HOISTED = (
@@ -324,6 +325,7 @@ _HOISTED = (
     "q_stream_update_mode_totals",
     "q_python_stream_datasource_sink",
     "q_equidepth_deciles",
+    "q_stream_late_data_drop",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

@@ -440,16 +440,25 @@ def ohlc_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def stage_events_two_batches(spark: SparkSession, sf_dir: str, name: str):
-    """Re-stage events.parquet as TWO parquet files split at
-    ``max(ts) − 6 days`` inside an app-scoped scratch dir, so a file
-    source with ``maxFilesPerTrigger=1`` (latestFirst=false) replays them
-    oldest-first as two micro-batches — the minimum setup under which any
-    BETWEEN-batch semantics (watermark advancement, outer-join eviction,
-    update-mode re-emission) can be observed in a bounded drain.
+def stage_events_two_batches(
+    spark: SparkSession, sf_dir: str, name: str, split: str = "time"
+):
+    """Re-stage events.parquet as TWO parquet files inside an app-scoped
+    scratch dir, so a file source with ``maxFilesPerTrigger=1``
+    (latestFirst=false) replays them oldest-first as two micro-batches —
+    the minimum setup under which any BETWEEN-batch semantics (watermark
+    advancement, outer-join eviction, update-mode re-emission, late-data
+    dropping) can be observed in a bounded drain.
 
-    Returns ``(staged_path, t0, schema)``; the split timestamp ``t0`` is
-    the deterministic, SQL-expressible boundary oracles replay.
+    ``split="time"``: file 1 holds rows before ``max(ts) − 6 days`` —
+    event time advances monotonically across batches, the well-behaved
+    stream. ``split="parity"``: file 1 holds EVEN event_ids, file 2 odd —
+    both span the full time range, so batch 2 delivers rows far BEHIND
+    the post-batch-1 watermark: deterministic late data.
+
+    Returns ``(staged_path, t0, schema)``; ``t0`` is the time boundary
+    (``max(ts) − 6 days``, SQL-expressible) — meaningful for the time
+    split, returned either way.
     """
     from als_pyspark_spark.sources.sinks import app_scratch
     from als_pyspark_spark.sources.tables import load_table
@@ -461,13 +470,35 @@ def stage_events_two_batches(spark: SparkSession, sf_dir: str, name: str):
         (F.max("ts") - F.expr("INTERVAL 6 DAYS")).alias("v")
     ).collect()[0]["v"]
     staged = app_scratch(spark, name)
+    if split == "time":
+        batches = [
+            events.where(F.col("ts") < F.lit(t0)),
+            events.where(F.col("ts") >= F.lit(t0)),
+        ]
+    elif split == "parity_late":
+        # THREE batches: (1) even ids, full time span — sets the
+        # watermark 2h under the global even max; (2) a single sentinel
+        # row re-sending the latest even row — a no-new-watermark tick
+        # whose only job is to let the engine EVICT (and emit) every
+        # window the batch-1 watermark closed (its duplicate lands in a
+        # boundary-band window comparisons exclude); (3) odd ids, full
+        # span — every row aimed at an evicted window is now genuinely
+        # late-after-eviction and must be dropped. Two batches are NOT
+        # enough to witness dropping: a late row whose window state
+        # still lives is merged, per the engine's contract.
+        evens = events.where(F.col("event_id") % 2 == 0)
+        max_even_ts = evens.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        batches = [
+            evens,
+            evens.where(F.col("ts") == F.lit(max_even_ts)).limit(1),
+            events.where(F.col("event_id") % 2 == 1),
+        ]
+    else:
+        raise ValueError(f"unknown split: {split!r}")
     # Sequential single-file writes => distinct mtimes => replay order.
-    events.where(F.col("ts") < F.lit(t0)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(staged)
-    events.where(F.col("ts") >= F.lit(t0)).coalesce(1).write.mode(
-        "append"
-    ).parquet(staged)
+    batches[0].coalesce(1).write.mode("overwrite").parquet(staged)
+    for b in batches[1:]:
+        b.coalesce(1).write.mode("append").parquet(staged)
     return staged, t0, events.schema
 
 

@@ -633,3 +633,114 @@ def q_stream_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(total_cents, n_events)").alias("total_cents"),
         F.count("*").alias("n_versions"),
     )
+
+
+@query(
+    "q_stream_late_data_drop",
+    oracle="""
+WITH wm AS (
+    SELECT MAX(ts) - INTERVAL 2 HOUR AS v FROM events WHERE event_id % 2 = 0
+), closed AS (
+    SELECT DATE_TRUNC('hour', ts) AS h, event_type, event_id, ts
+    FROM events
+    WHERE DATE_TRUNC('hour', ts) <= (SELECT v FROM wm) - INTERVAL 2 HOUR
+)
+SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+           AS n_on_time,
+       CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+           AS n_late_dropped
+FROM closed
+GROUP BY 1, 2
+HAVING COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) > 0
+""",
+    tags=("streaming", "watermark", "late-data", "append-mode"),
+)
+def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROPPING, witnessed deterministically — the
+    core semantic the other streaming queries never isolate (their
+    two-batch stages split by TIME, so nothing ever arrives late).
+
+    Dropping in Spark is an AFTER-EVICTION semantic: a late row whose
+    window state still lives is merged, so two batches cannot witness it
+    (measured here — odd rows re-sent in batch 2 were absorbed). The
+    stage is therefore THREE batches (stage_events_two_batches
+    split="parity_late"): (1) even ids spanning the whole month set the
+    watermark 2h under the even max; (2) a single sentinel re-send of
+    the latest even row — no watermark movement — lets the engine evict
+    and emit every window that watermark closed, with even-only counts;
+    (3) odd ids replay the whole month, and every odd row aimed at an
+    evicted window is genuinely late-after-eviction and must be dropped
+    (a leak would either inflate a count or re-emit a closed window —
+    both break the hash). The query emits each closed window's streamed count
+    (``n_on_time``) next to the batch-computed count of odd rows the
+    watermark discarded (``n_late_dropped``, joined on afterwards — the
+    stream cannot see them, which is the point); the oracle derives both
+    from parity directly (windows containing only late rows never come
+    into existence on the stream — no state was ever created for them —
+    so the oracle requires ≥1 on-time row). If Spark leaked a late row
+    into a closed window, n_on_time would exceed the even-only oracle
+    and the hash breaks; windows in the boundary band (within 2h of the
+    watermark) are excluded on BOTH sides, so the comparison never
+    straddles the finalize-boundary tie.
+
+    100 TB shape: watermark dropping is O(1) per row against the
+    broadcast watermark timestamp; this query's re-stage exists only to
+    manufacture determinstic lateness in a bounded test.
+    """
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.sources.tables import load_table
+    from als_pyspark_spark.streaming.events import (
+        read_staged_stream,
+        stage_events_two_batches,
+    )
+
+    staged, _t0, schema = stage_events_two_batches(
+        spark, sf_dir, "stream_late_drop_in", split="parity_late"
+    )
+    events = load_table(spark, sf_dir, "events")
+    wm1 = (
+        events.where(F.col("event_id") % 2 == 0)
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("v"))
+        .collect()[0]["v"]
+    )
+
+    stream = (
+        read_staged_stream(spark, staged, schema)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_on_time"))
+        .select(
+            F.col("w.start").alias("ws"),
+            "event_type",
+            "n_on_time",
+        )
+    )
+    name = "mem_stream_late_data_drop"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    drained = run_to_memory(stream, name, mode="append")
+
+    closed = drained.where(
+        F.col("ws") <= F.lit(wm1) - F.expr("INTERVAL 2 HOURS")
+    )
+    dropped = (
+        events.where(F.col("event_id") % 2 == 1)
+        .select(
+            F.date_trunc("hour", "ts").alias("ws"),
+            "event_type",
+        )
+        .where(F.col("ws") <= F.lit(wm1) - F.expr("INTERVAL 2 HOURS"))
+        .groupBy("ws", "event_type")
+        .agg(F.count("*").alias("n_late_dropped"))
+    )
+    return (
+        closed.join(dropped, ["ws", "event_type"], "left")
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_on_time",
+            F.coalesce("n_late_dropped", F.lit(0)).alias("n_late_dropped"),
+        )
+    )
