@@ -264,6 +264,8 @@ _CARRYOVER = (
     "q_python_stream_datasource_sink",
     "q_equidepth_deciles",
     "q_stream_late_data_drop",
+    "q_schema_evolution_read",
+    "q_json_corrupt_records",
 )
 
 _HOISTED = (
@@ -326,6 +328,8 @@ _HOISTED = (
     "q_python_stream_datasource_sink",
     "q_equidepth_deciles",
     "q_stream_late_data_drop",
+    "q_schema_evolution_read",
+    "q_json_corrupt_records",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

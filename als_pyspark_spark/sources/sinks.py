@@ -387,3 +387,154 @@ def q_zorder_layout_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dy").cast("long").alias("min_day"),
         F.max("dy").cast("long").alias("max_day"),
     )
+
+
+@query(
+    "q_schema_evolution_read",
+    oracle="""
+WITH t0 AS (
+    SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS v FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN o_orderdate >= (SELECT v FROM t0) THEN 1 END)
+            AS BIGINT) AS n_with_cents,
+       CAST(SUM(CASE WHEN o_orderdate >= (SELECT v FROM t0)
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("source", "parquet", "schema-evolution", "mergeSchema"),
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION on read (``mergeSchema``): the table's
+    history is two file generations — v1 (early year: orderkey + status)
+    written before a ``cents`` column existed, v2 (last 365 days) carrying
+    it — and one read reconciles them into the union schema with NULL
+    back-fill for pre-evolution files. This is the lakehouse add-column
+    path every long-lived 100 TB table walks (Delta/Iceberg do the same
+    merge from their own metadata; plain parquet needs the footer merge
+    exercised here).
+
+    The read-back aggregate counts rows WITH the evolved column per
+    status and sums it (integer cents); the oracle derives the same split
+    from the time boundary — so a wrong merge (dropped column, misaligned
+    back-fill, lost file generation) breaks the hash. The generation
+    boundary ``max(o_orderdate) − 365 days`` is SQL-expressible on
+    purpose.
+
+    Scale note: mergeSchema=true footer-merges EVERY file's schema at
+    planning time — priced as the showcase here; a production 100 TB
+    table keeps the union schema in table metadata (Delta/Iceberg) or
+    pins it with ``.schema(...)``, paying this cost never.
+    """
+    out = app_scratch(spark, "schema_evolution")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    t0 = o.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAYS")).alias("v")
+    ).collect()[0]["v"]
+    (
+        o.where(F.col("o_orderdate") < F.lit(t0))
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    (
+        o.where(F.col("o_orderdate") >= F.lit(t0))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .write.mode("append")
+        .parquet(out)
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "cents" in back.columns, back.columns
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("cents").alias("n_with_cents"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@query(
+    "q_json_corrupt_records",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 7 = 0 THEN '_CORRUPT' ELSE o_orderstatus END
+           AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1
+""",
+    tags=("source", "json", "corrupt-record", "permissive"),
+)
+def q_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance on ingest: a JSONL feed where every 7th
+    order (``o_orderkey % 7 = 0``) is a deterministically TRUNCATED line,
+    read back in PERMISSIVE mode with ``columnNameOfCorruptRecord`` — the
+    contract real pipelines rely on at 100 TB, where a fraction of any
+    feed is always broken and a single bad line must neither kill the job
+    (FAILFAST) nor vanish silently (DROPMALFORMED), but land in a
+    quarantine column for audit.
+
+    The read-back buckets corrupt rows (all data fields NULL, raw line
+    preserved) under '_CORRUPT' beside the parsed per-status totals in
+    integer cents; the oracle re-derives both from the corruption rule,
+    so a parser that dropped, double-counted, or partially parsed a
+    broken line breaks the hash. Scale shape: corruption handling is
+    per-row map-side work in the scan itself — no extra pass, no shuffle.
+    """
+    import shutil
+
+    out = app_scratch(spark, "json_corrupt")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey"), F.lit(", BROKEN")),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    "o_orderkey",
+                    "o_orderstatus",
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("long")
+                    .alias("cents"),
+                )
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, cents bigint, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "_CORRUPT")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "cents",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
