@@ -266,6 +266,7 @@ _CARRYOVER = (
     "q_stream_late_data_drop",
     "q_schema_evolution_read",
     "q_json_corrupt_records",
+    "q_stream_checkpoint_recovery",
 )
 
 _HOISTED = (
@@ -330,6 +331,7 @@ _HOISTED = (
     "q_stream_late_data_drop",
     "q_schema_evolution_read",
     "q_json_corrupt_records",
+    "q_stream_checkpoint_recovery",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

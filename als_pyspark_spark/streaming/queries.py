@@ -744,3 +744,144 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_late_dropped", F.lit(0)).alias("n_late_dropped"),
         )
     )
+
+
+@query(
+    "q_stream_checkpoint_recovery",
+    oracle="""
+WITH b AS (
+    SELECT MAX(ts) - INTERVAL 12 DAY AS t1,
+           MAX(ts) - INTERVAL 6 DAY AS t2
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(
+           (CASE WHEN COUNT(CASE WHEN ts < (SELECT t1 FROM b) THEN 1 END) > 0
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN COUNT(CASE WHEN ts >= (SELECT t1 FROM b)
+                                  AND ts < (SELECT t2 FROM b) THEN 1 END) > 0
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN COUNT(CASE WHEN ts >= (SELECT t2 FROM b) THEN 1 END) > 0
+                 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_batches
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "checkpoint", "recovery", "exactly-once"),
+)
+def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RECOVERY with exactly-once resume — the operational
+    contract every production stream stands on and no other query here
+    exercises: a checkpointed job is stopped, NEW data arrives, and a
+    fresh ``start()`` against the same checkpoint must process ONLY the
+    new data (offset log replayed), duplicating and losing nothing.
+
+    Run 1 streams two time-split files (batches 0,1) through the
+    per-batch-manifest Python sink (q_python_stream_datasource_sink's
+    JsonlStreamScratchSink) and terminates; a third file then lands in
+    the source dir and run 2 restarts from the SAME checkpoint. Two
+    teeth: (a) a runtime assert that run 2 committed EXACTLY ONE new
+    batch manifest — a checkpoint ignored (re-reading files 1-2) or
+    corrupted (restarting batch ids) adds more; (b) the manifests' union,
+    read back file-list-only, must hash-match the whole-table oracle in
+    counts and integer cents, with per-type ``n_batches`` equal to the
+    oracle's independent three-boundary derivation — so any loss,
+    duplication, or batch re-composition breaks the row.
+
+    100 TB shape: recovery cost is reading the offset/commit log, not
+    the data; the witness is the same WAL-resume discipline (HDFS/S3
+    checkpoint dir) a real cluster uses.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.sources.sinks import app_scratch
+    from als_pyspark_spark.sources.python_datasource import (
+        JsonlStreamScratchSink,
+    )
+    from als_pyspark_spark.sources.tables import load_table
+
+    spark.dataSource.register(JsonlStreamScratchSink)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    bounds = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 12 DAYS")).alias("t1"),
+        (F.max("ts") - F.expr("INTERVAL 6 DAYS")).alias("t2"),
+    ).collect()[0]
+    t1, t2 = bounds["t1"], bounds["t2"]
+
+    src = app_scratch(spark, "ckpt_recovery_in")
+    out = app_scratch(spark, "ckpt_recovery_out")
+    ckpt = app_scratch(spark, "ckpt_recovery_ckpt")
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    events.where(F.col("ts") < F.lit(t1)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events.where(
+        (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        rows = (
+            spark.readStream.schema(events.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .load(src)
+            .select(
+                "event_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        q = (
+            rows.writeStream.format("jsonl_stream_scratch")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_manifests_run1 = len(glob.glob(os.path.join(out, "_BATCH-*.json")))
+    assert n_manifests_run1 == 2, f"run 1 expected 2 batch commits, got {n_manifests_run1}"
+
+    # new data lands; resume from the SAME checkpoint
+    events.where(F.col("ts") >= F.lit(t2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    manifests = sorted(glob.glob(os.path.join(out, "_BATCH-*.json")))
+    assert len(manifests) == 3, (
+        f"resume must commit exactly one new batch (3 total), got {manifests}"
+    )
+
+    parts = []
+    for i, mpath in enumerate(manifests):
+        with open(mpath) as f:
+            committed = json.load(f)
+        if not committed:
+            continue
+        parts.append(
+            spark.read.schema("event_id bigint, event_type string, cents bigint")
+            .json(committed)
+            .withColumn("batch_id", F.lit(i))
+        )
+    back = parts[0]
+    for p in parts[1:]:
+        back = back.unionByName(p)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+        F.countDistinct("batch_id").alias("n_batches"),
+    )
