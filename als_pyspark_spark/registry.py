@@ -267,6 +267,7 @@ _CARRYOVER = (
     "q_schema_evolution_read",
     "q_json_corrupt_records",
     "q_stream_checkpoint_recovery",
+    "q_stream_join_then_window",
 )
 
 _HOISTED = (
@@ -332,6 +333,7 @@ _HOISTED = (
     "q_schema_evolution_read",
     "q_json_corrupt_records",
     "q_stream_checkpoint_recovery",
+    "q_stream_join_then_window",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

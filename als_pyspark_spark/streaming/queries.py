@@ -885,3 +885,112 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("total_cents"),
         F.countDistinct("batch_id").alias("n_batches"),
     )
+
+
+@query(
+    "q_stream_join_then_window",
+    oracle="""
+WITH t0 AS (
+    SELECT MAX(ts) - INTERVAL 6 DAY AS v FROM events
+), wm AS (
+    SELECT LEAST(
+        (SELECT MAX(ts) FROM events
+          WHERE event_type = 'purchase' AND ts < (SELECT v FROM t0)),
+        (SELECT MAX(ts) FROM events
+          WHERE event_type = 'click' AND ts < (SELECT v FROM t0))
+    ) - INTERVAL 4 HOUR AS v
+), pairs AS (
+    SELECT p.ts AS p_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+)
+SELECT STRFTIME(DATE_TRUNC('hour', p_ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+WHERE DATE_TRUNC('hour', p_ts) + INTERVAL 1 HOUR <= (SELECT v FROM wm)
+GROUP BY 1
+""",
+    tags=("streaming", "multi-stateful", "join", "window", "watermark"),
+)
+def q_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE STATEFUL OPERATORS CHAINED in one streaming query —
+    stream-stream interval join feeding a tumbling-window aggregate —
+    the Spark 3.5+/4 capability that older releases rejected outright
+    (one stateful op per query). The engine must propagate a DELAYED
+    watermark through the join (join output can trail its inputs by the
+    interval bound) for the downstream window to finalize correctly.
+
+    Purchases pair with the same user's preceding-hour clicks
+    (stream-stream join over the two-batch time stage), and the pair
+    stream rolls into per-hour pair counts in append mode. Finalized
+    windows must hash-match the batch self-join + GROUP BY oracle over
+    the closed region: both sides compare windows whose end lies a ≥2h
+    safety margin below the batch-1 watermark (itself 2h under the
+    batch-1 max — margin absorbs the join's 1h watermark delay without
+    encoding the engine's internal propagation rule), where every
+    contributing purchase AND click provably sits in batch 1. A pair
+    lost in the join, a window finalized early/late, or a watermark
+    mispropagated across the operator boundary all break the hash.
+
+    100 TB shape: two state stores in one pipeline — join state bounded
+    by the interval condition, window state by the watermark — exactly
+    the production funnel-rollup topology (join enrich → time rollup)
+    that otherwise needs two jobs and an intermediate topic.
+    """
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.sources.tables import load_table
+    from als_pyspark_spark.streaming.events import (
+        read_staged_stream,
+        stage_events_two_batches,
+    )
+
+    staged, t0, schema = stage_events_two_batches(
+        spark, sf_dir, "stream_join_window_in"
+    )
+    events = load_table(spark, sf_dir, "events")
+    cutoff = (
+        events.where(F.col("ts") < F.lit(t0))
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select((F.col("m") - F.expr("INTERVAL 4 HOURS")).alias("v"))
+        .collect()[0]["v"]
+    )
+
+    raw = read_staged_stream(spark, staged, schema)
+    p = (
+        raw.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        raw.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    agg = pairs.groupBy(F.window("p_ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("n_pairs")
+    )
+    name = "mem_stream_join_then_window"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    drained = run_to_memory(agg, name, mode="append")
+    return (
+        drained.where(F.col("w.end") <= F.lit(cutoff))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_pairs",
+        )
+    )
