@@ -313,3 +313,136 @@ def test_pagerank_rank_bounds(spark, sf_dir):
     for r in rows:
         assert r.rank_micro >= 150000
         assert r.rank_micro < 10**6 * 10**6  # << n * 1e6 for any fixture
+
+
+@_settings
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1023), min_size=2, max_size=12
+    )
+)
+def test_morton_spread_interleave_roundtrip(spark, xs):
+    """The Z-order bit spread is a bijection into even bit positions:
+    interleaving (x, y) and de-interleaving recovers both coordinates,
+    and z-codes preserve equality exactly (pure-Python reference)."""
+    from als_pyspark_spark.sources.sinks import _morton_spread
+
+    ys = list(reversed(xs))
+    df = spark.createDataFrame(list(zip(xs, ys)), "cx long, dy long")
+    got = (
+        df.select(
+            "cx",
+            "dy",
+            F.expr(f"{_morton_spread('cx')} | ({_morton_spread('dy')} << 1)").alias("z"),
+        )
+        .collect()
+    )
+
+    def spread(v: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((v >> i) & 1) << (2 * i)
+        return out
+
+    for row in got:
+        assert row.z == spread(row.cx) | (spread(row.dy) << 1)
+
+
+@_settings
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=72 * 3600), min_size=1, max_size=40
+    )
+)
+def test_sweep_line_concurrency_matches_brute_force(spark, offsets):
+    """q_max_concurrent_sessions' two-phase prefix sum must equal the
+    brute-force per-instant maximum over [ts, ts+30m) intervals, for any
+    arrangement of starts — including exact ties and day-boundary spans."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    starts = [base + dt.timedelta(seconds=o) for o in offsets]
+    dur = dt.timedelta(minutes=30)
+
+    # brute force: evaluate concurrency at every boundary instant
+    def conc_at(t):
+        return sum(1 for s in starts if s <= t < s + dur)
+
+    days = {}
+    for s in starts:
+        for b in (s, s + dur):
+            d = b.date()
+            days.setdefault(d, 0)
+    for d in list(days):
+        bounds = [b for s in starts for b in (s, s + dur) if b.date() == d]
+        days[d] = max(conc_at(b) for b in bounds) if bounds else 0
+
+    df = spark.createDataFrame([(s,) for s in starts], "t timestamp")
+    from pyspark.sql import Window
+
+    deltas = df.select(F.col("t"), F.lit(1).alias("d")).unionByName(
+        df.select((F.col("t") + F.expr("INTERVAL 30 MINUTES")).alias("t"), F.lit(-1).alias("d"))
+    ).withColumn("day", F.to_date("t"))
+    in_day = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per = deltas.select("day", "d", F.sum("d").over(in_day).alias("r"))
+    stats = per.groupBy("day").agg(
+        F.max("r").alias("mx"), F.sum("d").alias("tot")
+    )
+    carry = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    got = {
+        row.day: row.mc
+        for row in stats.select(
+            "day",
+            (F.coalesce(F.sum("tot").over(carry), F.lit(0)) + F.col("mx")).alias("mc"),
+        ).collect()
+    }
+    for d, expect in days.items():
+        assert got.get(d, 0) == expect, (d, got, days, starts)
+
+
+@_settings
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10_000), min_size=10, max_size=60
+    )
+)
+def test_equidepth_bucket_location_matches_sorted_reference(spark, vals):
+    """The bucket-count rank-location decomposition must return exactly
+    the ⌊k·n/10⌋-th smallest value for every decile, matching a plain
+    sorted-list lookup — duplicates, skew, and tiny buckets included."""
+    from pyspark.sql import Window
+
+    n = len(vals)
+    expect = {k: sorted(vals)[(k * n) // 10 - 1] for k in range(1, 10) if (k * n) // 10 >= 1}
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    bucketed = df.select("v", F.expr("v DIV 100").alias("b"))
+    counts = bucketed.groupBy("b").agg(F.count("*").alias("cnt"))
+    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "b", "cnt", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)).alias("below")
+    )
+    targets = spark.range(1, 10).select(
+        F.col("id").alias("k"), ((F.col("id") * n) / 10).cast("long").alias("r")
+    )
+    hits = (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("below") < F.col("r"))
+            & (F.col("below") + F.col("cnt") >= F.col("r")),
+        )
+        .select("k", F.col("b").alias("hb"), (F.col("r") - F.col("below")).alias("off"))
+        .collect()
+    )
+    in_b = Window.partitionBy("b").orderBy("v")
+    ranked = bucketed.where(
+        F.col("b").isin([int(h.hb) for h in hits])
+    ).select("b", "v", F.row_number().over(in_b).alias("rn")).collect()
+    got = {}
+    for h in hits:
+        for row in ranked:
+            if row.b == h.hb and row.rn == h.off:
+                got[h.k] = row.v
+    assert got == expect, (got, expect, vals)
