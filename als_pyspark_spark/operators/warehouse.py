@@ -1705,3 +1705,104 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
         )
     )
+
+
+@query(
+    "q_incremental_join_maintenance",
+    oracle="""
+WITH s AS (SELECT TIMESTAMP '1996-01-01' AS cut),
+oo AS (SELECT * FROM orders, s WHERE o_orderdate <  cut),
+od AS (SELECT * FROM orders, s WHERE o_orderdate >= cut),
+lo AS (SELECT * FROM lineitem, s WHERE l_shipdate <  cut),
+ld AS (SELECT * FROM lineitem, s WHERE l_shipdate >= cut),
+pairs AS (
+    SELECT o.o_orderdate, l.l_extendedprice FROM oo o JOIN ld l ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT o.o_orderdate, l.l_extendedprice FROM od o JOIN lo l ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT o.o_orderdate, l.l_extendedprice FROM od o JOIN ld l ON l.l_orderkey = o.o_orderkey
+), base AS (
+    SELECT STRFTIME(DATE_TRUNC('month', o.o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n, SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS c
+    FROM oo o JOIN lo l ON l.l_orderkey = o.o_orderkey GROUP BY 1
+), delta AS (
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+    FROM pairs GROUP BY 1
+), merged AS (
+    SELECT month, SUM(n) AS n, SUM(c) AS c
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta) GROUP BY month
+), full_v AS (
+    SELECT STRFTIME(DATE_TRUNC('month', o.o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n, SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS c
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY 1
+)
+SELECT m.month,
+       CAST(m.n AS BIGINT) AS n_lineitems,
+       CAST(m.c AS BIGINT) AS revenue_cents,
+       (m.n = f.n AND m.c = f.c) AS matches_full_recompute
+FROM merged m JOIN full_v f USING (month)
+""",
+    tags=("warehouse", "incremental", "join", "ivm"),
+)
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view maintenance — the delta-join algebra that
+    q_incremental_agg_merge's mergeable-aggregate story needs once the
+    materialized view contains a JOIN: with both inputs split into
+    (old, delta) by the same cut,
+
+        Δ(O ⋈ L) = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL
+
+    — three delta-sided joins whose union, merged into the base view,
+    must equal the full recompute (emitted per month as the all-true
+    ``matches_full_recompute`` in-row witness). The cross terms are the
+    essence: a NEW lineitem can hit an OLD order, which a naive
+    "recompute only new partitions" approach silently loses.
+
+    100 TB shape: every delta join has a delta side bounded by the new
+    partition (pruned scan), never old⋈old — the view refresh cost is
+    O(|Δ|·fanout), not O(|table|); this is the relational core of
+    Delta/materialized-view incremental refresh and of streaming
+    stream-static enrichment alike.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    oo = o.where(F.col("o_orderdate") < cut)
+    od = o.where(F.col("o_orderdate") >= cut)
+    lo = li.where(F.col("l_shipdate") < cut)
+    ld = li.where(F.col("l_shipdate") >= cut)
+
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def rollup(pairs: DataFrame) -> DataFrame:
+        return pairs.select(month.alias("month"), cents.alias("cc")).groupBy(
+            "month"
+        ).agg(F.count("*").alias("n"), F.sum("cc").alias("c"))
+
+    def j(os: DataFrame, ls: DataFrame) -> DataFrame:
+        return os.join(ls, os["o_orderkey"] == ls["l_orderkey"]).select(
+            "o_orderdate", "l_extendedprice"
+        )
+
+    base = rollup(j(oo, lo))
+    delta = rollup(
+        j(oo, ld).unionByName(j(od, lo)).unionByName(j(od, ld))
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+    )
+    full_v = rollup(j(o, li)).select(
+        "month", F.col("n").alias("fn"), F.col("c").alias("fc")
+    )
+    return merged.join(full_v, "month").select(
+        "month",
+        F.col("n").alias("n_lineitems"),
+        F.col("c").alias("revenue_cents"),
+        ((F.col("n") == F.col("fn")) & (F.col("c") == F.col("fc"))).alias(
+            "matches_full_recompute"
+        ),
+    )

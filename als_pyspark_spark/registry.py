@@ -268,6 +268,7 @@ _CARRYOVER = (
     "q_json_corrupt_records",
     "q_stream_checkpoint_recovery",
     "q_stream_join_then_window",
+    "q_incremental_join_maintenance",
 )
 
 _HOISTED = (
@@ -334,6 +335,7 @@ _HOISTED = (
     "q_json_corrupt_records",
     "q_stream_checkpoint_recovery",
     "q_stream_join_then_window",
+    "q_incremental_join_maintenance",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those
