@@ -273,3 +273,103 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("p_partkey"))
         .limit(20)
     )
+
+
+_BFS_ROUNDS = 3
+
+
+@query(
+    "q_bfs_part_distances",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), root AS (
+    SELECT MIN(l_partkey) AS r FROM op
+), d0 AS (
+    SELECT r AS node, 0 AS dist FROM root
+), d1 AS (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT * FROM d0
+        UNION ALL
+        SELECT e0.dst AS node, d0.dist + 1 FROM e0 JOIN d0 ON d0.node = e0.src
+    ) GROUP BY node
+), d2 AS (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT * FROM d1
+        UNION ALL
+        SELECT e0.dst AS node, d1.dist + 1 FROM e0 JOIN d1 ON d1.node = e0.src
+    ) GROUP BY node
+), d3 AS (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT * FROM d2
+        UNION ALL
+        SELECT e0.dst AS node, d2.dist + 1 FROM e0 JOIN d2 ON d2.node = e0.src
+    ) GROUP BY node
+)
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(node) AS BIGINT) AS min_part,
+       CAST(MAX(node) AS BIGINT) AS max_part
+FROM d3
+GROUP BY dist
+""",
+    tags=("graph", "bfs", "shortest-path", "iterative"),
+)
+def q_bfs_part_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest-path distances (3 rounds) from the
+    lowest part key over the part co-purchase graph — the FRONTIER
+    iteration shape (expand + min-combine) that complements PageRank's
+    score-propagation loop: per round, distances propagate one hop
+    (``dist+1`` along every edge) and a min-aggregate keeps the shortest
+    label per node. Distances are small integers, so the whole loop —
+    and its 3-level unrolled DuckDB replay — is exact.
+
+    Emitted as the per-distance histogram (count + id extremes), the
+    distance-distribution readout a graph health check wants; parts
+    unreachable within 3 hops are absent on both sides.
+
+    100 TB shape: each round is one keyed hash join (edge list × current
+    labels) + one hash min-aggregate — the same persisted-edge-list,
+    unrolled-lineage discipline as q_pagerank_copurchase; a production
+    run checkpoints every ~5 rounds exactly as the CC loop does. The
+    naive "frontier only" optimization (join only newly-labeled nodes)
+    drops the join's left side to the frontier size per round — noted,
+    not needed at 3 rounds.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    root = op.agg(F.min("l_partkey").alias("r")).collect()[0]["r"]
+    dist = spark.createDataFrame([(int(root), 0)], "node long, dist int")
+    for _ in range(_BFS_ROUNDS):
+        expanded = (
+            e.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count("*").alias("n_parts"),
+        F.min("node").alias("min_part"),
+        F.max("node").alias("max_part"),
+    )

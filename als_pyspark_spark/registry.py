@@ -269,6 +269,7 @@ _CARRYOVER = (
     "q_stream_checkpoint_recovery",
     "q_stream_join_then_window",
     "q_incremental_join_maintenance",
+    "q_bfs_part_distances",
 )
 
 _HOISTED = (
@@ -336,6 +337,7 @@ _HOISTED = (
     "q_stream_checkpoint_recovery",
     "q_stream_join_then_window",
     "q_incremental_join_maintenance",
+    "q_bfs_part_distances",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those
