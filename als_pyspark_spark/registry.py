@@ -270,6 +270,7 @@ _CARRYOVER = (
     "q_stream_join_then_window",
     "q_incremental_join_maintenance",
     "q_bfs_part_distances",
+    "q_compact_small_files",
 )
 
 _HOISTED = (
@@ -338,6 +339,7 @@ _HOISTED = (
     "q_stream_join_then_window",
     "q_incremental_join_maintenance",
     "q_bfs_part_distances",
+    "q_compact_small_files",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

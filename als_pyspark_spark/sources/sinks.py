@@ -538,3 +538,70 @@ def q_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "q_compact_small_files",
+    oracle="""
+SELECT CAST(64 AS BIGINT) AS n_files_before,
+       CAST(CEIL(COUNT(*) / 2500.0) AS BIGINT) AS n_files_after,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+""",
+    tags=("sink", "parquet", "compaction", "optimize"),
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION (Delta ``OPTIMIZE`` / Iceberg rewrite-data-
+    files): a deliberately fragmented table — 64 tiny parquet files, the
+    classic streaming-ingest pathology whose per-file open/footer/task
+    overhead throttles every downstream scan at 100 TB — is rewritten to
+    ``ceil(rows / 2500)`` right-sized files, and the read-back must prove
+    the rewrite (a) hit the target layout (file counts from the actual
+    filesystem, not the plan) and (b) preserved content bit-for-bit
+    (row count + integer-cent total vs the raw-table oracle; a dropped
+    or doubled file breaks the hash).
+
+    100 TB shape: compaction is one round-robin shuffle of the fragment
+    set sized by target file count — in production, per-partition and
+    incremental (only fragments below the size threshold rewrite), with
+    the same content-preservation invariant this row witnesses. A real
+    table format swaps the file list atomically in its log; plain
+    parquet stands in here with separate staging and compacted dirs.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    frag = app_scratch(spark, "compact_frag")
+    compacted = app_scratch(spark, "compact_out")
+    for d in (frag, compacted):
+        shutil.rmtree(d, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len(glob.glob(os.path.join(frag, "part-*")))
+
+    back = spark.read.parquet(frag)
+    n_rows = back.count()
+    n_target = math.ceil(n_rows / 2500)
+    back.repartition(n_target).write.mode("overwrite").parquet(compacted)
+    n_after = len(glob.glob(os.path.join(compacted, "part-*")))
+
+    return (
+        spark.read.parquet(compacted)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            F.lit(n_before).cast("long").alias("n_files_before"),
+            F.lit(n_after).cast("long").alias("n_files_after"),
+            "n_rows",
+            "total_cents",
+        )
+    )
