@@ -87,8 +87,10 @@ def test_carryover_is_minimal_and_leads_next_window():
     for n in _CARRYOVER:
         # (c) only never-verified queries may be carried over
         assert n not in _driver_verified(), n
-        # (b) close to the boundary: within the first WINDOW+10 entries
-        assert n in names[: _WINDOW + 10], n
+        # (b) contiguous with the boundary: every carryover entry sits in
+        # the first WINDOW + len(_CARRYOVER) slots, i.e. the block starts
+        # at the prefix edge and leads the round-6 window
+        assert n in names[: _WINDOW + len(_CARRYOVER)], n
 
 
 def test_gated_queries_registered_unconditionally():
