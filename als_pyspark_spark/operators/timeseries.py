@@ -236,3 +236,54 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_users").over(cum_w).alias("cumulative_users"),
         )
     )
+
+
+@query(
+    "q_rolling_7d_distinct_users",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+), pd AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events GROUP BY 1, 2
+)
+SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS mau_7d
+FROM days d
+JOIN pd p ON p.day > d.day - 7 AND p.day <= d.day
+GROUP BY d.day
+""",
+    tags=("timeseries", "distinct", "rolling-window", "two-phase"),
+)
+def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (the "rolling MAU" curve) —
+    EXACT, and computed without re-scanning the fact table once per
+    window: the fact stream collapses to (day, user) grain in one hash
+    aggregate, and each day's trailing week re-unions only day-grain
+    rows via a bounded range join (≤7 day-partitions per output day).
+    Distinctness cannot be windowed by simple running sums (it is not
+    mergeable as counts), which is exactly why the day-grain
+    re-aggregation — not a prefix trick like q_cumulative_distinct_users
+    uses for the all-time curve — is the honest exact form.
+
+    100 TB shape: the heavy aggregate is the (day, user) collapse
+    (map-side partial, one shuffle); the range join then touches
+    |days|×|users/day| day-grain rows, each replicated ≤7× — independent
+    of raw event volume. When users/day itself is huge, the mergeable
+    relaxations take over: per-day HLL sketches unioned across the
+    window (q_hll_sketch_union) or per-day bitmaps OR-ed
+    (q_bitmap_distinct_users) — this query is their exact baseline.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    pd_grain = e.distinct()
+    days = pd_grain.select("day").distinct().withColumnRenamed("day", "d")
+    joined = days.join(
+        pd_grain,
+        (F.col("day") > F.date_sub(F.col("d"), 7)) & (F.col("day") <= F.col("d")),
+    )
+    return (
+        joined.groupBy("d")
+        .agg(F.countDistinct("user_id").alias("mau_7d"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "mau_7d")
+    )

@@ -271,6 +271,7 @@ _CARRYOVER = (
     "q_incremental_join_maintenance",
     "q_bfs_part_distances",
     "q_compact_small_files",
+    "q_rolling_7d_distinct_users",
 )
 
 _HOISTED = (
@@ -340,6 +341,7 @@ _HOISTED = (
     "q_incremental_join_maintenance",
     "q_bfs_part_distances",
     "q_compact_small_files",
+    "q_rolling_7d_distinct_users",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those
