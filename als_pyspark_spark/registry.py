@@ -272,6 +272,7 @@ _CARRYOVER = (
     "q_bfs_part_distances",
     "q_compact_small_files",
     "q_rolling_7d_distinct_users",
+    "q_stream_dynamic_session_gap",
 )
 
 _HOISTED = (
@@ -342,6 +343,7 @@ _HOISTED = (
     "q_bfs_part_distances",
     "q_compact_small_files",
     "q_rolling_7d_distinct_users",
+    "q_stream_dynamic_session_gap",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

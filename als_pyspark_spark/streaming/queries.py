@@ -994,3 +994,80 @@ def q_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+@query(
+    "q_stream_dynamic_session_gap",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts,
+           ts + CASE WHEN event_type = 'purchase'
+                     THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END
+               AS ev_end
+    FROM events
+), marked AS (
+    SELECT user_id, ts, ev_end,
+           CASE WHEN MAX(ev_end) OVER w IS NULL
+                  OR ts >= MAX(ev_end) OVER w
+                THEN 1 ELSE 0 END AS new_sess
+    FROM g
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), sess AS (
+    SELECT user_id, ts, ev_end,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       STRFTIME(MAX(ev_end), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sess_id
+""",
+    tags=("streaming", "session", "dynamic-gap", "state"),
+)
+def q_stream_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap — ``session_window``
+    with a gap EXPRESSION (purchases hold the session open 60 minutes,
+    everything else 30) — the API the fixed-gap q_stream_session_windows
+    can't reach: engagement sessions where high-intent events legitimately
+    extend the inactivity allowance.
+
+    The merge semantics get strictly harder than the fixed-gap case: a
+    session's end is the running MAX of per-event ends (a long-gap event
+    early in the session can bridge a silence later), so the oracle's
+    gaps-and-islands form uses a running-max-of-ends boundary test
+    (``ts ≥ max(prev ev_end) → new session``, end-exclusive like the
+    fixed-gap twin) rather than a simple lag diff — lag-diff would split
+    sessions the long gap actually bridges, and hash-mismatch.
+
+    100 TB shape: identical state machine to fixed-gap sessions — state
+    keyed by (user, merged window), watermark closes sessions; the gap
+    expression is evaluated per row map-side, costing nothing extra.
+    """
+    from pyspark.sql import functions as F
+
+    name = "mem_stream_dynamic_session_gap"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise(
+        "30 minutes"
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    return run_to_memory(stream, name, mode="complete")
