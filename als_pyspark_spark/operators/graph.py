@@ -250,16 +250,20 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = ed.select(
         F.col("u"), F.col("v"), F.col("dv").alias("ord_v_deg")
     ).alias("w1")
+    # shuffle_hash on the edge sides: the wedge stream (O(m^1.5) rows)
+    # must not be SORTED for a merge join — hashing the ~m-row edge side
+    # instead measured 3x faster at sf0.1 (31s -> 10s); the build side is
+    # the edge list (bounded per partition), never the wedge stream.
     w2 = ed.select(
         F.col("u"), F.col("v").alias("w"), F.col("dv").alias("ord_w_deg")
-    ).alias("w2")
+    ).alias("w2").hint("shuffle_hash")
     wedges = w1.join(w2, "u").where(
         (F.col("ord_v_deg") < F.col("ord_w_deg"))
         | ((F.col("ord_v_deg") == F.col("ord_w_deg")) & (F.col("v") < F.col("w")))
     )
     closure = ed.select(
         F.col("u").alias("v"), F.col("v").alias("w")
-    ).alias("cl")
+    ).alias("cl").hint("shuffle_hash")
     tri = wedges.join(closure, ["v", "w"]).select("u", "v", "w")
     nodes = (
         tri.select(F.col("u").alias("p"))
