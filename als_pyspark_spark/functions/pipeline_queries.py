@@ -782,3 +782,136 @@ def q_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
         F.sum("weight_ppm").alias("expected_ppm_mass"),
     )
+
+
+@query(
+    "q_kfold_assignment",
+    oracle="""
+WITH f AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 5 AS fold
+    FROM documents
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+FROM f
+GROUP BY fold
+""",
+    tags=("pipeline", "split", "kfold", "cross-validation"),
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-FOLD cross-validation assignment (k=5): fold id =
+    md5(doc_id) mod k — the companion to q_split_train_test for model
+    selection. Hash-based (not row-number-based) assignment is the form
+    that survives distribution: it needs no global ordering, is stable
+    under re-partitioning/re-runs/engine changes, and each entity lands
+    in EXACTLY one fold by construction (the leakage property k-fold
+    requires; the per-fold id-sum column witnesses the exact membership
+    partition, not just the sizes).
+
+    100 TB shape: pure per-row expression, no shuffle before the
+    per-fold rollup; training fold f's input is a pushed-down
+    ``fold <> f`` filter, never a materialized copy per fold.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    )
+    return (
+        d.select("doc_id", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("doc_id").alias("sum_doc_ids"),
+        )
+    )
+
+
+@query(
+    "q_feature_hashing",
+    oracle="""
+WITH h AS (
+    SELECT CAST(('0x' || substr(md5('nat|' || CAST(c_nationkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 8 AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5('sgn|' || CAST(c_nationkey AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2 = 0
+                THEN 1 ELSE -1 END AS sgn,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(sgn * cents) AS BIGINT) AS signed_cents,
+       CAST(SUM(sgn) AS BIGINT) AS signed_count
+FROM h
+GROUP BY bucket
+""",
+    tags=("pipeline", "feature-hashing", "ml"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FEATURE-HASHING trick (hashing vectorizer): categorical
+    values map to a fixed 8-bucket feature space via md5, with the
+    signed-hash variant (an independent hash picks ±1) that keeps
+    collision noise zero-mean — how a linear-model trainer ingests
+    unbounded-cardinality categoricals without a fitted vocabulary.
+    Per-bucket signed balance-cents aggregates are the hashed feature
+    sums a distributed gradient step consumes.
+
+    Against q_vocab_encode_docs (fitted-vocabulary encoding): hashing
+    needs NO fit pass, no broadcast dictionary, and no OOV path — the
+    trade is collisions, bounded by the sign trick and bucket count.
+    Exact: both hashes and the integer-cents arithmetic replay
+    bit-identically in the oracle.
+
+    100 TB shape: fit-free per-row expressions straight into one
+    partial-aggregated rollup — the cheapest possible featurization
+    (no shuffle except the 8-row final combine).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("nat|"), F.col("c_nationkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    sgn = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sgn|"), F.col("c_nationkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        c.select(
+            bucket.alias("bucket"),
+            sgn.alias("sgn"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("sgn") * F.col("cents")).alias("signed_cents"),
+            F.sum("sgn").alias("signed_count"),
+        )
+    )

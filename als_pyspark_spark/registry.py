@@ -273,6 +273,8 @@ _CARRYOVER = (
     "q_compact_small_files",
     "q_rolling_7d_distinct_users",
     "q_stream_dynamic_session_gap",
+    "q_kfold_assignment",
+    "q_feature_hashing",
 )
 
 _HOISTED = (
@@ -344,6 +346,8 @@ _HOISTED = (
     "q_compact_small_files",
     "q_rolling_7d_distinct_users",
     "q_stream_dynamic_session_gap",
+    "q_kfold_assignment",
+    "q_feature_hashing",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those
