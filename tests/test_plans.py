@@ -621,3 +621,31 @@ def test_equidepth_deciles_bounded_windows(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(b" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_distinct_broadcasts_calendar(spark, sf_dir):
+    """Rolling 7-day distinct: the range join broadcasts the DAY side
+    (calendar-bounded), the fact side collapses to (day,user) grain
+    first; no SinglePartition anywhere."""
+    plan = plan_of(QUERIES["q_rolling_7d_distinct_users"].build(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bfs_rounds_are_keyed_joins(spark, sf_dir):
+    """BFS: every round is a keyed hash/merge join + hash aggregate —
+    no cartesian/nested-loop expansion, no global sort."""
+    plan = plan_of(QUERIES["q_bfs_part_distances"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_hash_featurizers_single_rollup(spark, sf_dir):
+    """k-fold and feature hashing: fit-free per-row expressions into one
+    partial-aggregated rollup — exactly one shuffle each, no sort, no
+    join."""
+    for name in ("q_kfold_assignment", "q_feature_hashing"):
+        plan = plan_of(QUERIES[name].build(spark, sf_dir))
+        assert plan.count("Exchange") <= 1, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "SinglePartition" not in plan, (name, plan)
