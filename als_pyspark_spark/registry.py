@@ -275,6 +275,7 @@ _CARRYOVER = (
     "q_stream_dynamic_session_gap",
     "q_kfold_assignment",
     "q_feature_hashing",
+    "q_stream_full_outer_join",
 )
 
 _HOISTED = (
@@ -348,6 +349,7 @@ _HOISTED = (
     "q_stream_dynamic_session_gap",
     "q_kfold_assignment",
     "q_feature_hashing",
+    "q_stream_full_outer_join",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

@@ -237,7 +237,10 @@ def stream_stream_purchase_click(
 
 
 def stream_stream_purchase_click_outer(
-    purchases: DataFrame, clicks: DataFrame, lookback: str = "1 hour"
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "1 hour",
+    how: str = "leftOuter",
 ) -> DataFrame:
     """LEFT OUTER stream-stream join: every purchase emits — paired with
     that user's preceding-hour clicks when they exist, with a NULL click
@@ -267,8 +270,8 @@ def stream_stream_purchase_click_outer(
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("c_ts") <= F.col("p_ts")),
-        "leftOuter",
-    ).select("p_user", "purchase_id", "p_ts", "click_id")
+        how,
+    ).select("p_user", "purchase_id", "p_ts", "c_user", "click_id", "c_ts")
 
 
 def run_to_memory(

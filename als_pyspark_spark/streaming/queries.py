@@ -1071,3 +1071,113 @@ def q_stream_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(stream, name, mode="complete")
+
+
+@query(
+    "q_stream_full_outer_join",
+    oracle="""
+WITH t0 AS (
+    SELECT MAX(ts) - INTERVAL 6 DAY AS v FROM events
+), wm AS (
+    SELECT LEAST(
+        (SELECT MAX(ts) FROM events
+          WHERE event_type = 'purchase' AND ts < (SELECT v FROM t0)),
+        (SELECT MAX(ts) FROM events
+          WHERE event_type = 'click' AND ts < (SELECT v FROM t0))
+    ) - INTERVAL 4 HOUR AS v
+), fo AS (
+    SELECT p.ts AS p_ts, p.user_id AS p_user,
+           c.ts AS c_ts, c.user_id AS c_user
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+), closed AS (
+    SELECT * FROM fo
+    WHERE CASE WHEN p_ts IS NOT NULL
+               THEN p_ts <= (SELECT v FROM wm)
+               ELSE c_ts <= (SELECT v FROM wm) - INTERVAL 1 HOUR END
+)
+SELECT CASE WHEN p_ts IS NOT NULL AND c_ts IS NOT NULL THEN 'pair'
+            WHEN p_ts IS NOT NULL THEN 'purchase_only'
+            ELSE 'click_only' END AS kind,
+       COALESCE(p_user, c_user) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM closed
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "stream-stream", "full-outer", "watermark"),
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — completing the stream-stream join
+    matrix (inner: q_stream_stream_join; left: q_stream_left_outer_join).
+    Both sides now evict-and-emit: unmatched purchases surface with a
+    NULL click AND unmatched clicks with a NULL purchase, each only once
+    its own watermark window closes.
+
+    Same two-batch time stage and closed-set determinism contract as the
+    left-outer variant, but applied PER SIDE: purchase-bearing rows
+    compare when ``p_ts ≤ wm₁ − 2h``; click-only rows when
+    ``c_ts ≤ wm₁ − 3h`` (a click's join window extends 1h forward, so it
+    closes one lookback later — the asymmetric eviction full outer has
+    to get right, and the thing this query pins). Counts reduce per
+    (kind, user); a missing either-side eviction row or a duplicated
+    pair breaks the hash against the batch FULL JOIN oracle.
+
+    100 TB shape: identical bounded state to the inner join — the outer
+    flavors change emission timing, not state size.
+    """
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.sources.tables import load_table
+    from als_pyspark_spark.streaming.events import (
+        read_staged_stream,
+        stage_events_two_batches,
+        stream_stream_purchase_click_outer,
+    )
+
+    staged, t0, schema = stage_events_two_batches(
+        spark, sf_dir, "stream_fouter_in"
+    )
+    events = load_table(spark, sf_dir, "events")
+    cutoff = (
+        events.where(F.col("ts") < F.lit(t0))
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select((F.col("m") - F.expr("INTERVAL 4 HOURS")).alias("v"))
+        .collect()[0]["v"]
+    )
+
+    raw = read_staged_stream(spark, staged, schema)
+    purchases = raw.where(F.col("event_type") == "purchase")
+    clicks = raw.where(F.col("event_type") == "click")
+    joined = stream_stream_purchase_click_outer(
+        purchases, clicks, how="fullOuter"
+    )
+
+    name = "mem_stream_full_outer_join"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    drained = run_to_memory(joined, name, mode="append")
+    closed = drained.where(
+        F.when(
+            F.col("p_ts").isNotNull(), F.col("p_ts") <= F.lit(cutoff)
+        ).otherwise(F.col("c_ts") <= F.lit(cutoff) - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        closed.select(
+            F.when(
+                F.col("p_ts").isNotNull() & F.col("c_ts").isNotNull(), "pair"
+            )
+            .when(F.col("p_ts").isNotNull(), "purchase_only")
+            .otherwise("click_only")
+            .alias("kind"),
+            F.coalesce("p_user", "c_user").alias("user_id"),
+        )
+        .groupBy("kind", "user_id")
+        .agg(F.count("*").alias("n_rows"))
+    )
