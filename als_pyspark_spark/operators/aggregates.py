@@ -636,6 +636,10 @@ def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB oracle computes the same ranks with one global
     ROW_NUMBER, so a match proves the two-phase decomposition exact.
+    Rank arithmetic bound: targets compute as ``(k·n)/10`` through a
+    double then truncate — exact while k·n ≤ 2^53, i.e. n ≲ 1e15 rows,
+    far past any SF (same documented-bound style as
+    q_maxby_top_order_per_customer's packed key).
     Contrast with q_percentiles_totalprice (percentile_cont on doubles)
     and q_latency_percentile_bands (exact, but per-hour partitions) —
     this one is exact AND global AND shuffle-bounded; at 100 TB phase 3
