@@ -465,3 +465,85 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+@query(
+    "q_k_anonymity_generalize",
+    oracle="""
+WITH g0 AS (
+    SELECT c_nationkey AS nation, c_mktsegment AS segment, COUNT(*) AS n
+    FROM customer GROUP BY 1, 2
+), keep0 AS (
+    SELECT CAST(nation AS VARCHAR) AS nation, segment, n,
+           CAST(0 AS BIGINT) AS level
+    FROM g0 WHERE n >= 5
+), g1 AS (
+    SELECT nation, SUM(n) AS n FROM g0 WHERE n < 5 GROUP BY nation
+), keep1 AS (
+    SELECT CAST(nation AS VARCHAR) AS nation, '*' AS segment, n,
+           CAST(1 AS BIGINT) AS level
+    FROM g1 WHERE n >= 5
+), g2 AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n FROM g1 WHERE n < 5
+), keep2 AS (
+    SELECT '*' AS nation, '*' AS segment, n, CAST(2 AS BIGINT) AS level
+    FROM g2 WHERE n > 0
+)
+SELECT nation, segment, CAST(n AS BIGINT) AS n, level FROM keep0
+UNION ALL SELECT * FROM keep1
+UNION ALL SELECT * FROM keep2
+""",
+    tags=("curation", "privacy", "k-anonymity"),
+)
+def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY enforcement over quasi-identifiers (nation ×
+    market segment, k=5) with a generalization LADDER — the privacy gate
+    a training-data release pipeline runs before shipping user-derived
+    rows: equivalence classes already ≥k publish at level 0; smaller
+    classes generalize the segment away ('*') and re-test per nation
+    (level 1); what still falls short collapses to the fully-suppressed
+    ('*','*') bucket (level 2). Every published class in the output has
+    n ≥ k except the final catch-all, which is reported rather than
+    silently dropped — an auditor can verify the ladder from the row
+    set alone.
+
+    Exact: class sizes are integers and the ladder is deterministic
+    set algebra; the oracle replays all three levels. 100 TB shape:
+    level-0 is one partial-aggregated groupBy on the quasi-identifier
+    key; each ladder step re-aggregates only the FAILING classes'
+    group-grain rows (bounded by the QI domain, not the table).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g0 = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count("*").alias("n"))
+    keep0 = g0.where(F.col("n") >= 5).select(
+        F.col("nation").cast("string").alias("nation"),
+        "segment",
+        "n",
+        F.lit(0).cast("long").alias("level"),
+    )
+    g1 = (
+        g0.where(F.col("n") < 5)
+        .groupBy("nation")
+        .agg(F.sum("n").alias("n"))
+    )
+    keep1 = g1.where(F.col("n") >= 5).select(
+        F.col("nation").cast("string").alias("nation"),
+        F.lit("*").alias("segment"),
+        "n",
+        F.lit(1).cast("long").alias("level"),
+    )
+    keep2 = (
+        g1.where(F.col("n") < 5)
+        .agg(F.sum("n").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit("*").alias("nation"),
+            F.lit("*").alias("segment"),
+            F.col("n").cast("long").alias("n"),
+            F.lit(2).cast("long").alias("level"),
+        )
+    )
+    return keep0.unionByName(keep1).unionByName(keep2)

@@ -276,6 +276,7 @@ _CARRYOVER = (
     "q_kfold_assignment",
     "q_feature_hashing",
     "q_stream_full_outer_join",
+    "q_k_anonymity_generalize",
 )
 
 _HOISTED = (
@@ -350,6 +351,7 @@ _HOISTED = (
     "q_kfold_assignment",
     "q_feature_hashing",
     "q_stream_full_outer_join",
+    "q_k_anonymity_generalize",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those
