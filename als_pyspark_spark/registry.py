@@ -254,11 +254,12 @@ _MODULE_ORDER = (
 #      sweep prefix simply wait for that rotation.
 # Acknowledged sweep-prefix overflow: never-driver-verified queries that
 # no longer fit the ~50-entry prefix this round. Each must (a) carry an
-# exact DuckDB oracle verified locally at sf0.001 AND sf0.01, and (b) sit
-# in _HOISTED directly after the never-verified block so it leads the
-# NEXT round's window. The registry invariant tests treat these as
-# explicitly-deferred rather than orphaned — a loud, reviewed list, not a
-# silent gap.
+# exact DuckDB oracle verified locally at sf0.001, sf0.01, AND sf0.1
+# (the full gate re-ran green at all three scales after the last entry
+# landed), and (b) sit in _HOISTED directly after the never-verified
+# block so it leads the NEXT round's window. The registry invariant
+# tests treat these as explicitly-deferred rather than orphaned — a
+# loud, reviewed list, not a silent gap.
 _CARRYOVER = (
     "q_stream_update_mode_totals",
     "q_python_stream_datasource_sink",
