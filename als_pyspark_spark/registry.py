@@ -278,6 +278,7 @@ _CARRYOVER = (
     "q_feature_hashing",
     "q_stream_full_outer_join",
     "q_k_anonymity_generalize",
+    "q_stream_static_left_enrich",
 )
 
 _HOISTED = (
@@ -353,6 +354,7 @@ _HOISTED = (
     "q_feature_hashing",
     "q_stream_full_outer_join",
     "q_k_anonymity_generalize",
+    "q_stream_static_left_enrich",
     # ^ the never-verified block now exactly fills — and with
     # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
     # prefix. _CARRYOVER (below) names the acknowledged overflow; those

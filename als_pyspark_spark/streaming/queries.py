@@ -1181,3 +1181,56 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind", "user_id")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@query(
+    "q_stream_static_left_enrich",
+    oracle="""
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 10 <> 0) c
+       ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "stream-static", "left-outer"),
+)
+def q_stream_static_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT join — the unknown-member path the inner
+    variant (q_stream_static_enrich) silently drops: events whose user
+    has no dimension row survive with a NULL segment and bucket under
+    'UNKNOWN', so the enriched stream conserves row count — the
+    invariant a star-schema ingest must hold when the dimension lags the
+    fact stream (late-arriving dimensions). The fixture's dimension is
+    complete, which would leave the NULL branch vacuous (the round-2
+    planted-pair lesson), so the dimension deterministically DROPS every
+    custkey ≡ 0 (mod 10) on both sides — ~10% of events genuinely take
+    the unmatched path and the UNKNOWN buckets carry real counts. Unlike the outer
+    STREAM-STREAM joins, stream-static left is STATELESS — no watermark,
+    no eviction timing — because the static side is fully known per
+    micro-batch; unmatched rows emit immediately, which is why this
+    query needs none of the closed-subset machinery the stream-stream
+    outer variants carry.
+
+    100 TB shape: dimension broadcast per micro-batch, identical to the
+    inner enrich; the COALESCE bucket is a map-side projection.
+    """
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.sources.tables import load_table
+
+    name = "mem_stream_static_left_enrich"
+    spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 10 != 0
+    )
+    events = read_events_stream(spark, sf_dir)
+    joined = events.join(
+        customer, events.user_id == customer.c_custkey, "left"
+    )
+    agg = joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    return run_to_memory(agg, name, mode="complete")
