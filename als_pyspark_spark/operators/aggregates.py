@@ -442,21 +442,21 @@ WITH c AS (
 ), s AS (
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(x * x) AS BIGINT) AS sxx,
-           CAST(SUM(y * y) AS BIGINT) AS syy,
-           CAST(SUM(x * y) AS BIGINT) AS sxy
+           CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+           SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
     FROM c GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       (CAST(sxy AS DOUBLE) / 10000 - (CAST(sx AS DOUBLE) / 100)
-            * (CAST(sy AS DOUBLE) / 100) / n) / n AS covar_pop,
-       ((CAST(sxy AS DOUBLE) / 10000 - (CAST(sx AS DOUBLE) / 100)
+       ROUND((CAST(sxy AS DOUBLE) / 10000 - (CAST(sx AS DOUBLE) / 100)
+            * (CAST(sy AS DOUBLE) / 100) / n) / n, 4) AS covar_pop,
+       ROUND(((CAST(sxy AS DOUBLE) / 10000 - (CAST(sx AS DOUBLE) / 100)
             * (CAST(sy AS DOUBLE) / 100) / n) / n)
        / sqrt((CAST(sxx AS DOUBLE) / 10000 - (CAST(sx AS DOUBLE) / 100)
             * (CAST(sx AS DOUBLE) / 100) / n) / n)
        / sqrt((CAST(syy AS DOUBLE) / 10000 - (CAST(sy AS DOUBLE) / 100)
-            * (CAST(sy AS DOUBLE) / 100) / n) / n) AS corr
+            * (CAST(sy AS DOUBLE) / 100) / n) / n), 9) AS corr
 FROM s
 """,
     tags=("aggregate", "stats", "gramian"),
@@ -471,22 +471,34 @@ def q_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why not the built-in corr()/covar_pop(): those accumulate DOUBLES, and
     distributed float summation order differs run-to-run and engine-to-
     engine — fine statistically, but not hashable against an oracle. The
-    integer sums are exact and associative (x·y ≤ 5e10/row keeps corpus
-    sums far inside int64 at test scale; a 100 TB run would widen to
-    DECIMAL(38,0) sums, same shape), and every double op downstream is on
-    exactly-represented integers — bit-identical on both engines."""
+    moment sums are exact and associative in DECIMAL(38,0) (HUGEINT on
+    the DuckDB side — the q_zscore_outlier_orders width; int64 syy
+    measurably overflowed at sf1, which is why the moments are wide).
+    Derived stats round in-query — covar to 4 dp (≤13 significant
+    digits, so the decimal→double cast is exact on both engines' paths),
+    corr to 9 dp — because the RAW moment→double cast of a >2^53 decimal
+    can legitimately differ by 1 ulp across engines (DuckDB's
+    int128→double divide double-rounds); the rounding budget absorbs
+    that while keeping far more precision than the statistics carry."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.round(F.col("l_quantity") * 100).cast("long")
     y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    xd = x.cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
     s = li.select(
-        "l_returnflag", x.alias("x"), y.alias("y")
+        "l_returnflag",
+        x.alias("x"),
+        y.alias("y"),
+        (xd * xd).cast("decimal(38,0)").alias("xx"),
+        (yd * yd).cast("decimal(38,0)").alias("yy"),
+        (xd * yd).cast("decimal(38,0)").alias("xy"),
     ).groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+        F.sum("xy").alias("sxy"),
     )
     n = F.col("n")
     dx = F.col("sx").cast("double") / 100
@@ -497,8 +509,8 @@ def q_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        covar.alias("covar_pop"),
-        (covar / F.sqrt(varx) / F.sqrt(vary)).alias("corr"),
+        F.round(covar, 4).alias("covar_pop"),
+        F.round(covar / F.sqrt(varx) / F.sqrt(vary), 9).alias("corr"),
     )
 
 

@@ -40,8 +40,8 @@ def _dec(col: str, t: str) -> F.Column:
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        COUNT(*) AS count_order
@@ -56,6 +56,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Covers reference P1/P6 (map + predicate, ALS.py:76,514) and A1/A2
     (partial+final agg, ALS.py:226-263) in one declarative plan.
+
+    The scale-4/6 money sums (disc_price, charge) round to CENTS inside
+    the query on both engines: above ~SF0.3 their exact decimal sums
+    carry >15 significant digits, and DuckDB's wide-decimal→double cast
+    double-rounds (int128→double is already inexact past 2^53) while
+    Spark's BigDecimal cast rounds once — a genuine 1-ulp cross-engine
+    divergence measured at sf1. Rounded to scale 2 the decimal is
+    <2^53-exact on both cast paths, so the doubles are bit-identical at
+    any SF.
     """
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice", _PRICE) * (F.lit(1) - _dec("l_discount", _PCT))
@@ -66,8 +75,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity", _QTY)).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice", _PRICE)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             (F.sum(_dec("l_quantity", _QTY)).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice", _PRICE)).cast("double") / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),

@@ -261,6 +261,8 @@ _MODULE_ORDER = (
 # tests treat these as explicitly-deferred rather than orphaned — a
 # loud, reviewed list, not a silent gap.
 _CARRYOVER = (
+    "q_stream_left_outer_join",
+    "q_zorder_layout_sink",
     "q_stream_update_mode_totals",
     "q_python_stream_datasource_sink",
     "q_equidepth_deciles",
@@ -284,6 +286,17 @@ _CARRYOVER = (
 _HOISTED = (
     # 1. stale exact oracle — driver-replay first
     "q_stream_dedup_count",
+    # 1b. OUTPUT-CHANGED at round end (sf1-gate findings; see their
+    # docstrings): q1's scale-4/6 money sums now round to cents in-query
+    # (the >15-significant-digit decimal→double cast diverged 1 ulp
+    # across engines at sf1) and corr_covar's moments widened to
+    # DECIMAL(38,0) (int64 syy overflowed at sf1). Their r1/r4 driver
+    # rows witness the OLD output, so they re-verify ahead of
+    # everything; the two displaced never-verified entries
+    # (q_stream_left_outer_join, q_zorder_layout_sink) moved into
+    # _CARRYOVER.
+    "q1_pricing_summary",
+    "q_corr_covar_exact",
     # 2. new this round — first driver verification
     "q_stream_apws_user_max",
     "q_bloom_incremental_dedup",

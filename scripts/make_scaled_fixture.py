@@ -10,9 +10,17 @@ verbatim. No RNG — rerunning produces byte-identical tables.
 
 Replication preserves each copy's internal distributions (skew, FK fan-out,
 value ranges) and multiplies data volume — exactly what a scan/shuffle
-throughput measurement needs. It is NOT a correctness fixture: duplicate
-text/timestamps across copies change dedup-cluster sizes and window counts,
-which is fine for bench (bench measures seconds, not oracle hashes).
+throughput measurement needs. Oracles that derive their expectation from
+the data itself (every exact query) stay valid; the one assumption clones
+would break is q_embedding_neardup_pairs' isotropic-background contract
+(identical vectors across copies are genuine cos=1 near-dups the planted-
+pair oracle doesn't enumerate), so each embedding copy i is CIRCULARLY
+ROTATED by i positions — a norm- and isotropy-preserving transform that
+makes cross-copy cosines ~N(0, 1/64) while keeping the per-copy value
+distribution byte-identical for throughput purposes. Duplicate TEXT across
+copies remains (dedup oracles compute from the data on both sides, so
+clone-dense pair outputs stay exact — just bigger; see PERF.md's simhash
+note).
 
 Usage: python scripts/make_scaled_fixture.py [out_dir] [copies]
        default: <repo>/.scale/sf1, 10 copies of sf0.1
@@ -60,9 +68,17 @@ def main() -> int:
             cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
             parts = []
             for i in range(copies):
-                sel = ", ".join(
-                    f"{c} + {i * OFFSET} AS {c}" if c in keys else c for c in cols
-                )
+                def col_expr(c: str, i: int = i) -> str:
+                    if c in keys:
+                        return f"{c} + {i * OFFSET} AS {c}"
+                    if table == "embeddings" and c == "embedding" and i > 0:
+                        # circular rotation by i: distinct, norm-preserving
+                        return (
+                            f"list_concat(embedding[{i + 1}:], "
+                            f"embedding[:{i}]) AS embedding"
+                        )
+                    return c
+                sel = ", ".join(col_expr(c) for c in cols)
                 parts.append(f"SELECT {sel} FROM '{src}'")
             sql = " UNION ALL ".join(parts)
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
