@@ -760,7 +760,8 @@ _FUZZY_MAX_DIST = 2
     oracle=f"""
 WITH p AS (
     SELECT p_partkey, p_name,
-           string_split(p_name, ' ')[-1] AS block_key
+           string_split(p_name, ' ')[-1] || '|' || substr(p_name, 1, 1)
+               AS block_key
     FROM part
 ),
 pairs AS (
@@ -789,17 +790,24 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match exactly.
 
     100 TB shape: the candidate set comes from the blocking equi-join
-    (never all-pairs); block sizes are bounded by the name vocabulary, and
-    a skewed block (one hyper-common type) is AQE skew-join territory.
-    Production blocking refines the key (type + first qualifier char, or
-    a phonetic code) to cap block width; the structure here is the same.
+    (never all-pairs), and the block key is the REFINED production form —
+    last token (product type) PLUS the first qualifier character — after
+    the coarse type-only key measurably went quadratic on the 10×-clone
+    sf1 fixture (block width scales with corpus over a fixed type
+    vocabulary; pairs with its square). Refinement trades recall only for
+    edits in the first character — the standard multi-pass blocking
+    trade — and a still-skewed block is AQE skew-join territory.
     Character-level distance complements the token-set tiers: 'cold
     widget' vs 'bold widget' is invisible to 3-gram Jaccard (no shared
     shingles at n=3 tokens) but distance 1 here."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
-        F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+        F.concat(
+            F.element_at(F.split("p_name", " "), -1),
+            F.lit("|"),
+            F.substring("p_name", 1, 1),
+        ).alias("block_key"),
     )
     a, b = p.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
