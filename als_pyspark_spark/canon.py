@@ -1,0 +1,62 @@
+"""Driver-contract canonicalization, shared by the pytest oracle gate
+(tests/test_correctness.py) and the CLI mirror (scripts/check_correctness.py).
+
+The external driver compares Spark vs DuckDB results by loading both into
+pandas, sorting with ``DataFrame.sort_values`` over every column, and
+hashing the values. Two contract consequences this module enforces so
+local green predicts driver green (round-5 lesson: the old local ``canon``
+sorted rows by ``repr``, which happily handles list cells the driver's
+``sort_values`` dies on — two queries shipped locally-green and came back
+as the project's first red driver rows):
+
+1. ``canon`` canonicalizes through pandas ``sort_values`` — a list/dict
+   cell raises ``TypeError: unhashable type`` here exactly as it does in
+   the driver, BEFORE any comparison runs.
+2. ``assert_scalar_schema`` lints a Spark result schema: no ArrayType /
+   MapType / StructType at top level. Serialize complex values to one
+   canonical string on both engine sides instead (Spark ``concat_ws`` /
+   ``to_json`` ↔ DuckDB ``array_to_string`` / ``to_json``).
+"""
+
+from __future__ import annotations
+
+_COMPLEX_TYPES = ("ArrayType", "MapType", "StructType")
+
+
+def assert_scalar_schema(schema, name: str = "<query>") -> None:
+    """Raise if any top-level output column has a complex (non-scalar)
+    Spark SQL type — the driver's pandas canonicalizer cannot sort such
+    cells, so the row would be red regardless of its values."""
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if type(f.dataType).__name__ in _COMPLEX_TYPES
+    ]
+    if bad:
+        raise TypeError(
+            f"{name}: output schema has non-scalar top-level columns the "
+            f"driver canonicalizer cannot hash: {bad} — serialize them "
+            f"(concat_ws/to_json ↔ array_to_string/to_json) on both sides"
+        )
+
+
+def canon(rows, cols, ndigits: int = 9):
+    """Order-insensitive canonical form of a result set, via the same
+    pandas ``sort_values`` path the driver uses (so unsortable cell types
+    fail identically). Floats are rounded BEFORE the sort so ulp-level
+    engine differences cannot reorder ties."""
+    import pandas as pd
+
+    def _round(v):
+        return round(v, ndigits) if isinstance(v, float) else v
+
+    rounded = [tuple(_round(v) for v in row) for row in rows]
+    df = pd.DataFrame(rounded, columns=list(cols))
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    # pandas turns None into NaN in float columns; NaN != NaN would make
+    # the elementwise tuple compare fail on NULLs both engines agree on —
+    # normalize back to None (identically on both sides) after the sort.
+    df = df.astype(object).where(df.notna(), None)
+    return [tuple(row) for row in df.itertuples(index=False, name=None)]

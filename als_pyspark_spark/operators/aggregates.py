@@ -658,6 +658,16 @@ def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches ~(9/buckets) of the data while a naive global rank would
     sort all of it.
     """
+    deciles, caches = _equidepth_plan(spark, sf_dir)
+    # bounded result (9 rows): materialize + free the persisted bucket table
+    from als_pyspark_spark.caching import collected
+
+    return collected(spark, deciles, *caches)
+
+
+def _equidepth_plan(spark: SparkSession, sf_dir: str):
+    """Lazy phase-3 decile plan + the persisted bucket table (plan tests
+    inspect the DataFrame; the query materializes it)."""
     o = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
     )
@@ -695,7 +705,7 @@ def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed.where(F.col("b").isin([int(h.b) for h in hits]))
         .select("b", "v", F.row_number().over(in_bucket).alias("rn"))
     )
-    return (
+    deciles = (
         ranked.join(
             F.broadcast(hit_lit),
             (ranked["b"] == hit_lit["hb"])
@@ -707,3 +717,4 @@ def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("value_cents"),
         )
     )
+    return deciles, [bucketed]

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from als_pyspark_spark.caching import collected
 from als_pyspark_spark.registry import query
 from als_pyspark_spark.sources.tables import load_table
 
@@ -98,6 +99,16 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     does. Undirected edges mean no dangling-mass correction is needed —
     every node has out-degree ≥ 1 by construction.
     """
+    top, caches = _pagerank_plan(spark, sf_dir)
+    # bounded result (25 rows at any SF): materialize + free the cached
+    # edge list / node table instead of leaking them past the query
+    return collected(spark, top, *caches)
+
+
+def _pagerank_plan(spark: SparkSession, sf_dir: str):
+    """Lazy top-25 PageRank plan + the persisted intermediates it reads
+    (returned so the caller can unpersist after the final action; plan
+    tests inspect the DataFrame without materializing)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -128,7 +139,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("(85 * COALESCE(c, 0)) DIV 100")
             ).alias("r"),
         )
-    return (
+    top = (
         ranks.select(
             F.when(F.col("node") % 2 == 0, "supplier")
             .otherwise("part")
@@ -141,6 +152,98 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("node")
     )
+    return top, [eo, nodes]
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected distinct part co-purchase edge set (x < y): edge when
+    two parts share an order. Basket fan-out bounds the per-order pair
+    explosion (the q_market_basket_pairs argument)."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+    )
+
+
+def _oriented_edges(e: DataFrame) -> DataFrame:
+    """Degree-orient an undirected edge set: direct each edge from its
+    lower-(degree, id) endpoint to the higher, bounding per-node
+    out-degree by O(√m) — the key to the O(m^1.5) triangle plan."""
+    deg = (
+        e.select(F.col("x").alias("p"))
+        .unionByName(e.select(F.col("y").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        e.join(deg.withColumnRenamed("p", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("p", "y").withColumnRenamed("deg", "dy"), "y")
+        .select(
+            F.when(
+                (F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                F.struct(
+                    F.col("x").alias("id"),
+                    F.col("dx").alias("deg"),
+                    F.col("y").alias("oid"),
+                    F.col("dy").alias("odeg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("y").alias("id"),
+                    F.col("dy").alias("deg"),
+                    F.col("x").alias("oid"),
+                    F.col("dx").alias("odeg"),
+                )
+            )
+            .alias("s")
+        )
+        .select(
+            F.col("s.id").alias("u"),
+            F.col("s.oid").alias("v"),
+            F.col("s.deg").alias("du"),
+            F.col("s.odeg").alias("dv"),
+        )
+    )
+
+
+def _closed_wedges(ed: DataFrame) -> DataFrame:
+    """Enumerate each triangle of a degree-oriented edge list exactly once
+    as a wedge u→v, u→w (ord(v) < ord(w)) closed by the oriented edge
+    v→w. ``ed`` should be persisted by the caller — it is read three
+    times."""
+    w1 = ed.select(
+        F.col("u"), F.col("v"), F.col("dv").alias("ord_v_deg")
+    ).alias("w1")
+    # shuffle_hash on the edge sides: the wedge stream (O(m^1.5) rows)
+    # must not be SORTED for a merge join — hashing the ~m-row edge side
+    # instead measured 3x faster at sf0.1 (31s -> 10s); the build side is
+    # the edge list (bounded per partition), never the wedge stream.
+    w2 = ed.select(
+        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("ord_w_deg")
+    ).alias("w2").hint("shuffle_hash")
+    wedges = w1.join(w2, "u").where(
+        (F.col("ord_v_deg") < F.col("ord_w_deg"))
+        | ((F.col("ord_v_deg") == F.col("ord_w_deg")) & (F.col("v") < F.col("w")))
+    )
+    closure = ed.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    ).alias("cl").hint("shuffle_hash")
+    return wedges.join(closure, ["v", "w"]).select("u", "v", "w")
 
 
 @query(
@@ -188,94 +291,87 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q_market_basket_pairs argument); the wedge join and closure join
     are plain hash equi-joins on node keys; the final top-20 is
     TakeOrderedAndProject with a total (count, partkey) order so ties are
-    deterministic.
+    deterministic. Even so, this is the suite's heaviest operator — the
+    wedge stream is O(m^1.5) rows no matter how it is joined — so the
+    100 TB tier is ``q_triangle_count_doulion`` below: DOULION edge
+    sampling at probability p cuts the wedge stream by ~p^1.5 (p=1/2 →
+    ~2.8×, p=1/10 → ~32×) for a count estimator whose error the twin
+    query witnesses in-row against this exact count.
     """
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        op.alias("a")
-        .join(
-            op.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("x").alias("p"))
-        .unionByName(e.select(F.col("y").alias("p")))
-        .groupBy("p")
-        .agg(F.count("*").alias("deg"))
-    )
-    # Direct each edge from the lower (deg, id) endpoint to the higher;
-    # carry both endpoints' order keys for the wedge comparison below.
-    ed = (
-        e.join(deg.withColumnRenamed("p", "x").withColumnRenamed("deg", "dx"), "x")
-        .join(deg.withColumnRenamed("p", "y").withColumnRenamed("deg", "dy"), "y")
-        .select(
-            F.when(
-                (F.col("dx") < F.col("dy"))
-                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
-                F.struct(
-                    F.col("x").alias("id"),
-                    F.col("dx").alias("deg"),
-                    F.col("y").alias("oid"),
-                    F.col("dy").alias("odeg"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.col("y").alias("id"),
-                    F.col("dy").alias("deg"),
-                    F.col("x").alias("oid"),
-                    F.col("dx").alias("odeg"),
-                )
-            )
-            .alias("s")
-        )
-        .select(
-            F.col("s.id").alias("u"),
-            F.col("s.oid").alias("v"),
-            F.col("s.deg").alias("du"),
-            F.col("s.odeg").alias("dv"),
-        )
-        .persist()
-    )
-    w1 = ed.select(
-        F.col("u"), F.col("v"), F.col("dv").alias("ord_v_deg")
-    ).alias("w1")
-    # shuffle_hash on the edge sides: the wedge stream (O(m^1.5) rows)
-    # must not be SORTED for a merge join — hashing the ~m-row edge side
-    # instead measured 3x faster at sf0.1 (31s -> 10s); the build side is
-    # the edge list (bounded per partition), never the wedge stream.
-    w2 = ed.select(
-        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("ord_w_deg")
-    ).alias("w2").hint("shuffle_hash")
-    wedges = w1.join(w2, "u").where(
-        (F.col("ord_v_deg") < F.col("ord_w_deg"))
-        | ((F.col("ord_v_deg") == F.col("ord_w_deg")) & (F.col("v") < F.col("w")))
-    )
-    closure = ed.select(
-        F.col("u").alias("v"), F.col("v").alias("w")
-    ).alias("cl").hint("shuffle_hash")
-    tri = wedges.join(closure, ["v", "w"]).select("u", "v", "w")
+    top, caches = _triangle_top_plan(spark, sf_dir)
+    # bounded result (20 rows): materialize + free the oriented edge list
+    return collected(spark, top, *caches)
+
+
+def _triangle_top_plan(spark: SparkSession, sf_dir: str):
+    """Lazy top-20 triangle-participation plan + persisted intermediates
+    (plan tests inspect the DataFrame; the query materializes it)."""
+    ed = _oriented_edges(_copurchase_edges(spark, sf_dir)).persist()
+    tri = _closed_wedges(ed)
     nodes = (
         tri.select(F.col("u").alias("p"))
         .unionByName(tri.select(F.col("v").alias("p")))
         .unionByName(tri.select(F.col("w").alias("p")))
     )
-    return (
+    top = (
         nodes.groupBy("p")
         .agg(F.count("*").alias("n_triangles"))
         .select(F.col("p").alias("p_partkey"), "n_triangles")
         .orderBy(F.desc("n_triangles"), F.asc("p_partkey"))
         .limit(20)
+    )
+    return top, [ed]
+
+
+@query(
+    "q_triangle_count_doulion",
+    oracle=None,  # sampling estimator — witnessed in-row vs the exact count
+    tags=("graph", "triangles", "approx", "sampling"),
+)
+def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style approximate GLOBAL triangle count (Tsourakakis et al.,
+    KDD'09): keep each undirected edge independently with probability
+    p = 1/2, count triangles of the sparsified graph with the same
+    degree-oriented O(m^1.5) plan as ``q_triangle_count_parts``, and
+    scale by 1/p³ — an unbiased estimator whose sparsified wedge stream
+    shrinks ~p^1.5. This is the cheap tier for the suite's heaviest
+    operator: at 100 TB you run ONLY the sampled side (p=1/10 → ~32×
+    less wedge work); here the row also carries the exact count and the
+    estimator's relative error as the in-row witness (the
+    q_approx_distinct_users pattern), with a loose 35 % bound flag —
+    DOULION's variance at p=1/2 concentrates well under that on any
+    graph with ≥ a few hundred triangles.
+
+    Sampling is DETERMINISTIC (xxhash64 of the canonical edge key, low
+    bit), so the row is stable across runs and engines — no RNG in the
+    plan, per the repo-wide reproducibility discipline.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    exact_ed = _oriented_edges(e).persist()
+    n_exact = _closed_wedges(exact_ed).count()
+    exact_ed.unpersist()
+
+    p_den = 2  # keep-probability 1/p_den
+    kept = e.where((F.abs(F.xxhash64("x", "y")) % p_den) == 0)
+    samp_ed = _oriented_edges(kept).persist()
+    n_samp = _closed_wedges(samp_ed).count()
+    samp_ed.unpersist()
+
+    n_est = n_samp * p_den**3
+    rel_err = abs(n_est - n_exact) / n_exact if n_exact else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                int(n_exact),
+                int(n_samp),
+                int(p_den),
+                int(n_est),
+                float(rel_err),
+                bool(rel_err <= 0.35),
+            )
+        ],
+        "n_triangles_exact long, n_triangles_sampled long, inv_p long, "
+        "n_triangles_est long, rel_err double, within_bound boolean",
     )
 
 
@@ -344,6 +440,14 @@ def q_bfs_part_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops the join's left side to the frontier size per round — noted,
     not needed at 3 rounds.
     """
+    hist, caches = _bfs_hist_plan(spark, sf_dir)
+    # bounded result (≤ _BFS_ROUNDS+1 histogram rows): materialize + free
+    # the persisted edge list
+    return collected(spark, hist, *caches)
+
+
+def _bfs_hist_plan(spark: SparkSession, sf_dir: str):
+    """Lazy BFS distance-histogram plan + persisted intermediates."""
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -372,8 +476,9 @@ def q_bfs_part_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-    return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+    hist = dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
         F.count("*").alias("n_parts"),
         F.min("node").alias("min_part"),
         F.max("node").alias("max_part"),
     )
+    return hist, [e]

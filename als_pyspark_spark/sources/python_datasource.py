@@ -477,7 +477,9 @@ GROUP BY event_type
         q.awaitTermination()
 
         manifests = sorted(glob.glob(os.path.join(out, "_BATCH-*.json")))
-        assert len(manifests) >= 2, f"expected ≥2 batch commits, got {manifests}"
+        # explicit raise, not `assert` — stripped under python -O
+        if len(manifests) < 2:
+            raise RuntimeError(f"expected ≥2 batch commits, got {manifests}")
         parts = []
         for i, mpath in enumerate(manifests):
             with open(mpath) as f:

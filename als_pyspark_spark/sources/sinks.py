@@ -454,7 +454,9 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     back = spark.read.option("mergeSchema", "true").parquet(out)
-    assert "cents" in back.columns, back.columns
+    # explicit raise, not `assert` — stripped under python -O
+    if "cents" not in back.columns:
+        raise RuntimeError(f"mergeSchema lost the evolved column: {back.columns}")
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
         F.count("cents").alias("n_with_cents"),
@@ -585,12 +587,27 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e.repartition(64).write.mode("overwrite").parquet(frag)
     n_before = len(glob.glob(os.path.join(frag, "part-*")))
+    # The oracle hardcodes the 64-fragment precondition; if the fixture is
+    # ever too small to fill 64 round-robin partitions (or a writer skips
+    # an empty one), fail HERE with a diagnosis instead of surfacing as a
+    # spurious hash mismatch downstream.
+    if n_before != 64:
+        raise RuntimeError(
+            f"compaction precondition broken: expected 64 fragment files, "
+            f"found {n_before} in {frag} — fixture too small for the "
+            f"round-robin fan-out?"
+        )
 
     back = spark.read.parquet(frag)
     n_rows = back.count()
     n_target = math.ceil(n_rows / 2500)
     back.repartition(n_target).write.mode("overwrite").parquet(compacted)
     n_after = len(glob.glob(os.path.join(compacted, "part-*")))
+    if n_after != n_target:
+        raise RuntimeError(
+            f"compaction wrote {n_after} files, target was {n_target} — "
+            f"round-robin repartition left an empty partition?"
+        )
 
     return (
         spark.read.parquet(compacted)

@@ -20,6 +20,8 @@ File-source streaming here stands in for Kafka: same API, different source.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -455,9 +457,13 @@ def stage_events_two_batches(
 
     ``split="time"``: file 1 holds rows before ``max(ts) − 6 days`` —
     event time advances monotonically across batches, the well-behaved
-    stream. ``split="parity"``: file 1 holds EVEN event_ids, file 2 odd —
-    both span the full time range, so batch 2 delivers rows far BEHIND
-    the post-batch-1 watermark: deterministic late data.
+    stream. ``split="parity_late"``: THREE batches — (1) even event_ids
+    over the full time range, (2) a one-row sentinel re-sending the
+    latest even row so the engine evicts every window the batch-1
+    watermark closed, (3) odd event_ids over the full range, which now
+    arrive far BEHIND the watermark: deterministic late-after-eviction
+    data (see the inline comment for why two batches cannot witness a
+    drop).
 
     Returns ``(staged_path, t0, schema)``; ``t0`` is the time boundary
     (``max(ts) − 6 days``, SQL-expressible) — meaningful for the time
@@ -498,10 +504,37 @@ def stage_events_two_batches(
         ]
     else:
         raise ValueError(f"unknown split: {split!r}")
-    # Sequential single-file writes => distinct mtimes => replay order.
+    # FileStreamSource replays files oldest-mtime-first. Sequential
+    # single-file writes USUALLY yield distinct mtimes, but on a coarse-
+    # granularity filesystem (or a fast write) two staged files can tie —
+    # and a tie silently inverts the watermark staging every between-batch
+    # oracle depends on. So: track each batch's part file as it lands and
+    # ENFORCE strictly increasing mtimes in the intended order, bumping
+    # with os.utime on a tie rather than assuming the clock resolved it.
+    import glob
+
+    def _parts() -> set[str]:
+        return set(glob.glob(os.path.join(staged, "part-*.parquet")))
+
     batches[0].coalesce(1).write.mode("overwrite").parquet(staged)
+    ordered = sorted(_parts())
+    if len(ordered) != 1:
+        raise RuntimeError(f"expected 1 part file after batch 0, got {ordered}")
     for b in batches[1:]:
+        before = _parts()
         b.coalesce(1).write.mode("append").parquet(staged)
+        new = _parts() - before
+        if len(new) != 1:
+            raise RuntimeError(f"expected 1 new part file per batch, got {new}")
+        ordered.append(new.pop())
+    prev = None
+    for path in ordered:
+        st = os.stat(path)
+        mtime = st.st_mtime
+        if prev is not None and mtime <= prev:
+            mtime = prev + 0.002
+            os.utime(path, (st.st_atime, mtime))
+        prev = os.stat(path).st_mtime
     return staged, t0, events.schema
 
 

@@ -854,7 +854,12 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_once()
     n_manifests_run1 = len(glob.glob(os.path.join(out, "_BATCH-*.json")))
-    assert n_manifests_run1 == 2, f"run 1 expected 2 batch commits, got {n_manifests_run1}"
+    # exactly-once witnesses use explicit raises, not `assert` — asserts
+    # are stripped under `python -O`, silently disabling the check
+    if n_manifests_run1 != 2:
+        raise RuntimeError(
+            f"run 1 expected 2 batch commits, got {n_manifests_run1}"
+        )
 
     # new data lands; resume from the SAME checkpoint
     events.where(F.col("ts") >= F.lit(t2)).coalesce(1).write.mode(
@@ -862,9 +867,10 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src)
     run_once()
     manifests = sorted(glob.glob(os.path.join(out, "_BATCH-*.json")))
-    assert len(manifests) == 3, (
-        f"resume must commit exactly one new batch (3 total), got {manifests}"
-    )
+    if len(manifests) != 3:
+        raise RuntimeError(
+            f"resume must commit exactly one new batch (3 total), got {manifests}"
+        )
 
     parts = []
     for i, mpath in enumerate(manifests):

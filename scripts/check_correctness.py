@@ -15,23 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from als_pyspark_spark.canon import assert_scalar_schema, canon
 from als_pyspark_spark.registry import load_all_queries, requirements_met
 from als_pyspark_spark.session import build_session
 from als_pyspark_spark.sources.tables import TABLES
-
-
-def canon(rows, ndigits=9):
-    out = []
-    for row in rows:
-        vals = []
-        for v in row:
-            if isinstance(v, float):
-                vals.append(round(v, ndigits))
-            else:
-                vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=repr)
-    return out
 
 
 def main() -> int:
@@ -56,6 +43,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.build(spark, sf_dir)
+            assert_scalar_schema(sdf.schema, name)
             s_rows = [tuple(r) for r in sdf.collect()]
             s_cols = sdf.columns
         except Exception as e:
@@ -80,7 +68,7 @@ def main() -> int:
         # align duckdb column order to spark's
         idx = [d_cols.index(c) for c in s_cols]
         d_rows = [tuple(r[i] for i in idx) for r in d_rows]
-        cs, cd = canon(s_rows), canon(d_rows)
+        cs, cd = canon(s_rows, s_cols), canon(d_rows, s_cols)
         if len(cs) != len(cd):
             failures.append((name, f"rowcount {len(cs)} != {len(cd)}"))
             print(f"FAIL  {name}: rowcount {len(cs)} vs {len(cd)}")

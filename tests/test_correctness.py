@@ -1,24 +1,18 @@
 """Oracle gate over the full registry — pytest mirror of
 scripts/check_correctness.py (one test per query, so failures localize).
+
+Canonicalization mirrors the DRIVER's (pandas ``sort_values``), not a
+repr-sort: see als_pyspark_spark/canon.py for why (round-5 red rows).
 """
 
 from __future__ import annotations
 
 import pytest
 
+from als_pyspark_spark.canon import assert_scalar_schema, canon
 from als_pyspark_spark.registry import load_all_queries, requirements_met
 
 QUERIES = load_all_queries()
-
-
-def canon(rows, ndigits=9):
-    out = []
-    for row in rows:
-        out.append(
-            tuple(round(v, ndigits) if isinstance(v, float) else v for v in row)
-        )
-    out.sort(key=repr)
-    return out
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -27,6 +21,9 @@ def test_query(name, spark, sf_dir, duck):
     if not requirements_met(q):
         pytest.skip(f"optional dependency absent: {q.requires}")
     sdf = q.build(spark, sf_dir)
+    # Driver-contract lint: complex top-level output types break the
+    # driver's canonicalizer even when the values are right.
+    assert_scalar_schema(sdf.schema, name)
     s_rows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
         # rows-only contract: must run and have a stable schema
@@ -38,6 +35,6 @@ def test_query(name, spark, sf_dir, duck):
     assert sorted(sdf.columns) == sorted(d_cols), f"{sdf.columns} vs {d_cols}"
     idx = [d_cols.index(c) for c in sdf.columns]
     d_rows = [tuple(r[i] for i in idx) for r in d_rows]
-    cs, cd = canon(s_rows), canon(d_rows)
+    cs, cd = canon(s_rows, sdf.columns), canon(d_rows, sdf.columns)
     assert len(cs) == len(cd), f"rowcount {len(cs)} != {len(cd)}"
     assert cs == cd, f"first diff: {next((a, b) for a, b in zip(cs, cd) if a != b)}"

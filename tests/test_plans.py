@@ -398,8 +398,15 @@ def test_ohlc_windows_partition_by_bucket(spark, sf_dir):
 def test_pagerank_topk_take_ordered_no_cartesian(spark, sf_dir):
     """PageRank: three unrolled join+agg iterations must stay keyed hash
     operations (no cartesian anywhere) and the final top-25 must be
-    TakeOrderedAndProject, not a global sort."""
-    plan = plan_of(QUERIES["q_pagerank_copurchase"].build(spark, sf_dir))
+    TakeOrderedAndProject, not a global sort. (The registered query
+    materializes this plan via caching.collected, so inspect the lazy
+    helper.)"""
+    from als_pyspark_spark.operators.graph import _pagerank_plan
+
+    top, caches = _pagerank_plan(spark, sf_dir)
+    plan = plan_of(top)
+    for c in caches:
+        c.unpersist()
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
 
@@ -605,7 +612,12 @@ def test_triangle_count_hash_joins_and_take_ordered(spark, sf_dir):
     """Triangles: wedge + closure joins stay keyed hash/sort-merge joins
     (never a nested loop over edge pairs); top-20 is TakeOrdered; no
     global sort or SinglePartition anywhere."""
-    plan = plan_of(QUERIES["q_triangle_count_parts"].build(spark, sf_dir))
+    from als_pyspark_spark.operators.graph import _triangle_top_plan
+
+    top, caches = _triangle_top_plan(spark, sf_dir)
+    plan = plan_of(top)
+    for c in caches:
+        c.unpersist()
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -617,7 +629,12 @@ def test_equidepth_deciles_bounded_windows(spark, sf_dir):
     ≤9-row collect): rows filter to the hit buckets map-side, the rank
     window partitions by bucket, the 9-row target table broadcasts — and
     no SinglePartition exchange survives into the returned plan."""
-    plan = plan_of(QUERIES["q_equidepth_deciles"].build(spark, sf_dir))
+    from als_pyspark_spark.operators.aggregates import _equidepth_plan
+
+    deciles, caches = _equidepth_plan(spark, sf_dir)
+    plan = plan_of(deciles)
+    for c in caches:
+        c.unpersist()
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(b" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
@@ -635,7 +652,12 @@ def test_rolling_distinct_broadcasts_calendar(spark, sf_dir):
 def test_bfs_rounds_are_keyed_joins(spark, sf_dir):
     """BFS: every round is a keyed hash/merge join + hash aggregate —
     no cartesian/nested-loop expansion, no global sort."""
-    plan = plan_of(QUERIES["q_bfs_part_distances"].build(spark, sf_dir))
+    from als_pyspark_spark.operators.graph import _bfs_hist_plan
+
+    hist, caches = _bfs_hist_plan(spark, sf_dir)
+    plan = plan_of(hist)
+    for c in caches:
+        c.unpersist()
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
 

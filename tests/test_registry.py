@@ -3,14 +3,14 @@ prefix of the registry (observed: first 50 entries, insertion order), so the
 per-round verification agenda — encoded in _HOISTED — MUST land inside that
 prefix, and every query must have driver evidence from SOME round.
 
-Round 5 agenda: every query holds at least one driver row across r1-r4
-(except the protobuf-gated tws query, exempt via requirements_met), so
-the window carries (a) the stale-oracle replay (q_stream_dedup_count),
-(b) the new apws twin, (c) everything the transitive fingerprint sees as
-changed this round, and (d) the oldest-evidence rotation. This test reads
-the actual CORRECTNESS_r0*.json files, so it fails loudly if a future
-reorder silently re-orphans a query that only a past round's rotation
-covers.
+Round 6 agenda (a verification round): (a) the two fixed round-5 red rows
+lead, (b) the drained 20-query round-5 carryover block follows — so every
+never-verified query sits inside the prefix and _CARRYOVER is empty, (c)
+the one new query + everything the transitive fingerprint sees as changed,
+(d) the round-5-changed-but-displaced refresh block, (e) oldest-evidence
+rotation. These tests read the actual CORRECTNESS_r0*.json files, so they
+fail loudly if a future reorder silently re-orphans a query that only a
+past round's rotation covers.
 
 Availability-gated queries (Query.requires non-empty) are registered
 unconditionally — the registry's CONTENTS are identical on every machine —
@@ -33,7 +33,7 @@ from als_pyspark_spark.registry import (
 
 _WINDOW = 50
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ROUNDS = (1, 2, 3, 4)
+_ROUNDS = (1, 2, 3, 4, 5)
 
 
 def _driver_verified() -> set[str]:
@@ -77,21 +77,23 @@ def test_never_verified_queries_all_hoisted():
 def test_carryover_is_minimal_and_leads_next_window():
     """_CARRYOVER entries must (a) genuinely not fit (prefix already full
     of never-verified queries), (b) be hoisted adjacent to the prefix
-    boundary so they lead the round-6 sweep, (c) never duplicate a query
-    that already has driver evidence (that would waste the exemption)."""
+    boundary so they lead the next round's sweep, (c) never duplicate a
+    query that already has driver evidence (that would waste the
+    exemption). Round 6 drained the list — the rules apply to any future
+    repopulation."""
     names = _sweep_names()
     never = [n for n in names if n not in _driver_verified()]
     in_prefix = [n for n in never if n in set(names[:_WINDOW])]
-    # (a) exemption only allowed while the prefix is saturated
-    # saturation: carryover is only legitimate while never-verified
-    # queries already consume the overwhelming bulk of the prefix
-    assert len(in_prefix) >= 40, (len(in_prefix), _WINDOW)
+    if _CARRYOVER:
+        # (a) exemption only allowed while the prefix is saturated with
+        # never-verified queries
+        assert len(in_prefix) >= 40, (len(in_prefix), _WINDOW)
     for n in _CARRYOVER:
         # (c) only never-verified queries may be carried over
         assert n not in _driver_verified(), n
         # (b) contiguous with the boundary: every carryover entry sits in
         # the first WINDOW + len(_CARRYOVER) slots, i.e. the block starts
-        # at the prefix edge and leads the round-6 window
+        # at the prefix edge and leads the next round's window
         assert n in names[: _WINDOW + len(_CARRYOVER)], n
 
 
@@ -206,3 +208,48 @@ def test_hoisted_queries_lead():
 def test_no_duplicate_registrations():
     q = load_all_queries()
     assert len(q) == len(set(q)), "duplicate query names"
+
+
+def test_output_schema_lint_rejects_complex_types():
+    """Driver-contract lint (round-5 red rows): a top-level ArrayType /
+    MapType / StructType output column must fail the gate BEFORE any value
+    comparison — the driver's pandas canonicalizer cannot hash list cells."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from als_pyspark_spark.canon import assert_scalar_schema
+
+    ok = T.StructType(
+        [
+            T.StructField("tok", T.StringType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("postings", T.StringType()),
+        ]
+    )
+    assert_scalar_schema(ok, "fine")  # no raise
+
+    for bad_type in (
+        T.ArrayType(T.LongType()),
+        T.MapType(T.StringType(), T.LongType()),
+        T.StructType([T.StructField("x", T.LongType())]),
+    ):
+        bad = T.StructType([T.StructField("payload", bad_type)])
+        with pytest.raises(TypeError, match="non-scalar"):
+            assert_scalar_schema(bad, "array_fixture")
+
+
+def test_canon_mirrors_driver_on_list_cells():
+    """The local comparator must fail on list-valued cells exactly like
+    the driver's ``sort_values``-based canonicalizer — not silently pass
+    them the way the old repr-sort did."""
+    import pytest
+
+    from als_pyspark_spark.canon import canon
+
+    # scalar rows: order-insensitive, float-rounded
+    a = canon([("b", 2.0000000001), ("a", 1.0)], ["k", "v"])
+    b = canon([("a", 1.0), ("b", 2.0)], ["k", "v"])
+    assert a == b
+
+    with pytest.raises(TypeError):
+        canon([("a", [1, 2, 3])], ["k", "payload"])
