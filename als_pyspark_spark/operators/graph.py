@@ -121,7 +121,13 @@ def _pagerank_plan(spark: SparkSession, sf_dir: str):
         li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
-    eo = edges.join(outdeg, "src").persist()
+    # Persist the edge list ALREADY hash-partitioned on the iteration
+    # join key: every one of the _PR_ITERS joins below then reuses the
+    # cached partitioning and shuffles only the rank vector (one row per
+    # node), never the much larger edge list — the shuffle-reuse pattern
+    # that matters most at 100 TB, where re-shuffling edges per iteration
+    # IS the job cost.
+    eo = edges.join(outdeg, "src").repartition("src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
