@@ -331,7 +331,41 @@ def _triangle_top_plan(spark: SparkSession, sf_dir: str):
 
 @query(
     "q_triangle_count_doulion",
-    oracle=None,  # sampling estimator — witnessed in-row vs the exact count
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+    SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM e e1
+    JOIN e e2 ON e2.x = e1.y
+    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+), ke AS (
+    -- deterministic p=1/2 edge sampling: low bit of the first 8 md5 hex
+    -- chars of the canonical "x,y" edge key (md5 is byte-identical to
+    -- the Spark side)
+    SELECT x, y FROM e
+    WHERE ('0x' || substr(md5(x::VARCHAR || ',' || y::VARCHAR), 1, 8))::BIGINT % 2 = 0
+), stri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM ke e1
+    JOIN ke e2 ON e2.x = e1.y
+    JOIN ke e3 ON e3.x = e1.x AND e3.y = e2.y
+)
+SELECT tri.n AS n_triangles_exact,
+       stri.n AS n_triangles_sampled,
+       CAST(2 AS BIGINT) AS inv_p,
+       CAST(stri.n * 8 AS BIGINT) AS n_triangles_est,
+       CASE WHEN tri.n = 0 THEN 0.0
+            ELSE CAST(ABS(stri.n * 8 - tri.n) AS DOUBLE) / tri.n END AS rel_err,
+       (CASE WHEN tri.n = 0 THEN 0.0
+             ELSE CAST(ABS(stri.n * 8 - tri.n) AS DOUBLE) / tri.n END) <= 0.35
+           AS within_bound
+FROM tri, stri
+""",
     tags=("graph", "triangles", "approx", "sampling"),
 )
 def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,14 +377,19 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks ~p^1.5. This is the cheap tier for the suite's heaviest
     operator: at 100 TB you run ONLY the sampled side (p=1/10 → ~32×
     less wedge work); here the row also carries the exact count and the
-    estimator's relative error as the in-row witness (the
-    q_approx_distinct_users pattern), with a loose 35 % bound flag —
-    DOULION's variance at p=1/2 concentrates well under that on any
-    graph with ≥ a few hundred triangles.
+    estimator's relative error as the in-row witness, with a loose 35 %
+    bound flag — DOULION's variance at p=1/2 concentrates well under
+    that on any graph with ≥ a few hundred triangles.
 
-    Sampling is DETERMINISTIC (xxhash64 of the canonical edge key, low
-    bit), so the row is stable across runs and engines — no RNG in the
-    plan, per the repo-wide reproducibility discipline.
+    Sampling is DETERMINISTIC and CROSS-ENGINE: the keep decision is the
+    low bit of the first 8 md5 hex chars of the canonical ``"x,y"`` edge
+    key — the same md5 discipline the minhash/simhash dedup family uses
+    (functions/hashing.py) — so DuckDB replays the ENTIRE estimator
+    (sampling, sparsified count, scale-up, error) as an exact oracle,
+    with its triangle counts via the naive a<b<c triple join while Spark
+    runs the degree-oriented plan: the estimate matches only if both the
+    sampled edge SET and both counting algorithms agree. No RNG anywhere,
+    per the repo-wide reproducibility discipline.
     """
     e = _copurchase_edges(spark, sf_dir)
     exact_ed = _oriented_edges(e).persist()
@@ -358,7 +397,13 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_ed.unpersist()
 
     p_den = 2  # keep-probability 1/p_den
-    kept = e.where((F.abs(F.xxhash64("x", "y")) % p_den) == 0)
+    edge_key = F.concat_ws(
+        ",", F.col("x").cast("string"), F.col("y").cast("string")
+    )
+    kept = e.where(
+        F.conv(F.substring(F.md5(edge_key), 1, 8), 16, 10).cast("long") % p_den
+        == 0
+    )
     samp_ed = _oriented_edges(kept).persist()
     n_samp = _closed_wedges(samp_ed).count()
     samp_ed.unpersist()
