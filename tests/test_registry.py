@@ -253,3 +253,23 @@ def test_canon_mirrors_driver_on_list_cells():
 
     with pytest.raises(TypeError):
         canon([("a", [1, 2, 3])], ["k", "payload"])
+
+
+def test_oracle_limit_always_under_order_by():
+    """Tie-nondeterminism guard: an oracle using LIMIT without a
+    preceding ORDER BY returns an engine-dependent row subset — the same
+    silent red-row class as unsortable cells, caught statically. (Total
+    tie-breaking within the ORDER BY is reviewed per-query; this catches
+    the outright-missing case.)"""
+    import re
+
+    offenders = []
+    for name, q in load_all_queries().items():
+        if not q.oracle:
+            continue
+        sql = q.oracle.upper()
+        for m in re.finditer(r"\bLIMIT\b", sql):
+            if sql[: m.start()].rfind("ORDER BY") == -1:
+                offenders.append(name)
+                break
+    assert not offenders, offenders
