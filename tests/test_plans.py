@@ -671,3 +671,32 @@ def test_hash_featurizers_single_rollup(spark, sf_dir):
         assert plan.count("Exchange") <= 1, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "SinglePartition" not in plan, (name, plan)
+
+
+def test_incremental_join_maintenance_delta_sided_joins(spark, sf_dir):
+    """Delta-join view maintenance: all four (old/delta × old/delta)
+    joins must stay keyed hash/merge equi-joins (no cartesian anywhere —
+    a cross term that degenerated to a nested loop would be O(|O|·|L|)),
+    the date cut must reach both parquet scans as a pushed filter, and
+    the month rollups must be partial+final hash aggregates."""
+    plan = plan_of(QUERIES["q_incremental_join_maintenance"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    fmt = formatted(QUERIES["q_incremental_join_maintenance"].build(spark, sf_dir))
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed), fmt
+    assert any("l_shipdate" in l for l in pushed), fmt
+
+
+def test_k_anonymity_level0_is_keyed_aggregate(spark, sf_dir):
+    """K-anonymity ladder: level 0 must be a partial+final hash aggregate
+    on the quasi-identifier key (the only table-sized pass); the ladder
+    re-aggregations touch group-grain rows only. The single final
+    catch-all aggregate is the one legitimate global agg — bounded by
+    the QI domain, not the table — so the assertion here is on the
+    keyed level-0 exchange, not a blanket no-SinglePartition."""
+    plan = plan_of(QUERIES["q_k_anonymity_generalize"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(nation" in plan or "hashpartitioning(c_nationkey" in plan, plan
+    assert "HashAggregate" in plan, plan
