@@ -327,7 +327,22 @@ _HOISTED = (
     "als_mse",
     # --- ~50-entry sweep-prefix boundary ---
     # tail: pre-staged round-7 rotation (next-oldest r1/r2 rows); each is
-    # unchanged-fingerprint green from r1/r2
+    # unchanged-fingerprint green from r1/r2.
+    #
+    # Round-7 window plan (vintage census computed end-of-round-6, from
+    # CORRECTNESS_r01-05 + the r6 prefix): after the r6 sweep, exactly
+    # ONE query has no driver row (the protobuf-gated tws — exempt), and
+    # 65 queries' newest rows still date to r1/r2, by family:
+    #   dedup/queries 17 (multimodal + ratings + embedding stats ride
+    #   here), scalar_funcs 11, windows 6, aggregates 6, joins 5,
+    #   setops 5, subqueries 4, text_queries 4, events 4, pandas_udfs 2,
+    #   relational 1.
+    # A ~50-entry round-7 window of pure rotation (oldest families first,
+    # one canary per displaced family) covers all but ~15 of them; the
+    # remainder closes in round 8. Keep new-operator additions at or
+    # near zero again OR budget their never-verified slots against this
+    # rotation explicitly — the r5 lesson (verification debt compounds
+    # silently) is one red row away from repeating.
     "q_string_funcs",
     "q6_forecast_revenue",
     "q4_exists_returned_orders",
