@@ -58,5 +58,19 @@ def canon(rows, cols, ndigits: int = 9):
     # pandas turns None into NaN in float columns; NaN != NaN would make
     # the elementwise tuple compare fail on NULLs both engines agree on —
     # normalize back to None (identically on both sides) after the sort.
+    #
+    # Two DELIBERATE driver-parity conflations live in this pandas
+    # round-trip (documented, not fixed, because the driver makes the
+    # identical ones and this module's contract is "local green predicts
+    # driver green"):
+    #   1. inside a float64 column, a genuine NaN and a NULL both become
+    #      NaN and then None — an engine that emitted NaN where the other
+    #      emitted NULL would pass. The repo-wide exactness discipline
+    #      (no expression whose domain can produce NaN ships in an oracle
+    #      query) is what actually guards this, not the comparator.
+    #   2. an integer column containing any NULL is coerced to float64,
+    #      so two >2^53 integers could collide after rounding. Same
+    #      guard: money travels as integer cents / DECIMAL with NULLs
+    #      only in columns whose magnitudes sit far below 2^53.
     df = df.astype(object).where(df.notna(), None)
     return [tuple(row) for row in df.itertuples(index=False, name=None)]

@@ -391,22 +391,31 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled edge SET and both counting algorithms agree. No RNG anywhere,
     per the repo-wide reproducibility discipline.
     """
-    e = _copurchase_edges(spark, sf_dir)
-    exact_ed = _oriented_edges(e).persist()
-    n_exact = _closed_wedges(exact_ed).count()
-    exact_ed.unpersist()
+    # Persist the distinct co-purchase edge set ONCE: it is the suite's
+    # heaviest intermediate (lineitem self-join + double distinct), its
+    # subtree appears three times inside each _oriented_edges call, and
+    # the exact and sampled counts are two separate jobs that cannot
+    # share exchanges — without the persist it would execute ≥2×.
+    e = _copurchase_edges(spark, sf_dir).persist()
+    try:
+        exact_ed = _oriented_edges(e).persist()
+        n_exact = _closed_wedges(exact_ed).count()
+        exact_ed.unpersist()
 
-    p_den = 2  # keep-probability 1/p_den
-    edge_key = F.concat_ws(
-        ",", F.col("x").cast("string"), F.col("y").cast("string")
-    )
-    kept = e.where(
-        F.conv(F.substring(F.md5(edge_key), 1, 8), 16, 10).cast("long") % p_den
-        == 0
-    )
-    samp_ed = _oriented_edges(kept).persist()
-    n_samp = _closed_wedges(samp_ed).count()
-    samp_ed.unpersist()
+        p_den = 2  # keep-probability 1/p_den
+        edge_key = F.concat_ws(
+            ",", F.col("x").cast("string"), F.col("y").cast("string")
+        )
+        kept = e.where(
+            F.conv(F.substring(F.md5(edge_key), 1, 8), 16, 10).cast("long")
+            % p_den
+            == 0
+        )
+        samp_ed = _oriented_edges(kept).persist()
+        n_samp = _closed_wedges(samp_ed).count()
+        samp_ed.unpersist()
+    finally:
+        e.unpersist()
 
     n_est = n_samp * p_den**3
     rel_err = abs(n_est - n_exact) / n_exact if n_exact else 0.0

@@ -530,10 +530,21 @@ def stage_events_two_batches(
     prev = None
     for path in ordered:
         st = os.stat(path)
-        mtime = st.st_mtime
-        if prev is not None and mtime <= prev:
-            mtime = prev + 0.002
-            os.utime(path, (st.st_atime, mtime))
+        if prev is not None and st.st_mtime <= prev:
+            # bump, then VERIFY the bump survived — a coarse-granularity
+            # filesystem (1s/2s mtime resolution) truncates a +2ms bump
+            # back to the tie, which would silently invert replay order;
+            # escalate to whole-second bumps before giving up loudly
+            for bump in (0.002, 1.0, 2.0):
+                os.utime(path, (st.st_atime, prev + bump))
+                if os.stat(path).st_mtime > prev:
+                    break
+            else:
+                raise RuntimeError(
+                    f"cannot order staged batch files by mtime: {path} "
+                    f"stuck at {os.stat(path).st_mtime} <= {prev} "
+                    f"(coarse filesystem mtime granularity?)"
+                )
         prev = os.stat(path).st_mtime
     return staged, t0, events.schema
 

@@ -111,9 +111,20 @@ def test_column_order_never_matters(rows):
 def test_sub_rounding_float_noise_never_matters(rows, noise):
     """Engine ulp differences below the 9-digit rounding must never flip
     the fingerprint — including via sort-order inversions of near-ties
-    (floats are rounded BEFORE the sort for exactly this reason)."""
+    (floats are rounded BEFORE the sort for exactly this reason).
+
+    Rounding is a step function, so noise CAN legitimately flip a cell
+    that sits within the noise band of a half-multiple of 1e-9 (e.g.
+    round(1.5e-9) != round(1.5e-9 + 1e-11)); the true invariant is that
+    canon agrees whenever the per-cell roundings agree — assume() the
+    boundary cases away instead of asserting a false property."""
+    from hypothesis import assume
+
     cols = ["k", "v"]
     noisy = [(k, v + noise) for k, v in rows]
+    assume(
+        all(round(a[1], 9) == round(b[1], 9) for a, b in zip(rows, noisy))
+    )
     assert canon(rows, cols) == canon(noisy, cols)
 
 
