@@ -40,6 +40,51 @@ def assert_scalar_schema(schema, name: str = "<query>") -> None:
         )
 
 
+_KIND = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+
+
+def assert_dtype_parity(spark_rows, oracle_df, cols, name: str = "<query>") -> None:
+    """The driver materializes BOTH result sets as pandas frames before
+    value-hashing, so a column whose pandas dtype KIND diverges between
+    engines hash-mismatches even when every value compares equal in
+    Python (``15 == 15.0``). Round-6 red row: an un-cast DuckDB
+    ``SUM(BIGINT)`` typed the column HUGEINT, pandas materialized it as
+    float64, and the driver hashed ``15.0`` against Spark's int64 ``15``.
+    The old local gate fetched the oracle via ``fetchall()`` — Python
+    ints, dtype-blind — so local green did not predict driver red.
+
+    This check loads the Spark rows through the same pandas boundary and
+    compares NUMERIC dtype kinds (int/float/bool) per column against the
+    oracle's ``fetchdf()`` frame. Non-numeric kinds (object, datetime)
+    are deliberately lenient — pandas represents e.g. dates differently
+    depending on the load path, and genuine value divergence there is
+    caught by the value compare; the numeric-kind split is the class
+    that hash-mismatches with equal-comparing values."""
+    import pandas as pd
+
+    if not len(oracle_df) or not spark_rows:
+        return
+    sdf = pd.DataFrame(spark_rows, columns=list(cols))
+    bad = []
+    for c in cols:
+        if sdf[c].isna().all() or oracle_df[c].isna().all():
+            continue  # all-NULL columns carry no dtype signal either side
+        sk = _KIND.get(sdf[c].dtype.kind)
+        dk = _KIND.get(oracle_df[c].dtype.kind)
+        if sk != dk:
+            bad.append(
+                f"{c}: spark→pandas {sdf[c].dtype} ({sk}) vs "
+                f"oracle fetchdf {oracle_df[c].dtype} ({dk})"
+            )
+    if bad:
+        raise TypeError(
+            f"{name}: pandas dtype divergence the driver's value-hash "
+            f"would flag even if values compare equal: {bad} — cast the "
+            f"oracle aggregate (CAST(... AS BIGINT)) or align the Spark "
+            f"output type"
+        )
+
+
 def canon(rows, cols, ndigits: int = 9):
     """Order-insensitive canonical form of a result set, via the same
     pandas ``sort_values`` path the driver uses (so unsortable cell types

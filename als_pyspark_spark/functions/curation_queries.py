@@ -480,8 +480,11 @@ WITH g0 AS (
 ), g1 AS (
     SELECT nation, SUM(n) AS n FROM g0 WHERE n < 5 GROUP BY nation
 ), keep1 AS (
-    SELECT CAST(nation AS VARCHAR) AS nation, '*' AS segment, n,
-           CAST(1 AS BIGINT) AS level
+    -- CAST is load-bearing: DuckDB types SUM(BIGINT) as HUGEINT, UNION ALL
+    -- promotes the whole n column, and pandas materializes HUGEINT as
+    -- float64 — hash-mismatching Spark's int64 (round-6 red driver row).
+    SELECT CAST(nation AS VARCHAR) AS nation, '*' AS segment,
+           CAST(n AS BIGINT) AS n, CAST(1 AS BIGINT) AS level
     FROM g1 WHERE n >= 5
 ), g2 AS (
     SELECT CAST(SUM(n) AS BIGINT) AS n FROM g1 WHERE n < 5

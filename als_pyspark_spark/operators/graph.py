@@ -396,11 +396,16 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree appears three times inside each _oriented_edges call, and
     # the exact and sampled counts are two separate jobs that cannot
     # share exchanges — without the persist it would execute ≥2×.
+    # All persisted intermediates are tracked and unpersisted in ONE
+    # finally, so a failure during either count() cannot leak a cached
+    # oriented edge list for the session (round-7 ADVICE: the previous
+    # shape unpersisted exact_ed/samp_ed only on the success path).
     e = _copurchase_edges(spark, sf_dir).persist()
+    cached = [e]
     try:
         exact_ed = _oriented_edges(e).persist()
+        cached.append(exact_ed)
         n_exact = _closed_wedges(exact_ed).count()
-        exact_ed.unpersist()
 
         p_den = 2  # keep-probability 1/p_den
         edge_key = F.concat_ws(
@@ -412,10 +417,11 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
         samp_ed = _oriented_edges(kept).persist()
+        cached.append(samp_ed)
         n_samp = _closed_wedges(samp_ed).count()
-        samp_ed.unpersist()
     finally:
-        e.unpersist()
+        for df in cached:
+            df.unpersist()
 
     n_est = n_samp * p_den**3
     rel_err = abs(n_est - n_exact) / n_exact if n_exact else 0.0

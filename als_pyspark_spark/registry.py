@@ -231,129 +231,119 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 6 is a VERIFICATION round (VERDICT r5 "Next round"): zero new
-# operators beyond the one mandated approximate-triangle twin; the window
-# drains every never-verified query. It carries, in order:
-#   1. the two round-5 RED rows, fixed this round — their ARRAY-typed
-#      output columns broke the driver's pandas canonicalizer (the
-#      project's first red driver rows); both now serialize the arrays to
-#      canonical comma-joined strings on BOTH engine sides, and the
-#      failure CLASS is dead: the local gate now canonicalizes through
-#      pandas exactly like the driver (canon.py) and lints every output
-#      schema scalar-only;
-#   2. the 20-query round-5 _CARRYOVER — never driver-verified, each
-#      exact-oracled and locally green at sf0.001/0.01/0.1;
-#   3. the one new query (q_triangle_count_doulion — the edge-sampled
-#      cheap tier VERDICT item 5 asked for) plus the two graph queries
-#      whose fingerprints flipped this round (persist→materialize→
-#      unpersist discipline + shared-helper refactor);
-#   4. queries whose code changed in round 5 but whose refresh slots were
-#      displaced past that round's prefix (rows-only witness upgrades,
-#      app_scratch GC rewrite, manifest/empty-payload ADVICE fixes) — the
-#      newest driver rows for these predate their current code;
-#   5. vintage rotation — the oldest (r1/r2) driver rows cycle back
-#      through, leading with the displaced text/dedup family canaries.
-# Everything the round-6 sweep cannot reach remains r1-r5 green with
+# Round 7 is the VINTAGE-ROTATION round (VERDICT r6 "Next round" items
+# 3-4): zero new operators; the window spends its slots re-greening the
+# oldest driver evidence. It carries, in order:
+#   1. the single round-6 RED row, fixed — the ORACLE's un-cast
+#      SUM(BIGINT) typed the UNION'd column HUGEINT, which pandas
+#      materializes as float64 and the driver hashes against Spark's
+#      int64 (15.0 != 15 under the value hash even though 15 == 15.0 in
+#      Python). The Spark side was already correct; keep1 now casts. The
+#      CLASS is dead: the local gate fetches the oracle via fetchdf()
+#      (the driver's pandas boundary, canon.assert_dtype_parity) and
+#      test_registry lints every oracle's relation type against
+#      HUGEINT/UHUGEINT/DECIMAL top-level outputs;
+#   2. the one fingerprint-flipped query (q_triangle_count_doulion —
+#      round-7 ADVICE: failure-path unpersist discipline);
+#   3. the r1 vintage block — all 35 queries whose newest driver rows
+#      date to round 1, ordered largest-debt family first (scalar_funcs,
+#      windows, setops, aggregates, joins, subqueries, relational);
+#   4. a 12-entry r2 vintage block chosen to keep every displaced
+#      extension family's canary in-window (dedup, similarity, text,
+#      streaming, pandas_udfs, multimodal, events, ml flagship) and to
+#      complete the scalar_funcs family's rotation;
+#   5. one freshest-green sinks canary (r6) — the only canary family
+#      with no vintage debt to rotate.
+# Everything the round-7 sweep cannot reach remains r2-r6 green with
 # unchanged fingerprints (test_changed_queries_are_hoisted enforces
-# exactly that), and the tail below the boundary pre-stages round 7's
-# rotation.
+# exactly that), and the tail below the boundary pre-stages round 8's
+# rotation: the 18 remaining r2-vintage rows, which close the vintage
+# debt entirely (after round 8 no family's newest driver row predates
+# r3 — the VERDICT item-3 done-condition).
 #
-# The round-5 carryover mechanism is DRAINED this round: every former
-# _CARRYOVER entry sits inside the prefix. The tuple stays (empty) so
-# the invariants keep compiling — a future overflow must repopulate it
-# consciously, with the same three rules test_carryover enforces.
+# The carryover mechanism stays DRAINED (empty since round 6); a future
+# overflow must repopulate it consciously, with the same three rules
+# test_carryover enforces.
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. round-5 red rows, fixed (array outputs -> canonical strings)
-    "q_inverted_index_tokens",
-    "q_embedding_quantize_int8",
-    # 2. the round-5 carryover block — never driver-verified, leads as
-    # promised (same order as r5's _CARRYOVER)
-    "q_stream_left_outer_join",
-    "q_zorder_layout_sink",
-    "q_stream_update_mode_totals",
-    "q_python_stream_datasource_sink",
-    "q_equidepth_deciles",
-    "q_stream_late_data_drop",
-    "q_schema_evolution_read",
-    "q_json_corrupt_records",
-    "q_stream_checkpoint_recovery",
-    "q_stream_join_then_window",
-    "q_incremental_join_maintenance",
-    "q_bfs_part_distances",
-    "q_compact_small_files",
-    "q_rolling_7d_distinct_users",
-    "q_stream_dynamic_session_gap",
-    "q_kfold_assignment",
-    "q_feature_hashing",
-    "q_stream_full_outer_join",
+    # 1. the round-6 red row, fixed (oracle HUGEINT -> CAST(n AS BIGINT))
     "q_k_anonymity_generalize",
-    "q_stream_static_left_enrich",
-    # 3. new this round (the mandated cheap tier) + graph queries whose
-    # fingerprints flipped (collected()-materialization, helper refactor)
+    # 2. fingerprint flipped this round (ADVICE: track persisted
+    # intermediates in one finally so failure paths free the cache)
     "q_triangle_count_doulion",
-    "q_triangle_count_parts",
-    "q_pagerank_copurchase",
-    # 4. changed in round 5, displaced past that round's prefix — newest
-    # driver rows predate the current code
-    "q_approx_distinct_users",
-    "q_approx_percentile_sketch",
-    "q_tablesample_stats",
-    "q_hll_sketch_union",
-    "q_python_datasource_write",
-    "q_multimodal_audio_windows",
-    "q_maxby_top_order_per_customer",
-    "q_sink_partitioned_parquet",
-    "q_sink_csv_roundtrip",
-    "q_sink_json_roundtrip",
-    "q_sink_orc_roundtrip",
-    "q_sink_xml_roundtrip",
-    "q_stream_foreachbatch_sink",
-    "q_pandas_udf_doc_stats",
-    # 5. vintage rotation: displaced family canaries first (text/dedup
-    # have no other row inside this window), then the oldest r1 rows and
-    # the r2-vintage ML flagship
-    "q_text_top_tokens",
-    "q_dedup_clusters",
-    "q3_top_orders",
-    "q10_returned_revenue",
-    "q5_nation_volume",
-    "q_window_topk_orders_per_customer",
-    "q_filter_project",
-    "q_broadcast_nation_rollup",
-    "q_asof_sort_based",
-    "q_percentiles_totalprice",
-    "als_mse",
-    # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-7 rotation (next-oldest r1/r2 rows); each is
-    # unchanged-fingerprint green from r1/r2.
-    #
-    # Round-7 window plan (vintage census computed end-of-round-6, from
-    # CORRECTNESS_r01-05 + the r6 prefix): after the r6 sweep, exactly
-    # ONE query has no driver row (the protobuf-gated tws — exempt), and
-    # 65 queries' newest rows still date to r1/r2, by family:
-    #   dedup/queries 17 (multimodal + ratings + embedding stats ride
-    #   here), scalar_funcs 11, windows 6, aggregates 6, joins 5,
-    #   setops 5, subqueries 4, text_queries 4, events 4, pandas_udfs 2,
-    #   relational 1.
-    # A ~50-entry round-7 window of pure rotation (oldest families first,
-    # one canary per displaced family) covers all but ~15 of them; the
-    # remainder closes in round 8. Keep new-operator additions at or
-    # near zero again OR budget their never-verified slots against this
-    # rotation explicitly — the r5 lesson (verification debt compounds
-    # silently) is one red row away from repeating.
+    # 3. r1 vintage rotation — all 35, largest-debt family first
     "q_string_funcs",
-    "q6_forecast_revenue",
-    "q4_exists_returned_orders",
-    "q17_below_avg_qty_revenue",
-    "q_anti_join_silent_customers",
-    "q_window_moving_avg",
-    "q_window_running_spend",
     "q_math_funcs",
+    "q_date_funcs",
+    "q_date_trunc_week",
     "q_json_events",
     "q_null_semantics",
-    "q_ann_ivf_top10",
+    "q_map_funcs",
+    "q_struct_funcs",
+    "q_bit_aggs",
+    "q_posexplode_tokens",
+    "q_window_moving_avg",
+    "q_window_running_spend",
+    "q_window_distribution",
+    "q_window_lag_gap_days",
+    "q_window_rank_parts_by_size",
+    "q_global_top25_lineitems",
+    "q_union_all_keys",
+    "q_except_buyers",
+    "q_except_all_repeat_custkeys",
+    "q_intersect_buyers",
+    "q_intersect_all_statuses",
+    "q_cube_order_status",
+    "q_rollup_returns",
+    "q_distinct_counts",
+    "q_stats_acctbal",
+    "q_value_histogram",
+    "q_anti_join_silent_customers",
+    "q_outer_join_order_counts",
+    "q_self_join_same_day_orders",
+    "q_semi_join_priority_orders",
+    "q4_exists_returned_orders",
+    "q17_below_avg_qty_revenue",
+    "q_notin_excluded_suppliers",
+    "q_scalar_subquery_above_avg",
+    "q6_forecast_revenue",
+    # 4. r2 vintage block — family canaries + scalar_funcs completion
+    "q_array_funcs",
+    "q_dedup_canonical",
+    "q_ann_bruteforce_top10",
+    "q_embedding_norm_stats",
+    "q_text_token_counts",
+    "q_text_lang_id",
+    "q_stream_stream_join",
+    "q_udtf_char_ngrams",
+    "q_variant_json_extract",
+    "als_user_factors",
+    "q_events_dedup_first",
+    "q_multimodal_metadata",
+    # 5. freshest-green sinks canary (no sinks vintage debt exists)
+    "q_sink_csv_roundtrip",
+    # --- ~50-entry sweep-prefix boundary ---
+    # tail: pre-staged round-8 rotation — the 18 remaining r2-vintage
+    # rows; landing these closes the vintage debt entirely.
+    "als_implicit_top3",
+    "als_nonnegative_factor_bounds",
+    "als_predictions",
+    "als_top3_recs_per_user",
+    "q_most_rated_items",
+    "q_ratings_stats",
+    "q_ratings_table",
+    "q_asof_last_order_before_event",
+    "q_conditional_agg",
+    "q_events_tumbling_hourly",
+    "q_events_user_daily",
+    "q_time_weighted_value",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_stream_sliding_halfhour",
+    "q_stream_static_enrich",
+    "q_text_bpe_token_counts",
+    "q_text_fingerprints",
 )
 
 

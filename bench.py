@@ -131,6 +131,24 @@ def main() -> int:
         passes.append(timings)
 
     best = {n: min(p[n] for p in passes) for n in HEADLINE}
+
+    # Round-7 addition (VERDICT r6 item 6): a third pass over the FAST
+    # tier only. On this shared host the sub-2s queries carry the worst
+    # relative noise (scheduler quanta + JIT residue dominate their
+    # wall), and they are cheap to re-measure; the heavy tier's min-of-2
+    # already amortizes its noise. Bounded cost: the fast tier sums to a
+    # few seconds, not a third full pass.
+    fast = [n for n in HEADLINE if best[n] < 2.0]
+    if fast:
+        from als_pyspark_spark.ml import queries as ml_queries
+
+        ml_queries._TRAINED.clear()
+        for name in fast:
+            t0 = time.time()
+            force(queries[name].build(spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            print(f"# pass2(fast) {name}: {dt:.2f}s", file=sys.stderr)
+            best[name] = min(best[name], dt)
     out = {
         "metric": "headline_total",
         "value": round(sum(best.values()), 3),

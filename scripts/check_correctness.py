@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from als_pyspark_spark.canon import assert_scalar_schema, canon
+from als_pyspark_spark.canon import assert_dtype_parity, assert_scalar_schema, canon
 from als_pyspark_spark.registry import load_all_queries, requirements_met
 from als_pyspark_spark.session import build_session
 from als_pyspark_spark.sources.tables import TABLES
@@ -54,9 +54,11 @@ def main() -> int:
             print(f"ok(rows-only)  {name}: {len(s_rows)} rows  [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(q.oracle)
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            # fetchdf(), not fetchall(): the driver compares through pandas,
+            # so the oracle side must cross the same dtype boundary (round-6
+            # red row: HUGEINT -> pandas float64 vs Spark int64).
+            d_df = con.execute(q.oracle).fetchdf()
+            d_cols = list(d_df.columns)
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
@@ -66,8 +68,14 @@ def main() -> int:
             print(f"FAIL  {name}: columns {s_cols} vs {d_cols}")
             continue
         # align duckdb column order to spark's
-        idx = [d_cols.index(c) for c in s_cols]
-        d_rows = [tuple(r[i] for i in idx) for r in d_rows]
+        d_df = d_df[list(s_cols)]
+        try:
+            assert_dtype_parity(s_rows, d_df, s_cols, name)
+        except TypeError as e:
+            failures.append((name, f"DTYPE: {e}"))
+            print(f"FAIL  {name}: {str(e)[:300]}")
+            continue
+        d_rows = list(d_df.itertuples(index=False, name=None))
         cs, cd = canon(s_rows, s_cols), canon(d_rows, s_cols)
         if len(cs) != len(cd):
             failures.append((name, f"rowcount {len(cs)} != {len(cd)}"))

@@ -3,12 +3,11 @@ prefix of the registry (observed: first 50 entries, insertion order), so the
 per-round verification agenda — encoded in _HOISTED — MUST land inside that
 prefix, and every query must have driver evidence from SOME round.
 
-Round 6 agenda (a verification round): (a) the two fixed round-5 red rows
-lead, (b) the drained 20-query round-5 carryover block follows — so every
-never-verified query sits inside the prefix and _CARRYOVER is empty, (c)
-the one new query + everything the transitive fingerprint sees as changed,
-(d) the round-5-changed-but-displaced refresh block, (e) oldest-evidence
-rotation. These tests read the actual CORRECTNESS_r0*.json files, so they
+Round 7 agenda (the vintage-rotation round): (a) the fixed round-6 red row
+leads, (b) the one fingerprint-flipped query, (c) all 35 r1-vintage rows,
+(d) a 12-entry r2 block keeping every displaced family's canary in-window,
+(e) a freshest-green sinks canary; the tail pre-stages round 8's remaining
+18 r2-vintage rows. These tests read the actual CORRECTNESS_r0*.json files, so they
 fail loudly if a future reorder silently re-orphans a query that only a
 past round's rotation covers.
 
@@ -33,7 +32,7 @@ from als_pyspark_spark.registry import (
 
 _WINDOW = 50
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ROUNDS = (1, 2, 3, 4, 5)
+_ROUNDS = (1, 2, 3, 4, 5, 6)
 
 
 def _driver_verified() -> set[str]:
@@ -255,12 +254,33 @@ def test_canon_mirrors_driver_on_list_cells():
         canon([("a", [1, 2, 3])], ["k", "payload"])
 
 
+def _depths(sql: str) -> list[int]:
+    """Paren-nesting depth at each character position (string literals are
+    rare and paren-free in this registry's oracles, so a raw scan is fine)."""
+    out, d = [], 0
+    for ch in sql:
+        if ch == "(":
+            out.append(d)
+            d += 1
+        elif ch == ")":
+            d -= 1
+            out.append(d)
+        else:
+            out.append(d)
+    return out
+
+
 def test_oracle_limit_always_under_order_by():
-    """Tie-nondeterminism guard: an oracle using LIMIT without a
-    preceding ORDER BY returns an engine-dependent row subset — the same
-    silent red-row class as unsortable cells, caught statically. (Total
-    tie-breaking within the ORDER BY is reviewed per-query; this catches
-    the outright-missing case.)"""
+    """Tie-nondeterminism guard: an oracle using LIMIT without an ORDER BY
+    *in the same statement scope* returns an engine-dependent row subset —
+    the same silent red-row class as unsortable cells, caught statically.
+
+    Scope-aware (round-7 ADVICE fix): the ORDER BY must sit at the SAME
+    paren depth as the LIMIT and after the last same-depth SELECT, so an
+    ORDER BY inside an earlier unrelated CTE (or a window's OVER clause —
+    deeper depth) no longer satisfies the check for a later bare LIMIT.
+    (Total tie-breaking within the ORDER BY is reviewed per-query; this
+    catches the outright-missing case.)"""
     import re
 
     offenders = []
@@ -268,8 +288,63 @@ def test_oracle_limit_always_under_order_by():
         if not q.oracle:
             continue
         sql = q.oracle.upper()
+        depth = _depths(sql)
         for m in re.finditer(r"\bLIMIT\b", sql):
-            if sql[: m.start()].rfind("ORDER BY") == -1:
+            d_lim = depth[m.start()]
+            sel = max(
+                (s.start() for s in re.finditer(r"\bSELECT\b", sql[: m.start()])
+                 if depth[s.start()] == d_lim),
+                default=-1,
+            )
+            ob = [
+                o.start() for o in re.finditer(r"\bORDER\s+BY\b", sql[: m.start()])
+                if depth[o.start()] == d_lim and o.start() > sel
+            ]
+            if not ob:
                 offenders.append(name)
                 break
     assert not offenders, offenders
+
+
+def test_oracle_output_types_are_pandas_faithful(duck):
+    """Round-6 red-row class killer: an oracle whose RELATION type carries
+    HUGEINT/UHUGEINT/DECIMAL at top level materializes differently under
+    the driver's pandas load than Spark's int64/float64 (DuckDB types an
+    un-cast SUM(BIGINT) as HUGEINT; pandas renders it float64; the value
+    hash then mismatches Spark's int64 even though 15 == 15.0). Binding
+    the relation (no execution) exposes the output types for the whole
+    registry in seconds — every aggregate feeding output must be cast."""
+    offenders, bound = [], 0
+    for name, q in load_all_queries().items():
+        if not q.oracle:
+            continue
+        rel = duck.sql(q.oracle)  # binds only — verified: all 242 bind
+        bound += 1
+        for col, typ in zip(rel.columns, rel.types):
+            ts = str(typ)
+            if ts in ("HUGEINT", "UHUGEINT") or ts.startswith("DECIMAL"):
+                offenders.append(f"{name}.{col}: {ts}")
+    assert bound >= 200, f"lint no-op: only {bound} oracles bound"
+    assert not offenders, (
+        f"oracle output columns whose DuckDB type diverges from Spark "
+        f"under the driver's pandas load — add CAST(... AS "
+        f"BIGINT/DOUBLE): {offenders}"
+    )
+
+
+def test_dtype_parity_catches_hugeint_class():
+    """The gate helper itself must flag the round-6 failure shape: Spark
+    int64 column vs an oracle frame pandas materialized as float64, with
+    values that compare equal in Python."""
+    import pandas as pd
+    import pytest
+
+    from als_pyspark_spark.canon import assert_dtype_parity
+
+    s_rows = [("a", 15), ("b", 7)]
+    d_df = pd.DataFrame({"k": ["a", "b"], "n": [15.0, 7.0]})
+    with pytest.raises(TypeError, match="dtype divergence"):
+        assert_dtype_parity(s_rows, d_df[["k", "n"]], ["k", "n"], "fixture")
+    # matched kinds pass
+    ok = pd.DataFrame({"k": ["a", "b"], "n": [15, 7]})
+    assert_dtype_parity(s_rows, ok[["k", "n"]], ["k", "n"], "fixture")
