@@ -85,6 +85,27 @@ def assert_dtype_parity(spark_rows, oracle_df, cols, name: str = "<query>") -> N
         )
 
 
+def compare_result(s_rows, s_cols, d_df, name: str = "<query>") -> None:
+    """The ONE comparison path both gate mirrors (tests/test_correctness.py
+    and scripts/check_correctness.py) share — the round-6 dtype blindness
+    survived locally precisely because the compare was duplicated in both
+    mirrors, so a fix applied to one could drift from the other. Raises
+    AssertionError/TypeError with a driver-shaped message on any mismatch.
+
+    ``d_df`` is the oracle side as ``fetchdf()`` returned it (the driver's
+    pandas load path); the Spark side arrives as collected row tuples."""
+    d_cols = list(d_df.columns)
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: cols {s_cols} vs {d_cols}"
+    d_df = d_df[list(s_cols)]
+    assert_dtype_parity(s_rows, d_df, s_cols, name)
+    d_rows = list(d_df.itertuples(index=False, name=None))
+    cs, cd = canon(s_rows, s_cols), canon(d_rows, s_cols)
+    assert len(cs) == len(cd), f"{name}: rowcount {len(cs)} != {len(cd)}"
+    if cs != cd:
+        diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+        raise AssertionError(f"{name}: values differ, e.g. {diff}")
+
+
 def canon(rows, cols, ndigits: int = 9):
     """Order-insensitive canonical form of a result set, via the same
     pandas ``sort_values`` path the driver uses (so unsortable cell types

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from als_pyspark_spark.canon import assert_dtype_parity, assert_scalar_schema, canon
+from als_pyspark_spark.canon import assert_scalar_schema, compare_result
 from als_pyspark_spark.registry import load_all_queries, requirements_met
 from als_pyspark_spark.session import build_session
 from als_pyspark_spark.sources.tables import TABLES
@@ -58,34 +58,19 @@ def main() -> int:
             # so the oracle side must cross the same dtype boundary (round-6
             # red row: HUGEINT -> pandas float64 vs Spark int64).
             d_df = con.execute(q.oracle).fetchdf()
-            d_cols = list(d_df.columns)
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             continue
-        if sorted(s_cols) != sorted(d_cols):
-            failures.append((name, f"cols {s_cols} != {d_cols}"))
-            print(f"FAIL  {name}: columns {s_cols} vs {d_cols}")
-            continue
-        # align duckdb column order to spark's
-        d_df = d_df[list(s_cols)]
         try:
-            assert_dtype_parity(s_rows, d_df, s_cols, name)
-        except TypeError as e:
-            failures.append((name, f"DTYPE: {e}"))
+            # ONE compare path shared with tests/test_correctness.py
+            # (canon.compare_result) so the two mirrors cannot drift.
+            compare_result(s_rows, s_cols, d_df, name)
+        except (AssertionError, TypeError) as e:
+            failures.append((name, str(e)))
             print(f"FAIL  {name}: {str(e)[:300]}")
-            continue
-        d_rows = list(d_df.itertuples(index=False, name=None))
-        cs, cd = canon(s_rows, s_cols), canon(d_rows, s_cols)
-        if len(cs) != len(cd):
-            failures.append((name, f"rowcount {len(cs)} != {len(cd)}"))
-            print(f"FAIL  {name}: rowcount {len(cs)} vs {len(cd)}")
-        elif cs != cd:
-            diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
-            failures.append((name, f"values differ, e.g. {diff}"))
-            print(f"FAIL  {name}: values differ, e.g. {diff}")
         else:
-            print(f"OK    {name}: {len(cs)} rows match  [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(s_rows)} rows match  [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failures)} failures")
     for n, msg in failures:

@@ -185,6 +185,62 @@ def test_scalar_schema_lint_names_the_offender():
         assert_scalar_schema(schema, "q_example")
 
 
+@_settings
+@given(rows=_typed_rows(3))
+def test_dtype_parity_accepts_identical_load_paths(rows):
+    """assert_dtype_parity is reflexive: a pandas frame built from the
+    same rows the Spark side produced can never be flagged — the check
+    must only fire on genuine cross-engine dtype divergence, never on
+    the comparison machinery itself."""
+    import pandas as pd
+
+    from als_pyspark_spark.canon import assert_dtype_parity
+
+    cols = ["a", "b", "c"]
+    df = pd.DataFrame(rows, columns=cols)
+    assert_dtype_parity(rows, df, cols, "reflexive")  # must not raise
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=12
+    )
+)
+def test_dtype_parity_flags_int_column_materialized_as_float(vals):
+    """The round-6 red-row shape, generalized: ANY integer column whose
+    oracle frame arrives as floats (the HUGEINT→float64 pandas path)
+    must raise — even though every value compares equal in Python."""
+    import pandas as pd
+
+    from als_pyspark_spark.canon import assert_dtype_parity
+
+    rows = [(v,) for v in vals]
+    floated = pd.DataFrame({"n": [float(v) for v in vals]})
+    with pytest.raises(TypeError, match="dtype divergence"):
+        assert_dtype_parity(rows, floated, ["n"], "hugeint_shape")
+
+
+def test_dtype_parity_skips_signal_free_columns():
+    """All-NULL columns (either side) and empty results carry no dtype
+    signal — pandas types them by accident of the load path, so they
+    must never flag."""
+    import pandas as pd
+
+    from als_pyspark_spark.canon import assert_dtype_parity
+
+    # empty: nothing to compare
+    assert_dtype_parity([], pd.DataFrame({"n": []}), ["n"], "empty")
+    # all-NULL on the spark side (object column) vs float64 NaN oracle
+    rows = [(None,), (None,)]
+    oracle = pd.DataFrame({"n": [float("nan"), float("nan")]})
+    assert_dtype_parity(rows, oracle, ["n"], "all_null")
+    # NULL-bearing int column: BOTH loads coerce to float64 — parity holds
+    rows2 = [("a", 1), ("b", None)]
+    oracle2 = pd.DataFrame({"k": ["a", "b"], "n": [1.0, float("nan")]})
+    assert_dtype_parity(rows2, oracle2[["k", "n"]], ["k", "n"], "nullable_int")
+
+
 def test_decimal_and_float_columns_keep_distinct_identity():
     """Decimal cells (DuckDB DECIMAL) are not floats: canon must not
     round or coerce them — exactness discipline means the ENGINES are

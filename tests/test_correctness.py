@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pytest
 
-from als_pyspark_spark.canon import assert_dtype_parity, assert_scalar_schema, canon
+from als_pyspark_spark.canon import assert_scalar_schema, compare_result
 from als_pyspark_spark.registry import load_all_queries, requirements_met
 
 QUERIES = load_all_queries()
@@ -32,12 +32,6 @@ def test_query(name, spark, sf_dir, duck):
     # fetchdf(), not fetchall(): the driver compares through pandas, and
     # fetchall()'s Python ints erase the dtype divergence class that made
     # round 6's red row (DuckDB HUGEINT -> pandas float64 vs Spark int64).
-    d_df = duck.execute(q.oracle).fetchdf()
-    d_cols = list(d_df.columns)
-    assert sorted(sdf.columns) == sorted(d_cols), f"{sdf.columns} vs {d_cols}"
-    d_df = d_df[list(sdf.columns)]
-    assert_dtype_parity(s_rows, d_df, sdf.columns, name)
-    d_rows = list(d_df.itertuples(index=False, name=None))
-    cs, cd = canon(s_rows, sdf.columns), canon(d_rows, sdf.columns)
-    assert len(cs) == len(cd), f"rowcount {len(cs)} != {len(cd)}"
-    assert cs == cd, f"first diff: {next((a, b) for a, b in zip(cs, cd) if a != b)}"
+    # The compare itself lives in canon.compare_result — ONE path shared
+    # with scripts/check_correctness.py so the mirrors cannot drift.
+    compare_result(s_rows, sdf.columns, duck.execute(q.oracle).fetchdf(), name)
