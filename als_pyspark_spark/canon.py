@@ -64,7 +64,15 @@ def assert_dtype_parity(spark_rows, oracle_df, cols, name: str = "<query>") -> N
 
     if not len(oracle_df) or not spark_rows:
         return
-    sdf = pd.DataFrame(spark_rows, columns=list(cols))
+    _dtype_parity_frames(
+        pd.DataFrame(spark_rows, columns=list(cols)), oracle_df, cols, name
+    )
+
+
+def _dtype_parity_frames(sdf, oracle_df, cols, name: str = "<query>") -> None:
+    """Frame-based core of ``assert_dtype_parity`` — compare_result calls
+    this directly with a frame it already built, so large results are not
+    materialized into pandas twice."""
     bad = []
     for c in cols:
         if sdf[c].isna().all() or oracle_df[c].isna().all():
@@ -90,35 +98,46 @@ def compare_result(s_rows, s_cols, d_df, name: str = "<query>") -> None:
     and scripts/check_correctness.py) share — the round-6 dtype blindness
     survived locally precisely because the compare was duplicated in both
     mirrors, so a fix applied to one could drift from the other. Raises
-    AssertionError/TypeError with a driver-shaped message on any mismatch.
+    AssertionError/TypeError with a driver-shaped message on any mismatch
+    (explicit raises, never bare ``assert`` — the CLI mirror must keep its
+    per-query FAIL-and-continue contract under ``python -O`` too).
 
     ``d_df`` is the oracle side as ``fetchdf()`` returned it (the driver's
-    pandas load path); the Spark side arrives as collected row tuples."""
+    pandas load path); the Spark side arrives as collected row tuples and
+    is materialized into pandas exactly ONCE — the dtype-parity check and
+    the canonical form both derive from that same frame (multi-million-row
+    gate entries are dominated by this materialization)."""
+    import pandas as pd
+
     d_cols = list(d_df.columns)
-    assert sorted(s_cols) == sorted(d_cols), f"{name}: cols {s_cols} vs {d_cols}"
+    if sorted(s_cols) != sorted(d_cols):
+        raise AssertionError(f"{name}: cols {s_cols} vs {d_cols}")
     d_df = d_df[list(s_cols)]
-    assert_dtype_parity(s_rows, d_df, s_cols, name)
-    d_rows = list(d_df.itertuples(index=False, name=None))
-    cs, cd = canon(s_rows, s_cols), canon(d_rows, s_cols)
-    assert len(cs) == len(cd), f"{name}: rowcount {len(cs)} != {len(cd)}"
+    s_df = pd.DataFrame(list(s_rows), columns=list(s_cols))
+    if len(s_df) and len(d_df):
+        _dtype_parity_frames(s_df, d_df, list(s_cols), name)
+    cs, cd = _canon_frame(s_df), _canon_frame(d_df)
+    if len(cs) != len(cd):
+        raise AssertionError(f"{name}: rowcount {len(cs)} != {len(cd)}")
     if cs != cd:
         diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
         raise AssertionError(f"{name}: values differ, e.g. {diff}")
 
 
-def canon(rows, cols, ndigits: int = 9):
-    """Order-insensitive canonical form of a result set, via the same
-    pandas ``sort_values`` path the driver uses (so unsortable cell types
-    fail identically). Floats are rounded BEFORE the sort so ulp-level
-    engine differences cannot reorder ties."""
-    import pandas as pd
-
-    def _round(v):
-        return round(v, ndigits) if isinstance(v, float) else v
-
-    rounded = [tuple(_round(v) for v in row) for row in rows]
-    df = pd.DataFrame(rounded, columns=list(cols))
-    df = df[sorted(df.columns)]
+def _canon_frame(df, ndigits: int = 9):
+    """Frame-based canonicalization core shared by ``canon`` (tuple entry
+    point) and ``compare_result`` (frame entry point): round floats with
+    the SAME builtin ``round`` the tuple path always used (cell-wise map,
+    not numpy ``.round`` — the two differ by 1 ulp on some doubles and the
+    gate's contract is that both entry points agree bit-for-bit), sort
+    columns by name, stable-sort rows over every column, normalize
+    NaN/NaT back to None."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind in "fO":
+            df[c] = df[c].map(
+                lambda v: round(v, ndigits) if isinstance(v, float) else v
+            )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     # pandas turns None into NaN in float columns; NaN != NaN would make
@@ -140,3 +159,12 @@ def canon(rows, cols, ndigits: int = 9):
     #      only in columns whose magnitudes sit far below 2^53.
     df = df.astype(object).where(df.notna(), None)
     return [tuple(row) for row in df.itertuples(index=False, name=None)]
+
+
+def canon(rows, cols, ndigits: int = 9):
+    """Order-insensitive canonical form of a result set, via the same
+    pandas ``sort_values`` path the driver uses (so unsortable cell types
+    fail identically). Thin tuple-entry wrapper over ``_canon_frame``."""
+    import pandas as pd
+
+    return _canon_frame(pd.DataFrame(list(rows), columns=list(cols)), ndigits)

@@ -406,6 +406,11 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_ed = _oriented_edges(e).persist()
         cached.append(exact_ed)
         n_exact = _closed_wedges(exact_ed).count()
+        # Eager success-path free (unpersist is idempotent, so the finally
+        # below stays as the failure-path net): the sampled wedge job must
+        # not compete for executor storage with the exact tier's oriented
+        # edge list it never reads.
+        exact_ed.unpersist()
 
         p_den = 2  # keep-probability 1/p_den
         edge_key = F.concat_ws(

@@ -131,6 +131,12 @@ def main() -> int:
         passes.append(timings)
 
     best = {n: min(p[n] for p in passes) for n in HEADLINE}
+    # min over the two FULL passes only — the epoch-comparable statistic.
+    # E[min of 3] < E[min of 2] under this host's noise, so cross-round
+    # comparisons against the r6 record (which is min-of-2) must use
+    # queries_min2, not the fast-tier-augmented headline, or a genuine
+    # sub-2s regression can hide inside the extra sampling draw.
+    best2 = dict(best)
 
     # Round-7 addition (VERDICT r6 item 6): a third pass over the FAST
     # tier only. On this shared host the sub-2s queries carry the worst
@@ -154,6 +160,7 @@ def main() -> int:
         "value": round(sum(best.values()), 3),
         "unit": "sec",
         "queries": best,
+        "queries_min2": best2,
         "pass_totals": [round(sum(p.values()), 3) for p in passes],
         "sf": sf,
     }
