@@ -114,6 +114,14 @@ def compare_result(s_rows, s_cols, d_df, name: str = "<query>") -> None:
         raise AssertionError(f"{name}: cols {s_cols} vs {d_cols}")
     d_df = d_df[list(s_cols)]
     s_df = pd.DataFrame(list(s_rows), columns=list(s_cols))
+    # Dtype parity needs rows on both sides: an empty Spark collect gives
+    # an all-object frame with no dtype signal to compare (and the driver's
+    # value-hash of an empty frame cannot mismatch on dtype either). The
+    # empty-at-small-sf case is guarded statically instead: the registry
+    # lint types every oracle's relation (test_registry) and rejects the
+    # HUGEINT/UHUGEINT/DECIMAL top-level outputs that caused the round-6
+    # int-vs-float hash split, independent of row counts; the sf1
+    # full-registry sweep (PERF.md) covers the rest dynamically.
     if len(s_df) and len(d_df):
         _dtype_parity_frames(s_df, d_df, list(s_cols), name)
     cs, cd = _canon_frame(s_df), _canon_frame(d_df)
@@ -132,11 +140,35 @@ def _canon_frame(df, ndigits: int = 9):
     gate's contract is that both entry points agree bit-for-bit), sort
     columns by name, stable-sort rows over every column, normalize
     NaN/NaT back to None."""
+    import datetime as _dt
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype.kind in "fO":
             df[c] = df[c].map(
                 lambda v: round(v, ndigits) if isinstance(v, float) else v
+            )
+        first = df[c].dropna().head(1)
+        if df[c].dtype.kind == "M" or (
+            df[c].dtype.kind == "O"
+            and len(first)
+            and isinstance(first.iloc[0], _dt.date)
+        ):
+            # Datetime normalization (round-7 ADVICE): through fetchdf a
+            # DATE cell materializes as pandas Timestamp while Spark's
+            # collect yields datetime.date, and Timestamp == date is False
+            # even for equal days — the first raw-DATE output column would
+            # fail the gate with both engines agreeing. Map both sides to
+            # plain datetime.datetime (dates promote to midnight) so equal
+            # instants compare equal regardless of load path. Applied
+            # identically to both frames, so it only removes the
+            # representation split, not a genuine value divergence.
+            df[c] = df[c].map(
+                lambda v: v.to_pydatetime()
+                if hasattr(v, "to_pydatetime")
+                else _dt.datetime.combine(v, _dt.time.min)
+                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                else v
             )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort")

@@ -103,6 +103,63 @@ def q_gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sweep_line_daily_max(starts: DataFrame, duration: str = "INTERVAL 30 MINUTES") -> DataFrame:
+    """Shared sweep-line core: peak concurrency per day over half-open
+    sessions ``[t, t+duration)`` from a one-column ``t: timestamp``
+    DataFrame. Returns ``(day: date, max_concurrent: long, n_opened: long)``
+    — callers format/cast for their output contract.
+
+    Deltas are pre-aggregated per ``(day, t)`` into one NET delta per
+    distinct instant BEFORE any running sum, so k simultaneous closes (or
+    an open and a close at the same t) contribute a single signed step.
+    The running value after each net step therefore equals the true
+    concurrency AT that instant under half-open semantics (opens at t
+    count, closes at t don't) — there is no per-row partial prefix, so no
+    phantom intermediate state can inflate MAX. (Round-7 hypothesis
+    counterexample: two sessions ending exactly at midnight made the
+    per-ROW running sum report ``max_concurrent = 1`` on a day whose true
+    peak was 0; tests/test_properties.py keeps that spec as the guard.)
+
+    Distributed two-phase shape (unchanged by the fix):
+    1. net deltas per (day, t) — one hash aggregate, map-side partial;
+    2. within-day prefix sums over the UNIQUE-t net deltas, partitioned
+       by day (parallel across days);
+    3. carry into each day from a day-grain cumulative window (one row
+       per calendar day — the q_revenue_mom_change discipline);
+    global value at t = carry + within-day prefix; max per day.
+    """
+    deltas = starts.select(F.col("t"), F.lit(1).alias("d")).unionByName(
+        starts.select(
+            (F.col("t") + F.expr(duration)).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    ).withColumn("day", F.to_date("t"))
+    net = deltas.groupBy("day", "t").agg(
+        F.sum("d").alias("g"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("opens"),
+    )
+    in_day = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_t = net.select(
+        "day", "g", "opens", F.sum("g").over(in_day).alias("r_in_day")
+    )
+    day_stats = per_t.groupBy("day").agg(
+        F.max("r_in_day").alias("max_in_day"),
+        F.sum("g").alias("day_total"),
+        F.sum("opens").alias("n_opened"),
+    )
+    carry_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return day_stats.select(
+        "day",
+        (
+            F.coalesce(F.sum("day_total").over(carry_w), F.lit(0))
+            + F.col("max_in_day")
+        ).alias("max_concurrent"),
+        "n_opened",
+    )
+
+
 @query(
     "q_max_concurrent_sessions",
     oracle="""
@@ -110,14 +167,19 @@ WITH deltas AS (
     SELECT ts AS t, 1 AS d FROM events
     UNION ALL
     SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM events
+), net AS (
+    SELECT CAST(t AS DATE) AS day, t,
+           SUM(d) AS g,
+           SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS opens
+    FROM deltas GROUP BY 1, 2
 ), run AS (
-    SELECT CAST(t AS DATE) AS day, d,
-           SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS r
-    FROM deltas
+    SELECT day, opens,
+           SUM(g) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS r
+    FROM net
 )
 SELECT STRFTIME(day, '%Y-%m-%d') AS day,
        CAST(MAX(r) AS BIGINT) AS max_concurrent,
-       CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened
+       CAST(SUM(opens) AS BIGINT) AS n_opened
 FROM run
 GROUP BY day
 """,
@@ -126,51 +188,22 @@ GROUP BY day
 def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency per day over half-open 30-minute sessions
     ``[ts, ts+30m)`` — the classic sweep-line (+1 at open, −1 at close,
-    max of the running sum), computed as a DISTRIBUTED two-phase prefix
-    sum rather than one global ordered window:
+    max of the running sum), computed by :func:`sweep_line_daily_max` as
+    a DISTRIBUTED two-phase prefix sum over per-(day, t) NET deltas, so
+    simultaneous boundary events contribute one signed step and the MAX
+    never sees a phantom per-row partial prefix (the round-7 tie bug).
+    The DuckDB oracle mirrors the same pre-aggregation, then takes its
+    single global window over the unique-instant net deltas.
 
-    1. each delta's day partitions the sweep; the within-day running sum
-       is a window partitioned BY DAY (parallel across days);
-    2. the carry into each day (sum of all deltas of prior days) comes
-       from a day-grain aggregate with a calendar-bounded cumulative
-       window — the q_revenue_mom_change discipline;
-    3. global running value = carry + within-day prefix; max per day.
-
-    Tie order is pinned to (t, d) ascending so a close at exactly t never
-    overlaps an open at t (half-open semantics), and within a tie group
-    all deltas share a sign, so the per-day max is permutation-stable —
-    the DuckDB oracle's single global window computes the identical
-    per-day maxima.
-
-    100 TB shape: no SinglePartition sort of the fact table — phase 1
-    parallelizes across days, phase 2's ordered window sees one row per
-    calendar day.
+    100 TB shape: no SinglePartition sort of the fact table — the net
+    collapse is one map-side-partial hash aggregate, phase 2
+    parallelizes across days, and the only global ordered window sees
+    one row per calendar day.
     """
     e = load_table(spark, sf_dir, "events")
-    deltas = e.select(F.col("ts").alias("t"), F.lit(1).alias("d")).unionByName(
-        e.select(
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
-            F.lit(-1).alias("d"),
-        )
-    ).withColumn("day", F.to_date("t"))
-    in_day = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    per_delta = deltas.select(
-        "day", "d", F.sum("d").over(in_day).alias("r_in_day")
-    )
-    day_stats = per_delta.groupBy("day").agg(
-        F.max("r_in_day").alias("max_in_day"),
-        F.sum("d").alias("day_total"),
-        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opened"),
-    )
-    carry_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    return day_stats.select(
+    return sweep_line_daily_max(e.select(F.col("ts").alias("t"))).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        (
-            F.coalesce(F.sum("day_total").over(carry_w), F.lit(0))
-            + F.col("max_in_day")
-        ).alias("max_concurrent"),
+        "max_concurrent",
         "n_opened",
     )
 

@@ -231,35 +231,26 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 7 is the VINTAGE-ROTATION round (VERDICT r6 "Next round" items
-# 3-4): zero new operators; the window spends its slots re-greening the
-# oldest driver evidence. It carries, in order:
-#   1. the single round-6 RED row, fixed — the ORACLE's un-cast
-#      SUM(BIGINT) typed the UNION'd column HUGEINT, which pandas
-#      materializes as float64 and the driver hashes against Spark's
-#      int64 (15.0 != 15 under the value hash even though 15 == 15.0 in
-#      Python). The Spark side was already correct; keep1 now casts. The
-#      CLASS is dead: the local gate fetches the oracle via fetchdf()
-#      (the driver's pandas boundary, canon.assert_dtype_parity) and
-#      test_registry lints every oracle's relation type against
-#      HUGEINT/UHUGEINT/DECIMAL top-level outputs;
-#   2. the one fingerprint-flipped query (q_triangle_count_doulion —
-#      round-7 ADVICE: failure-path unpersist discipline);
-#   3. the r1 vintage block — all 35 queries whose newest driver rows
-#      date to round 1, ordered largest-debt family first (scalar_funcs,
-#      windows, setops, aggregates, joins, subqueries, relational);
-#   4. a 12-entry r2 vintage block chosen to keep every displaced
-#      extension family's canary in-window (dedup, similarity, text,
-#      streaming, pandas_udfs, multimodal, events, ml flagship) and to
-#      complete the scalar_funcs family's rotation;
-#   5. one freshest-green sinks canary (r6) — the only canary family
-#      with no vintage debt to rotate.
-# Everything the round-7 sweep cannot reach remains r2-r6 green with
-# unchanged fingerprints (test_changed_queries_are_hoisted enforces
-# exactly that), and the tail below the boundary pre-stages round 8's
-# rotation: the 18 remaining r2-vintage rows, which close the vintage
-# debt entirely (after round 8 no family's newest driver row predates
-# r3 — the VERDICT item-3 done-condition).
+# Round 8 agenda (VERDICT r7 "Next round" items 1, 4, 5):
+#   1. the round-7 correctness bug, FIXED — q_max_concurrent_sessions'
+#      per-ROW running sum inflated the per-day max when sessions ended
+#      at the same instant (hypothesis counterexample: two sessions
+#      closing exactly at midnight reported max_concurrent = 1 on a day
+#      whose true peak was 0, and the oracle replayed the same defect).
+#      Both engine sides now pre-aggregate deltas per (day, t) into one
+#      NET step before any running sum; the property test
+#      (tests/test_properties.py) calls the shipped helper directly and
+#      stands as the spec guard;
+#   2. new round-8 operators — each needs first-window green;
+#   3. the 18 pre-staged r2-vintage rows (ml 7, events 3, multimodal 2,
+#      streaming 2, text 2, joins 1, aggregates 1) — landing these closes
+#      the r2 vintage debt entirely: after round 8 no family's newest
+#      driver row predates r3;
+#   4. the oldest r3-vintage block the remaining slots can carry — the
+#      full TPC-H q2-q22 family plus the physical/shuffle-shape and
+#      grouping/lateral operators; the tail below the boundary pre-stages
+#      round 9's rotation with the remaining r3-vintage rows (text,
+#      curation, dedup, similarity, python-datasource, streaming).
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -267,65 +258,10 @@ _MODULE_ORDER = (
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. the round-6 red row, fixed (oracle HUGEINT -> CAST(n AS BIGINT))
-    "q_k_anonymity_generalize",
-    # 2. fingerprint flipped this round (ADVICE: track persisted
-    # intermediates in one finally so failure paths free the cache)
-    "q_triangle_count_doulion",
-    # 3. r1 vintage rotation — all 35, largest-debt family first
-    "q_string_funcs",
-    "q_math_funcs",
-    "q_date_funcs",
-    "q_date_trunc_week",
-    "q_json_events",
-    "q_null_semantics",
-    "q_map_funcs",
-    "q_struct_funcs",
-    "q_bit_aggs",
-    "q_posexplode_tokens",
-    "q_window_moving_avg",
-    "q_window_running_spend",
-    "q_window_distribution",
-    "q_window_lag_gap_days",
-    "q_window_rank_parts_by_size",
-    "q_global_top25_lineitems",
-    "q_union_all_keys",
-    "q_except_buyers",
-    "q_except_all_repeat_custkeys",
-    "q_intersect_buyers",
-    "q_intersect_all_statuses",
-    "q_cube_order_status",
-    "q_rollup_returns",
-    "q_distinct_counts",
-    "q_stats_acctbal",
-    "q_value_histogram",
-    "q_anti_join_silent_customers",
-    "q_outer_join_order_counts",
-    "q_self_join_same_day_orders",
-    "q_semi_join_priority_orders",
-    "q4_exists_returned_orders",
-    "q17_below_avg_qty_revenue",
-    "q_notin_excluded_suppliers",
-    "q_scalar_subquery_above_avg",
-    "q6_forecast_revenue",
-    # 4. r2 vintage block — family canaries + scalar_funcs completion
-    "q_array_funcs",
-    "q_dedup_canonical",
-    "q_ann_bruteforce_top10",
-    "q_embedding_norm_stats",
-    "q_text_token_counts",
-    "q_text_lang_id",
-    "q_stream_stream_join",
-    "q_udtf_char_ngrams",
-    "q_variant_json_extract",
-    "als_user_factors",
-    "q_events_dedup_first",
-    "q_multimodal_metadata",
-    # 5. freshest-green sinks canary (no sinks vintage debt exists)
-    "q_sink_csv_roundtrip",
-    # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-8 rotation — the 18 remaining r2-vintage
-    # rows; landing these closes the vintage debt entirely.
+    # 1. the round-7 wrong-by-spec row, fixed (per-(day,t) net deltas)
+    "q_max_concurrent_sessions",
+    # 2. new round-8 operators (first-window green required)
+    # 3. r2 vintage block — closes the r2 debt entirely
     "als_implicit_top3",
     "als_nonnegative_factor_bounds",
     "als_predictions",
@@ -344,6 +280,63 @@ _HOISTED = (
     "q_stream_static_enrich",
     "q_text_bpe_token_counts",
     "q_text_fingerprints",
+    # 4. displaced-family canaries (sinks freshest-green r7; pandas_udfs
+    # r7) — every extension family keeps one previously-green row in-window
+    "q_sink_csv_roundtrip",
+    "q_pandas_udf_doc_stats",
+    # 5. oldest r3 vintage — TPC-H family first (15), then the
+    # physical/shuffle-shape + grouping operators, with the dedup and
+    # similarity canaries drawn from their own r3-vintage rows
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_important_part_values",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier_revenue",
+    "q16_supplier_counts_by_part",
+    "q18_in_big_orders",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers_of_parts",
+    "q21_multi_supplier_orders",
+    "q22_wealthy_inactive_customers",
+    "q_bucketed_colocated_join",
+    "q_salted_skew_join",
+    "q_two_phase_salted_agg",
+    "q_shuffle_order",
+    "q_range_join_purchase_context",
+    "q_session_windows",
+    "q_grouping_sets_orders",
+    "q_pivot_priority_by_status",
+    "q_dedup_ngram_containment",
+    "q_embedding_neardup_pairs",
+    # --- ~50-entry sweep-prefix boundary ---
+    # tail: pre-staged round-9 rotation — the remaining r3-vintage rows
+    # (after round 8 lands, these are the suite's oldest driver evidence)
+    "q_unpivot_lineitem_measures",
+    "q_lateral_top2_orders_per_customer",
+    "q_observe_metrics",
+    "q_bm25_retrieval",
+    "q_chunk_documents",
+    "q_collated_group",
+    "q_decontaminate",
+    "q_doc_salient_terms",
+    "q_length_filter_percentile",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_python_datasource_agg",
+    "q_python_datasource_scan",
+    "q_python_stream_datasource",
+    "q_sample_balanced",
+    "q_sample_stratified",
+    "q_semantic_cluster_assign",
+    "q_split_train_test",
+    "q_stream_stateful_threshold",
+    "q_text_normalize",
+    "q_timebucket_rollup",
+    "q_vocab_top",
 )
 
 

@@ -153,17 +153,36 @@ def main() -> int:
             t0 = time.time()
             force(queries[name].build(spark, sf_dir))
             dt = round(time.time() - t0, 3)
-            print(f"# pass2(fast) {name}: {dt:.2f}s", file=sys.stderr)
+            print(f"# pass3(fast) {name}: {dt:.2f}s", file=sys.stderr)
             best[name] = min(best[name], dt)
+    # The driver captures only the tail of stdout and parses the final
+    # line, so that line must stay comfortably under ~1,800 bytes
+    # (round 7's line outgrew the capture when queries_min2 doubled it
+    # and the driver recorded parsed: null). Keep the contract fields
+    # (metric/value/unit/queries/sf) on stdout and write the full
+    # epoch-comparison detail — per-pass timings and the min-of-2
+    # statistic — to a committed side file.
     out = {
         "metric": "headline_total",
         "value": round(sum(best.values()), 3),
         "unit": "sec",
         "queries": best,
-        "queries_min2": best2,
         "pass_totals": [round(sum(p.values()), 3) for p in passes],
+        "min2_total": round(sum(best2.values()), 3),
         "sf": sf,
     }
+    full = dict(out)
+    full["queries_min2"] = best2
+    full["passes"] = passes
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_last.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # bench result still prints even if the FS is RO
+        print(f"# could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -357,8 +357,17 @@ def test_morton_spread_interleave_roundtrip(spark, xs):
 def test_sweep_line_concurrency_matches_brute_force(spark, offsets):
     """q_max_concurrent_sessions' two-phase prefix sum must equal the
     brute-force per-instant maximum over [ts, ts+30m) intervals, for any
-    arrangement of starts — including exact ties and day-boundary spans."""
+    arrangement of starts — including exact ties and day-boundary spans.
+
+    Calls the production helper (sweep_line_daily_max) directly, so the
+    test exercises the shipped operator, not a parallel copy. Round 7's
+    hypothesis run falsified the pre-fix per-ROW running sum with two
+    sessions ending exactly at midnight (phantom partial-prefix state on
+    a day whose true peak was 0); this property is the regression guard.
+    """
     import datetime as dt
+
+    from als_pyspark_spark.operators.timeseries import sweep_line_daily_max
 
     base = dt.datetime(2024, 1, 1)
     starts = [base + dt.timedelta(seconds=o) for o in offsets]
@@ -378,25 +387,9 @@ def test_sweep_line_concurrency_matches_brute_force(spark, offsets):
         days[d] = max(conc_at(b) for b in bounds) if bounds else 0
 
     df = spark.createDataFrame([(s,) for s in starts], "t timestamp")
-    from pyspark.sql import Window
-
-    deltas = df.select(F.col("t"), F.lit(1).alias("d")).unionByName(
-        df.select((F.col("t") + F.expr("INTERVAL 30 MINUTES")).alias("t"), F.lit(-1).alias("d"))
-    ).withColumn("day", F.to_date("t"))
-    in_day = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    per = deltas.select("day", "d", F.sum("d").over(in_day).alias("r"))
-    stats = per.groupBy("day").agg(
-        F.max("r").alias("mx"), F.sum("d").alias("tot")
-    )
-    carry = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     got = {
-        row.day: row.mc
-        for row in stats.select(
-            "day",
-            (F.coalesce(F.sum("tot").over(carry), F.lit(0)) + F.col("mx")).alias("mc"),
-        ).collect()
+        row.day: row.max_concurrent
+        for row in sweep_line_daily_max(df).collect()
     }
     for d, expect in days.items():
         assert got.get(d, 0) == expect, (d, got, days, starts)

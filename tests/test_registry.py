@@ -255,8 +255,14 @@ def test_canon_mirrors_driver_on_list_cells():
 
 
 def _depths(sql: str) -> list[int]:
-    """Paren-nesting depth at each character position (string literals are
-    rare and paren-free in this registry's oracles, so a raw scan is fine)."""
+    """Paren-nesting depth at each character position. Single-quoted
+    string literals are blanked first (round-7 ADVICE): a '(' or ')'
+    inside a literal would otherwise skew depths for the rest of the
+    oracle — masking a genuine bare LIMIT or flagging a safe one. The
+    blanking preserves length, so positions still line up with ``sql``."""
+    import re
+
+    sql = re.sub(r"'[^']*'", lambda m: "'" + " " * (len(m.group()) - 2) + "'", sql)
     out, d = [], 0
     for ch in sql:
         if ch == "(":
