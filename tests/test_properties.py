@@ -398,6 +398,68 @@ def test_sweep_line_concurrency_matches_brute_force(spark, offsets):
 @_settings
 @given(
     st.lists(
+        st.tuples(
+            # offsets drawn from a SMALL grid so exact timestamp ties are
+            # the common case, not a fluke — the tie behavior is the point
+            st.integers(min_value=0, max_value=12).map(lambda k: k * 600),
+            st.booleans(),  # purchase? (60-min gap) vs other (30-min gap)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dynamic_gap_sessions_match_brute_force(spark, events):
+    """Round-8 window-under-ties audit guard: the dynamic-gap session
+    operator (session_window with a per-event gap expression, the
+    q_stream_dynamic_session_gap shape) must partition events into the
+    same sessions as a first-principles merge — for any input order and
+    any arrangement of EXACT timestamp ties, including ties that mix
+    60-minute and 30-minute gap events.
+
+    The audited risk: the oracle's gaps-and-islands form tests
+    ``ts >= MAX(ev_end) OVER (... 1 PRECEDING)`` — a per-ROW frame whose
+    content inside a tie group depends on tie permutation. The membership
+    argument (every ev_end > ts, so tied events always merge and exactly
+    one tie row carries the new-session flag) says the SESSION-level
+    output is permutation-invariant; this property pins that argument to
+    executable truth against Spark's native merge."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(seconds=o), "purchase" if p else "view")
+        for o, p in events
+    ]
+
+    def end_of(ts, typ):
+        return ts + dt.timedelta(minutes=60 if typ == "purchase" else 30)
+
+    # brute force: sweep in ts order; new session iff ts >= running max end
+    expect = []
+    for ts, typ in sorted(rows, key=lambda r: r[0]):
+        if expect and ts < expect[-1][1]:
+            s = expect[-1]
+            expect[-1] = (s[0], max(s[1], end_of(ts, typ)), s[2] + 1)
+        else:
+            expect.append((ts, end_of(ts, typ), 1))
+    expect_set = {(s, e, n) for s, e, n in expect}
+
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise(
+        "30 minutes"
+    )
+    got = {
+        (row.w.start, row.w.end, row.n)
+        for row in df.groupBy(F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect_set, (rows, got, expect_set)
+
+
+@_settings
+@given(
+    st.lists(
         st.integers(min_value=1, max_value=10_000), min_size=10, max_size=60
     )
 )
