@@ -435,6 +435,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
         fingerprint(toks, _SHINGLE_N).alias("fp"),
     )
+    from als_pyspark_spark.operators.graph import min_label_components
+
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size("a.grams") + F.size("b.grams") - inter
@@ -442,52 +444,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .where(inter.cast("double") / union >= 0.5)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .persist()
     )
-    edges = pairs.unionAll(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
-
-    converged = False
-    for _ in range(20):  # bound >> any real near-dup component diameter
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-
-    if not converged:
-        # Unconverged labels are WRONG labels (they diverge from the
-        # recursive-CTE oracle) — fail loudly rather than return them.
-        raise RuntimeError(
-            "connected-components min-label propagation did not converge "
-            "within 20 rounds; raise the bound for this corpus"
-        )
-
-    return labels.select("node", "label").select(
+    labels = min_label_components(pairs)
+    return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 

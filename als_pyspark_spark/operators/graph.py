@@ -553,3 +553,83 @@ def _bfs_hist_plan(spark: SparkSession, sf_dir: str):
         F.max("node").alias("max_part"),
     )
     return hist, [e]
+
+
+def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected pair list ``(src, dst)`` — the shared core behind near-dup
+    cluster resolution (dedup/queries.py q_dedup_clusters) and semantic
+    embedding clustering (similarity/queries.py q_semantic_dedup_clusters).
+    Returns ``(node, label)`` with ``label`` = the component's minimum
+    node id.
+
+    Each round: label[n] ← min(label[n], min label of n's neighbors);
+    stop at fixpoint. Rounds needed = component diameter (near-dup
+    components are tiny cliques/chains, so 2-4). Every intermediate is
+    persisted and the previous round's is unpersisted once superseded —
+    the reference's iterate/persist/unpersist loop discipline (reference
+    ALS.py:121-135) applied to our own operator.
+
+    Scale shape: one join + one groupBy per round, both keyed on node —
+    shuffle volume bounded by the EDGE list (never all-pairs), and the
+    convergence probe is a ``limit(1).count()`` (first changed row, not a
+    full-table count). Unconverged labels are WRONG labels, so the bound
+    raises instead of returning them.
+    """
+    pairs = pairs.persist()
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+
+    converged = False
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+
+    if not converged:
+        pairs.unpersist()
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            "connected-components min-label propagation did not converge "
+            f"within {max_rounds} rounds; raise the bound for this corpus"
+        )
+    # Materialize the fixpoint fully BEFORE freeing its inputs: the
+    # convergence probe's limit(1).count() may have computed only a few
+    # partitions of the persisted labels, and unpersisting edges first
+    # would send the remainder through a full lineage recompute.
+    labels.count()
+    pairs.unpersist()
+    edges.unpersist()
+    return labels

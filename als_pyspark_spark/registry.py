@@ -260,7 +260,13 @@ _CARRYOVER: tuple[str, ...] = ()
 _HOISTED = (
     # 1. the round-7 wrong-by-spec row, fixed (per-(day,t) net deltas)
     "q_max_concurrent_sessions",
-    # 2. new round-8 operators (first-window green required)
+    # 2. new round-8 operators (first-window green required), plus
+    # q_dedup_clusters whose fingerprint flipped when its CC loop moved to
+    # the shared operators/graph.py min_label_components helper
+    "q_rerank_two_stage_topk",
+    "q_semantic_dedup_clusters",
+    "q_stream_idempotent_merge",
+    "q_dedup_clusters",
     # 3. r2 vintage block — closes the r2 debt entirely
     "als_implicit_top3",
     "als_nonnegative_factor_bounds",

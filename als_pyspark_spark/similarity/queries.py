@@ -652,3 +652,220 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.cast("long"),
         ).alias("n_out_of_range"),
     )
+
+
+# Two-stage retrieval: cheap ANN candidate generation, then an expensive
+# pairwise "cross" re-scorer applied ONLY to the shortlist — the
+# retrieve-then-rerank architecture every production semantic-search stack
+# uses (bi-encoder ANN recall stage → cross-encoder precision stage). The
+# rerank score here is a weighted-Jaccard interaction over the two vectors'
+# coordinates: sum(min(|a_i|,|b_i|)) / sum(max(|a_i|,|b_i|)) — genuinely
+# non-factorizable (it needs both vectors elementwise, exactly the property
+# that makes a cross-encoder un-indexable and forces the two-stage shape).
+_RERANK_CAND = 40
+_RERANK_K = 5
+
+
+@query(
+    "q_rerank_two_stage_topk",
+    oracle=f"""
+WITH bk AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), hb AS (
+    SELECT vec_id, e, {_sql_bucket_list(_ANN_PLANES, _ANN_BLOCKS)} AS buckets
+    FROM bk
+), q AS (
+    SELECT vec_id AS query_id, e AS qe, buckets AS qb
+    FROM hb WHERE vec_id < {_N_QUERIES}
+), cand AS (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qe, c.e) AS cos
+    FROM q JOIN hb c
+      ON c.vec_id != q.query_id AND list_has_any(q.qb, c.buckets)
+), shortlist AS (
+    SELECT query_id, neighbor_id FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {_RERANK_CAND}
+), rescored AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_aggregate(list_transform(list_zip(q.qe, n.e),
+               p -> least(abs(p[1]), abs(p[2]))), 'sum')
+         / list_aggregate(list_transform(list_zip(q.qe, n.e),
+               p -> greatest(abs(p[1]), abs(p[2]))), 'sum') AS xscore
+    FROM shortlist s
+    JOIN q ON q.query_id = s.query_id
+    JOIN bk n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rerank_pos
+FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY xscore DESC, neighbor_id ASC) AS rk
+    FROM rescored
+)
+WHERE rk <= {_RERANK_K}
+""",
+    tags=("similarity", "ann", "rerank", "two-stage"),
+)
+def q_rerank_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank top-k: stage 1 shortlists 40
+    candidates per query by LSH-bucketed cosine (the q_ann_lsh_top10
+    recall stage); stage 2 re-fetches ONLY the shortlist's vectors and
+    applies the expensive cross score (weighted Jaccard of coordinate
+    magnitudes), returning the top-5 with their rerank position.
+
+    EXACT oracle: hyperplanes are seeded literals, both engines run the
+    identical double arithmetic elementwise and sum left-to-right
+    (zip_with/aggregate ↔ list_zip/list_aggregate); ids-only output plus
+    an integer rank — a flip would need two rerank scores equal to ~1 ulp
+    across engines, measure-zero on isotropic float data (the
+    q_ann_lsh_top10 adjudication).
+
+    100 TB shape: stage 1 is the bucketed candidate join (cost ∝ bucket
+    sizes, never all-pairs); stage 2 touches |queries| × 40
+    rows — INDEPENDENT of corpus size, which is the whole point of
+    two-stage retrieval: the expensive scorer's cost is capped by the
+    shortlist, and the neighbor-vector re-fetch is a keyed join against
+    the (bucketed) embedding table, broadcast on the shortlist side.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _with_buckets(e, _ANN_PLANES, _ANN_BLOCKS, spread=True).persist()
+    queries = corpus.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    cand = (
+        F.broadcast(queries)
+        .join(corpus, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+        .distinct()
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= _RERANK_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qe")
+    )
+    nvec = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ne"),
+    )
+    # stage 2: re-fetch vectors for the shortlist only, then the cross score
+    paired = (
+        F.broadcast(shortlist)
+        .join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+    )
+    mins = F.zip_with("qe", "ne", lambda a, b: F.least(F.abs(a), F.abs(b)))
+    maxs = F.zip_with("qe", "ne", lambda a, b: F.greatest(F.abs(a), F.abs(b)))
+    sum_d = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    rescored = paired.select(
+        "query_id",
+        "neighbor_id",
+        (sum_d(mins) / sum_d(maxs)).alias("xscore"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("xscore"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _RERANK_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rk").cast("long").alias("rerank_pos"),
+        )
+    )
+
+
+# Semantic dedup: embedding-threshold clustering. Planted construction
+# mirrors q_embedding_neardup_pairs but with TWO scaled copies per source
+# vector (1.5× and 2.25×), so each planted component is a 3-clique —
+# the connected-components resolution over the cos≥0.9 edge graph is
+# exercised beyond trivial pairs, with a closed-form oracle.
+_SEM_PLANT = 12
+_SEM_OFF_B = 1_000_000
+_SEM_OFF_C = 2_000_000
+
+
+@query(
+    "q_semantic_dedup_clusters",
+    oracle=f"""
+SELECT vec_id AS member_id, vec_id AS cluster_rep, CAST(3 AS BIGINT) AS cluster_size
+FROM embeddings WHERE vec_id < {_SEM_PLANT}
+UNION ALL
+SELECT vec_id + {_SEM_OFF_B} AS member_id, vec_id AS cluster_rep, CAST(3 AS BIGINT) AS cluster_size
+FROM embeddings WHERE vec_id < {_SEM_PLANT}
+UNION ALL
+SELECT vec_id + {_SEM_OFF_C} AS member_id, vec_id AS cluster_rep, CAST(3 AS BIGINT) AS cluster_size
+FROM embeddings WHERE vec_id < {_SEM_PLANT}
+""",
+    tags=("similarity", "dedup", "clustering", "iterative"),
+)
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup via embedding-threshold clustering: cos ≥ 0.9 pairs
+    from LSH-bucketed candidate joins become an edge graph; connected
+    components (shared min-label propagation, operators/graph.py) resolve
+    transitive near-dup groups; each member reports its cluster
+    representative (min vec_id) and cluster size — the semantic flavor of
+    q_dedup_clusters, the step that turns pairwise embedding similarity
+    into drop-lists for a training corpus.
+
+    Input = corpus ∪ TWO deterministic scaled copies (1.5×, 2.25×) of the
+    first 12 vectors. The oracle is the closed-form planted
+    3-clique set: exact because scaled copies are direction-identical —
+    every hyperplane sign bit matches, so LSH recall on planted edges is
+    exactly 1 — and the isotropic background produces no cos ≥ 0.9 pair
+    (one appearing would hash-mismatch loudly, pinning the
+    no-false-positive side like q_embedding_neardup_pairs). Singleton
+    components are dropped (a cluster of one is not a dup group).
+
+    100 TB shape: edges come only from 8-bit LSH bucket equi-joins
+    (expected bucket size n/256, never all-pairs); the CC loop is one
+    keyed join + groupBy per round over the EDGE list with per-round
+    persist/unpersist; cluster stats are one groupBy over the label
+    table.
+    """
+    from als_pyspark_spark.operators.graph import min_label_components
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.where(F.col("vec_id") < _SEM_PLANT)
+    plant = lambda off, s: base.select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(s)).alias("embedding"),
+    )
+    union = e.unionByName(plant(_SEM_OFF_B, 1.5)).unionByName(
+        plant(_SEM_OFF_C, 2.25)
+    )
+    b = _with_buckets(union, _DUP_PLANES, _DUP_BLOCKS, spread=True).persist()
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .distinct()
+        .where(F.col("cos") >= 0.9)
+        .select("src", "dst")
+    )
+    labels = min_label_components(pairs)
+    b.unpersist()
+    stats = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(stats, "label")
+        .where(F.col("cluster_size") > 1)
+        .select(
+            F.col("node").alias("member_id"),
+            F.col("label").alias("cluster_rep"),
+            F.col("cluster_size"),
+        )
+    )

@@ -1240,3 +1240,198 @@ def q_stream_static_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(F.count("*").alias("n_events"))
     return run_to_memory(agg, name, mode="complete")
+
+
+@query(
+    "q_stream_idempotent_merge",
+    oracle="""
+WITH r AS (
+    SELECT user_id, event_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC,
+                        CAST(ROUND(value * 100) AS BIGINT) DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       cents AS last_cents
+FROM r
+WHERE rn = 1
+""",
+    tags=("streaming", "sink", "merge", "idempotent", "exactly-once"),
+)
+def q_stream_idempotent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE upsert with exactly-once-UNDER-REDELIVERY semantics
+    — the foreachBatch pattern every warehouse sink without native
+    streaming MERGE uses (Delta/Iceberg MERGE INTO, JDBC upsert): each
+    micro-batch LWW-collapses to one row per key and merges into a
+    versioned state table (new version file + pointer advance — a
+    poor-man's transaction log, which is exactly how Delta commits).
+
+    Two idempotence tiers, each with an explicit runtime witness:
+
+    1. TRANSACTIONAL: the pointer log records applied epoch ids; a
+       redelivered (epoch, batch) — simulated by re-invoking the merge
+       with batch 0 after the stream completes — is SKIPPED, witnessed by
+       the version count staying put. This is the batch-id dedupe
+       contract foreachBatch documents for exactly-once sinks.
+    2. ALGEBRAIC: even FORCING the stale batch through the merge
+       (bypassing the epoch log — a sink with no transaction log) cannot
+       change the state, because last-write-wins MERGE is idempotent and
+       commutative (max over (ts, event_id, cents) structs); witnessed by
+       canonical state content comparing equal before/after.
+
+    The returned final state must equal the whole-table LWW oracle — any
+    lost, duplicated, or re-ordered merge breaks the row.
+
+    100 TB shape: each merge is one keyed shuffle of the BATCH plus a
+    co-partitioned read of the state table (in production, bucketed or
+    Delta-MERGE with file pruning); LWW max_by is associative, so the
+    batch collapse is map-side partial. Version files rotate; old
+    versions are GC'd like any table format's vacuum.
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.sources.sinks import app_scratch
+    from als_pyspark_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = app_scratch(spark, "idem_merge_in")
+    state_root = app_scratch(spark, "idem_merge_state")
+    ckpt = app_scratch(spark, "idem_merge_ckpt")
+    for d in (src, state_root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(state_root, exist_ok=True)
+
+    # three time-split source files → three micro-batches
+    bounds = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 12 DAYS")).alias("t1"),
+        (F.max("ts") - F.expr("INTERVAL 6 DAYS")).alias("t2"),
+    ).collect()[0]
+    t1, t2 = bounds["t1"], bounds["t2"]
+    events.where(F.col("ts") < F.lit(t1)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    events.where(F.col("ts") >= F.lit(t2)).coalesce(1).write.mode("append").parquet(
+        src
+    )
+
+    ptr_path = os.path.join(state_root, "_POINTER.json")
+
+    def _pointer():
+        if not os.path.exists(ptr_path):
+            return {"version": 0, "applied_epochs": []}
+        with open(ptr_path) as f:
+            return json.load(f)
+
+    def _lww(df):
+        # one row per user: greatest (ts, event_id, cents) struct —
+        # associative + commutative + idempotent, the MERGE's algebra
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "cents")).alias("s")
+        )
+
+    def merge_batch(batch_df, epoch_id, force: bool = False):
+        ptr = _pointer()
+        if epoch_id in ptr["applied_epochs"] and not force:
+            return  # transactional idempotence: epoch already committed
+        batch = _lww(
+            batch_df.select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        v = ptr["version"]
+        if v > 0:
+            cur = spark.read.parquet(os.path.join(state_root, f"v{v}"))
+            merged = _lww(
+                cur.select("user_id", "s.ts", "s.event_id", "s.cents").unionByName(
+                    batch.select("user_id", "s.ts", "s.event_id", "s.cents")
+                )
+            )
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{v + 1}")
+        )
+        with open(ptr_path, "w") as f:
+            json.dump(
+                {
+                    "version": v + 1,
+                    "applied_epochs": sorted(set(ptr["applied_epochs"]) | {epoch_id}),
+                },
+                f,
+            )
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ptr = _pointer()
+    if ptr["version"] != 3 or len(ptr["applied_epochs"]) != 3:
+        raise RuntimeError(
+            f"expected 3 committed merge epochs, got pointer {ptr}"
+        )
+
+    def _canon_state():
+        v = _pointer()["version"]
+        return sorted(
+            (r["user_id"], r["ts"], r["event_id"], r["cents"])
+            for r in spark.read.parquet(os.path.join(state_root, f"v{v}"))
+            .select("user_id", "s.ts", "s.event_id", "s.cents")
+            .collect()
+        )
+
+    before = _canon_state()
+    stale = spark.read.parquet(src).where(F.col("ts") < F.lit(t1))
+
+    # witness 1 — transactional: redelivered epoch 0 must be a no-op
+    merge_batch(stale, 0)
+    if _pointer()["version"] != 3:
+        raise RuntimeError(
+            "replayed epoch 0 was re-applied despite the epoch log — "
+            "transactional idempotence broken"
+        )
+    # witness 2 — algebraic: forcing the stale batch through the merge
+    # must leave the state CONTENT unchanged (LWW absorbs redelivery)
+    merge_batch(stale, 0, force=True)
+    if _pointer()["version"] != 4:
+        raise RuntimeError("forced re-merge did not commit a new version")
+    after = _canon_state()
+    if before != after:
+        raise RuntimeError(
+            "forced replay of batch 0 changed the merged state — "
+            "LWW merge is not idempotent"
+        )
+
+    final = spark.read.parquet(os.path.join(state_root, "v4")).select(
+        "user_id",
+        F.col("s.event_id").alias("last_event_id"),
+        F.date_format("s.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("s.cents").alias("last_cents"),
+    )
+    return final

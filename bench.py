@@ -84,6 +84,15 @@ HEADLINE = [
     # doubling the per-round bench wall time.
     "q_max_concurrent_sessions",
     "q_zorder_layout_sink",
+    # round 8: the three new cost shapes — two-stage retrieve-then-rerank
+    # (bucketed candidate join + shortlist-bounded rescoring), semantic
+    # CC clustering (iterative keyed join+agg over the embedding edge
+    # list), and the versioned foreachBatch MERGE upsert (per-batch keyed
+    # shuffle + state-table read-merge-write ×3 epochs + 2 replay
+    # witnesses)
+    "q_rerank_two_stage_topk",
+    "q_semantic_dedup_clusters",
+    "q_stream_idempotent_merge",
 ]
 
 

@@ -136,3 +136,23 @@ def test_bloom_filter_fp_fires_and_no_false_negatives(spark, sf_dir):
     assert truth <= cand, "Bloom false negative — structurally impossible"
     fp = cand - truth
     assert fp, "m=256 should saturate the filter enough to produce fp"
+
+
+def test_min_label_components_multihop_chain(spark):
+    """The shared CC helper (operators/graph.py min_label_components) must
+    resolve MULTI-HOP components — a 4-node path (diameter 3), a separate
+    2-clique, and an isolated pair — not just the 3-cliques the semantic
+    dedup plant produces. Labels must be the component minimum for every
+    member, and nodes without edges must not appear."""
+    from als_pyspark_spark.operators.graph import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (7, 5)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in min_label_components(pairs).collect()}
+    assert got == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        100: 100, 200: 100,
+        5: 5, 7: 5,
+    }
