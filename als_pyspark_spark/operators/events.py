@@ -200,7 +200,7 @@ def q_timebucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
     SELECT user_id, ts,
            CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -223,8 +223,15 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30-min inactivity) via the native
     session_window operator — with an EXACT oracle: DuckDB rebuilds the
     sessions from first principles (lag → gap marker → cumulative session
-    id), pinning Spark's merge semantics (new session iff gap >= duration;
-    session_end = last event + gap) rather than trusting them."""
+    id), pinning Spark's merge semantics rather than trusting them: an
+    event arriving EXACTLY at the previous event's ts + gap still MERGES
+    (new session iff gap is STRICTLY greater than the duration;
+    session_end = last event + gap). Probed directly in round 8: both the
+    static and dynamic gap forms merge at the exact boundary, so the
+    oracle's gap test must be `>`, not `>=` — the fixture's microsecond
+    timestamps never land on the boundary, which is why `>=` survived
+    seven rounds of green driver rows; the session property test now
+    pins the boundary case."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -314,7 +314,7 @@ def q_stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
     SELECT user_id, ts,
            CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1014,7 +1014,7 @@ WITH g AS (
 ), marked AS (
     SELECT user_id, ts, ev_end,
            CASE WHEN MAX(ev_end) OVER w IS NULL
-                  OR ts >= MAX(ev_end) OVER w
+                  OR ts > MAX(ev_end) OVER w
                 THEN 1 ELSE 0 END AS new_sess
     FROM g
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1045,9 +1045,11 @@ def q_stream_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     session's end is the running MAX of per-event ends (a long-gap event
     early in the session can bridge a silence later), so the oracle's
     gaps-and-islands form uses a running-max-of-ends boundary test
-    (``ts ≥ max(prev ev_end) → new session``, end-exclusive like the
-    fixed-gap twin) rather than a simple lag diff — lag-diff would split
-    sessions the long gap actually bridges, and hash-mismatch.
+    (``ts > max(prev ev_end) → new session`` — STRICT, because Spark
+    merges an event arriving exactly at the running end; probed in round
+    8, same boundary semantics as the fixed-gap twin) rather than a
+    simple lag diff — lag-diff would split sessions the long gap
+    actually bridges, and hash-mismatch.
 
     100 TB shape: identical state machine to fixed-gap sessions — state
     keyed by (user, merged window), watermark closes sessions; the gap

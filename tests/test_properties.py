@@ -417,7 +417,7 @@ def test_dynamic_gap_sessions_match_brute_force(spark, events):
     60-minute and 30-minute gap events.
 
     The audited risk: the oracle's gaps-and-islands form tests
-    ``ts >= MAX(ev_end) OVER (... 1 PRECEDING)`` — a per-ROW frame whose
+    ``ts > MAX(ev_end) OVER (... 1 PRECEDING)`` — a per-ROW frame whose
     content inside a tie group depends on tie permutation. The membership
     argument (every ev_end > ts, so tied events always merge and exactly
     one tie row carries the new-session flag) says the SESSION-level
@@ -434,10 +434,13 @@ def test_dynamic_gap_sessions_match_brute_force(spark, events):
     def end_of(ts, typ):
         return ts + dt.timedelta(minutes=60 if typ == "purchase" else 30)
 
-    # brute force: sweep in ts order; new session iff ts >= running max end
+    # brute force: sweep in ts order; merge iff ts <= running max end —
+    # Spark merges an event arriving EXACTLY at the session's end (probed
+    # round 8: static and dynamic gap forms agree), so the new-session
+    # test is STRICT (ts > end), mirrored in all three session oracles
     expect = []
     for ts, typ in sorted(rows, key=lambda r: r[0]):
-        if expect and ts < expect[-1][1]:
+        if expect and ts <= expect[-1][1]:
             s = expect[-1]
             expect[-1] = (s[0], max(s[1], end_of(ts, typ)), s[2] + 1)
         else:
