@@ -571,10 +571,14 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     ALS.py:121-135) applied to our own operator.
 
     Scale shape: one join + one groupBy per round, both keyed on node —
-    shuffle volume bounded by the EDGE list (never all-pairs), and the
-    convergence probe is a ``limit(1).count()`` (first changed row, not a
-    full-table count). Unconverged labels are WRONG labels, so the bound
-    raises instead of returning them.
+    shuffle volume bounded by the EDGE list (never all-pairs). The
+    convergence probe costs no extra join: the improvement flag
+    (``nbr_label < label``) is computed inside the SAME select that
+    builds the round's labels, so detecting the fixpoint is a
+    ``where(changed).limit(1).count()`` over the already-persisted round
+    table (round-8 rewrite — the old probe re-joined new vs old labels,
+    a full extra keyed shuffle per round). Unconverged labels are WRONG
+    labels, so the bound raises instead of returning them.
     """
     pairs = pairs.persist()
     edges = pairs.unionAll(
@@ -601,16 +605,13 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "improved"
+                ),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.where("improved").limit(1).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -632,4 +633,4 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     labels.count()
     pairs.unpersist()
     edges.unpersist()
-    return labels
+    return labels.select("node", "label")
