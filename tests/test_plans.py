@@ -700,3 +700,48 @@ def test_k_anonymity_level0_is_keyed_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(nation" in plan or "hashpartitioning(c_nationkey" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_rerank_two_stage_broadcasts_and_avoids_smj(spark, sf_dir):
+    """Round-8 shape gate: both rerank stages must broadcast their small
+    side (stage-1 query vectors against the bucketed corpus; stage-2
+    shortlist + query vectors against the embedding table) — a
+    SortMergeJoin anywhere means the corpus got sorted for a
+    shortlist-sized probe."""
+    plan = plan_of(QUERIES["q_rerank_two_stage_topk"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rerank_stage2_reads_only_needed_columns(spark, sf_dir):
+    """The stage-2 re-fetch joins the embedding table by id; the scan must
+    prune to (vec_id, embedding) — dragging label or other columns through
+    the rerank join would be wasted I/O at every scale."""
+    plan = formatted(QUERIES["q_rerank_two_stage_topk"].build(spark, sf_dir))
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines
+    assert all("label" not in l for l in read_lines), read_lines
+
+
+def test_semantic_clusters_pair_join_is_bucket_keyed(spark, sf_dir):
+    """The semantic dedup edge join must be an equi-join on the LSH bucket
+    key (hash-partitioned both sides), never a cartesian/broadcast-nested-
+    loop over the corpus — the all-pairs trap the LSH blocking exists to
+    avoid."""
+    from als_pyspark_spark.similarity.queries import (
+        _DUP_BLOCKS,
+        _DUP_PLANES,
+        _with_buckets,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = _with_buckets(e, _DUP_PLANES, _DUP_BLOCKS)
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
