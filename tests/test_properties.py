@@ -504,3 +504,92 @@ def test_equidepth_bucket_location_matches_sorted_reference(spark, vals):
             if row.b == h.hb and row.rn == h.off:
                 got[h.k] = row.v
     assert got == expect, (got, expect, vals)
+
+
+@_settings
+@given(
+    st.lists(
+        # a 300-second grid over ~2 days keeps exact hour/slide-boundary
+        # hits common (every 6th/12th point) — boundary membership is the
+        # point — with a +7s sprinkle so misaligned rows ride along
+        st.tuples(
+            st.integers(min_value=0, max_value=576).map(lambda k: k * 300),
+            st.booleans(),
+        ).map(lambda t: t[0] + (7 if t[1] else 0)),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_tumbling_and_sliding_window_match_bucket_arithmetic(spark, offsets):
+    """Round-8 boundary-audit guard for F.window: the tumbling/sliding
+    oracles do NOT mirror the Spark expression — they claim an arithmetic
+    equivalence (tumbling = date_trunc floor; sliding 1h/30m = each event
+    in exactly the two windows {bucket, bucket − slide}). Those claims
+    were verified by hand this round; this property pins them to Spark's
+    actual [start, end) assignment, with timestamps landing EXACTLY on
+    hour and slide boundaries as the common case — the spot the fixture's
+    microsecond clocks never touch (the gap that hid both round-8 bugs).
+    """
+    import datetime as dt
+    from collections import Counter
+
+    base = dt.datetime(2024, 1, 1)
+    stamps = [base + dt.timedelta(seconds=o) for o in offsets]
+
+    def floor_to(ts, seconds):
+        rem = (ts - base).total_seconds() % seconds
+        return ts - dt.timedelta(seconds=rem)
+
+    expect_tumble = Counter(floor_to(t, 3600) for t in stamps)
+    expect_slide = Counter()
+    for t in stamps:
+        b = floor_to(t, 1800)
+        expect_slide[b] += 1
+        expect_slide[b - dt.timedelta(minutes=30)] += 1
+
+    df = spark.createDataFrame([(t,) for t in stamps], "ts timestamp")
+    got_tumble = {
+        row.w.start: row.n
+        for row in df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_slide = {
+        row.w.start: row.n
+        for row in df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got_tumble == dict(expect_tumble), (stamps, got_tumble, expect_tumble)
+    assert got_slide == dict(expect_slide), (stamps, got_slide, expect_slide)
+
+
+def test_sequence_window_count_pins_exact_multiple_boundary(spark):
+    """The audio-window oracle derives the window count as CEIL(n/64); the
+    Spark side derives it as sequence(0, ceil(n/64)−1). Pin the boundary
+    cases — an exact 64-multiple payload must yield exactly n/64 windows
+    (not one more), one byte over must add a window, and the documented
+    n=0 divergence (Spark sequence auto-negates the step and yields
+    [0, −1]) must stay true so the query's n > 0 filter stays load-bearing.
+    """
+    rows = [(1, 1), (63, 1), (64, 1), (65, 2), (128, 2), (129, 3)]
+    df = spark.createDataFrame(rows, "n int, expect_windows int")
+    got = df.select(
+        "n",
+        "expect_windows",
+        F.size(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("n") / F.lit(64.0)).cast("long") - 1,
+            )
+        ).alias("got_windows"),
+    ).collect()
+    for r in got:
+        assert r.got_windows == r.expect_windows, (r.n, r.got_windows)
+    zero = (
+        spark.range(1)
+        .select(F.sequence(F.lit(0).cast("long"), F.lit(-1).cast("long")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert zero == [0, -1], zero
