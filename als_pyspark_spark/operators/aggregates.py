@@ -431,6 +431,122 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry: d salted hash rows × w buckets. md5 is the
+# hash family (byte-identical in DuckDB — the same choice that gives the
+# whole LSH dedup family exact oracles, functions/hashing.py), so the
+# sketch contents and every estimate are deterministic AND replayable.
+_CMS_D = 4
+_CMS_W = 2048
+
+
+def _cms_bucket(j, token):
+    """Bucket of ``token`` under salted hash row ``j`` (Columns), via the
+    repo's standard cross-engine md5→int: first 8 hex chars as a 32-bit
+    value, mod w. Always non-negative (the operand is < 2^32)."""
+    salted = F.concat(F.lit("cms"), j.cast("string"), F.lit(":"), token)
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % _CMS_W
+    )
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+WITH tf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+), js AS (
+    SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS j
+), sk AS (
+    SELECT j,
+           ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || token), 1, 8))::BIGINT
+               % {_CMS_W} AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS c
+    FROM tf CROSS JOIN js
+    GROUP BY 1, 2
+), top AS (
+    SELECT token, cnt FROM tf ORDER BY cnt DESC, token ASC LIMIT 20
+), probe AS (
+    SELECT t.token, t.cnt, s.c
+    FROM top t
+    CROSS JOIN js
+    JOIN sk s
+      ON s.j = js.j
+     AND s.bucket = ('0x' || substr(md5('cms' || CAST(js.j AS VARCHAR) || ':' || t.token), 1, 8))::BIGINT
+                    % {_CMS_W}
+)
+SELECT token,
+       cnt AS exact_cnt,
+       CAST(MIN(c) AS BIGINT) AS cms_est,
+       CAST(MIN(c) AS BIGINT) - cnt AS overestimate,
+       MIN(c) >= cnt AS est_at_least_exact
+FROM probe
+GROUP BY token, cnt
+""",
+    tags=("agg", "sketch", "cms", "text", "topk"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation — the FREQUENCY member of the
+    sketch family (HLL = cardinality, bitmap = exact distinct, Bloom =
+    membership, MinHash/SimHash = similarity): a fixed d×w counter grid
+    answers "how often does x occur?" for ANY x without keeping the full
+    vocabulary. Probed here for the exact top-20 tokens so every row
+    carries its own witness: ``overestimate = est − exact`` with the CMS
+    one-sided guarantee ``est ≥ exact`` (min over d salted rows of bucket
+    sums can only over-count collisions, never drop mass) as a boolean.
+
+    Unlike the HLL row (rows-only by necessity — DataSketches internals),
+    this sketch is EXACT-oracled end-to-end: md5 bucketing is
+    byte-identical in DuckDB, so the oracle rebuilds the identical grid
+    and identical estimates.
+
+    100 TB shape: the corpus collapses to token grain in one
+    partial-aggregated groupBy (the same aggregate the top-k rides);
+    the sketch build re-keys those token rows d times into a grid of
+    AT MOST d×w = 4×2048 cells — constant-size mergeable state, which is
+    the whole point: per-executor partial grids sum cell-wise, rollups
+    re-aggregate sketches without rescanning, and a stream maintains the
+    grid incrementally. Probes cost O(k·d) lookups against the tiny grid
+    (broadcast); nothing downstream of the first aggregate depends on
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    from als_pyspark_spark.functions.text import tokens
+
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    sketch = (
+        tf.select("token", "cnt", js)
+        .select("j", _cms_bucket(F.col("j"), F.col("token")).alias("bucket"), "cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    top = tf.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
+    probes = top.select("token", "cnt", js).select(
+        "token",
+        "cnt",
+        "j",
+        _cms_bucket(F.col("j"), F.col("token")).alias("bucket"),
+    )
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["j", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).alias("overestimate"),
+        (F.col("cms_est") >= F.col("cnt")).alias("est_at_least_exact"),
+    )
+
+
 @query(
     "q_corr_covar_exact",
     oracle="""

@@ -266,6 +266,7 @@ _HOISTED = (
     "q_rerank_two_stage_topk",
     "q_semantic_dedup_clusters",
     "q_stream_idempotent_merge",
+    "q_cms_heavy_hitters",
     "q_dedup_clusters",
     # round-8 session-boundary fix: Spark merges an event arriving EXACTLY
     # at session_end (probed); all three session oracles' gap tests went
@@ -320,11 +321,13 @@ _HOISTED = (
     "q_grouping_sets_orders",
     "q_pivot_priority_by_status",
     "q_dedup_ngram_containment",
-    "q_embedding_neardup_pairs",
     # --- ~50-entry sweep-prefix boundary ---
     # tail: pre-staged round-9 rotation — the remaining r3-vintage rows
     # (after round 8 lands, these are the suite's oldest driver evidence;
-    # q20/q21 displaced from the prefix by the session-boundary hoists)
+    # q20/q21 displaced from the prefix by the session-boundary hoists;
+    # q_embedding_neardup_pairs by the late CMS-sketch hoist — its green
+    # r3 row stays valid, fingerprint unchanged)
+    "q_embedding_neardup_pairs",
     "q20_heavy_shippers_of_parts",
     "q21_multi_supplier_orders",
     "q_unpivot_lineitem_measures",

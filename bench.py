@@ -93,6 +93,7 @@ HEADLINE = [
     "q_rerank_two_stage_topk",
     "q_semantic_dedup_clusters",
     "q_stream_idempotent_merge",
+    "q_cms_heavy_hitters",
 ]
 
 

@@ -745,3 +745,16 @@ def test_semantic_clusters_pair_join_is_bucket_keyed(spark, sf_dir):
     plan = plan_of(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_probe_join_is_broadcast_and_topk_is_take_ordered(spark, sf_dir):
+    """The CMS probe join must broadcast the 80-row probe set against the
+    d×w grid (never sort either side), and the top-20 selection must plan
+    as TakeOrderedAndProject (per-partition top-k), not a global sort —
+    the two shapes that keep everything downstream of the token-grain
+    aggregate corpus-size-independent."""
+    plan = plan_of(QUERIES["q_cms_heavy_hitters"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
