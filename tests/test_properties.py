@@ -593,3 +593,58 @@ def test_sequence_window_count_pins_exact_multiple_boundary(spark):
         .s
     )
     assert zero == [0, -1], zero
+
+
+@_settings
+@given(
+    st.lists(
+        st.text(
+            alphabet="abĉ台 :'0\\",  # ascii, multibyte, space, quote, escape
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_cms_grid_and_estimates_match_python_reference(spark, toks):
+    """The CMS sketch (q_cms_heavy_hitters) must build the exact grid a
+    pure-Python md5 reference builds — salted bucketing included — and
+    every estimate must satisfy est = min over rows of the bucket sum and
+    the one-sided est ≥ exact guarantee, for adversarial tokens the ASCII
+    fixture never produces (multibyte UTF-8, empty string, quotes,
+    backslashes). Pins the Spark-side conv/substring/md5 arithmetic to
+    hashlib ground truth; the DuckDB oracle replays the same arithmetic,
+    so this property is the third, engine-independent witness."""
+    import hashlib
+    from collections import Counter
+
+    from als_pyspark_spark.operators.aggregates import _CMS_D, _CMS_W, _cms_bucket
+
+    exact = Counter(toks)
+
+    def bucket(j, tok):
+        h = hashlib.md5(f"cms{j}:{tok}".encode("utf-8")).hexdigest()
+        return int(h[:8], 16) % _CMS_W
+
+    grid = Counter()
+    for tok, cnt in exact.items():
+        for j in range(_CMS_D):
+            grid[(j, bucket(j, tok))] += cnt
+
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    tf = df.groupBy("token").agg(F.count("*").alias("cnt"))
+    got_grid = {
+        (row.j, row.bucket): row.c
+        for row in tf.select(
+            "cnt", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"), "token"
+        )
+        .select("j", _cms_bucket(F.col("j"), F.col("token")).alias("bucket"), "cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    }
+    assert got_grid == dict(grid), (toks, got_grid, grid)
+    for tok, cnt in exact.items():
+        est = min(got_grid[(j, bucket(j, tok))] for j in range(_CMS_D))
+        assert est >= cnt, (tok, est, cnt)
