@@ -212,3 +212,80 @@ def test_apws_and_tws_user_max_agree(spark, sf_dir):
     apws = {r.user_id: r.max_value for r in q_stream_apws_user_max(spark, sf_dir).collect()}
     tws = {r.user_id: r.max_value for r in q_stream_tws_user_max(spark, sf_dir).collect()}
     assert apws == tws
+
+
+def test_watermark_equality_boundary_probe(spark, tmp_path):
+    """Round-8 boundary-audit extension to STREAMING event time: pin
+    Spark's behavior when timestamps land EXACTLY on the watermark —
+    the equality case fixture microsecond clocks never produce, and the
+    case q_stream_late_data_drop deliberately excludes via its boundary
+    band. MEASURED semantics (this probe's first run falsified the
+    symmetric guess), with a watermark engineered to land exactly on
+    11:00:00 (batch-1 max 13:00 − 2h delay) and a window [10:00, 11:00)
+    whose end EQUALS it:
+
+      1. the input-drop filter is STRICT: a batch-2 row at 10:30
+         (strictly below wm, aimed at the end==wm window) is ADMITTED
+         and merged — only windows with end < wm have their late rows
+         discarded;
+      2. the close/emit rule is INCLUSIVE: that same end==wm window is
+         finalized at the end of the batch and append-emits the MERGED
+         count (n=2) — admit-then-close in one batch, so the boundary
+         row is never lost;
+      3. a row at EXACTLY ts == wm is admitted and creates fresh state
+         ([11:00, 12:00) emits an update).
+
+    The asymmetry (strict drop, inclusive close) is why the suite's
+    streaming oracles must never compare at the boundary: the late-data
+    query excludes a ±2h band, and the session oracles were re-probed
+    separately. If any assertion here flips on a Spark upgrade, every
+    streaming oracle's inequalities need re-auditing before trusting
+    green rows.
+    """
+    import datetime as dt
+    import os
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    staged = str(tmp_path / "wm_probe")
+    b1 = spark.createDataFrame([(t(10),), (t(13),)], "ts timestamp")
+    b2 = spark.createDataFrame(
+        [(t(10, 30),), (t(11),), (t(13),)], "ts timestamp"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    import glob
+
+    first = set(glob.glob(os.path.join(staged, "part-*.parquet")))
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    second = set(glob.glob(os.path.join(staged, "part-*.parquet"))) - first
+    # enforce strictly increasing mtimes so the file source replays b1
+    # before b2 (same discipline as stage_events_two_batches)
+    base = os.path.getmtime(next(iter(first)))
+    for p in second:
+        os.utime(p, (base + 10, base + 10))
+
+    def probe(mode, name):
+        stream = (
+            spark.readStream.schema("ts timestamp")
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .load(staged)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        return run_to_memory(stream, name, mode=mode).collect()
+
+    appended = {(r.ws, r.n) for r in probe("append", "wm_probe_append")}
+    # 1 + 2: the strictly-late 10:30 row is ADMITTED into the end==wm
+    # window (strict drop filter), which then CLOSES inclusively and
+    # emits the merged count; nothing else has end ≤ wm
+    assert appended == {(t(10), 2)}, appended
+
+    updates = [(r.ws, r.n) for r in probe("update", "wm_probe_update")]
+    # 3: the ts==wm row was admitted — its [11:00, 12:00) window state
+    # exists and emitted an update; and the admitted 10:30 merge shows
+    # up as the second update version of [10:00, 11:00)
+    assert (t(11), 1) in updates, updates
+    assert (t(10), 2) in updates, updates
