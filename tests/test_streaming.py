@@ -289,3 +289,72 @@ def test_watermark_equality_boundary_probe(spark, tmp_path):
     # up as the second update version of [10:00, 11:00)
     assert (t(11), 1) in updates, updates
     assert (t(10), 2) in updates, updates
+
+
+def test_outer_join_eviction_equality_boundary_probe(spark, tmp_path):
+    """Round-8 boundary-audit extension, stream-stream OUTER join: pin
+    when an unmatched left row NULL-pads — with the global watermark
+    engineered to land EXACTLY on one purchase's event time. The
+    production join (stream_stream_purchase_click_outer) can free a
+    purchase once no click with c_ts <= p_ts can still arrive, i.e.
+    once the watermark reaches p_ts — this probe measures whether
+    equality suffices. Purchases at 10:00 (strictly below the 11:00
+    watermark: MUST flush) and at 11:00 (== watermark: the measured
+    case); sentinel 13:00 rows pin the watermark without advancing it.
+
+    MEASURED: the end==wm purchase does NOT flush — join-state eviction
+    is STRICT (wm must pass p_ts), unlike the aggregation close probed
+    above (inclusive at end==wm). One more reason the suite's outer-join
+    oracle compares only the conservatively-closed subset
+    (p_ts <= wm - 2h) rather than anything near the boundary.
+    """
+    import datetime as dt
+    import glob
+    import os
+
+    from als_pyspark_spark.streaming.events import (
+        run_to_memory,
+        stream_stream_purchase_click_outer,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows1 = [
+        (1, t(10), 1, "purchase"),
+        (2, t(11), 2, "purchase"),
+        (3, t(13), 99, "purchase"),
+        (4, t(13), 98, "click"),
+    ]
+    rows2 = [(5, t(13), 97, "purchase"), (6, t(13), 96, "click")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    staged = str(tmp_path / "oj_probe")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    first = set(glob.glob(os.path.join(staged, "part-*.parquet")))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+        staged
+    )
+    base = os.path.getmtime(next(iter(first)))
+    for p in set(glob.glob(os.path.join(staged, "part-*.parquet"))) - first:
+        os.utime(p, (base + 10, base + 10))
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .load(staged)
+        )
+
+    joined = stream_stream_purchase_click_outer(
+        src().where(F.col("event_type") == "purchase"),
+        src().where(F.col("event_type") == "click"),
+    )
+    got = run_to_memory(joined, "oj_probe_out", mode="append").collect()
+    flushed_null = {r.purchase_id for r in got if r.click_id is None}
+    # strictly-below-watermark purchase MUST have flushed its NULL row
+    assert 1 in flushed_null, got
+    # the == watermark purchase does NOT flush (strict eviction), and the
+    # far-future purchases never do
+    assert flushed_null == {1}, got
