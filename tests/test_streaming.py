@@ -358,3 +358,68 @@ def test_outer_join_eviction_equality_boundary_probe(spark, tmp_path):
     # the == watermark purchase does NOT flush (strict eviction), and the
     # far-future purchases never do
     assert flushed_null == {1}, got
+
+
+def test_dedup_exactly_once_at_watermark_boundary_probe(spark, tmp_path):
+    """Round-8 boundary-audit extension, streaming DEDUP: the family's
+    core promise — one emission per key — must hold for duplicates
+    arriving exactly AT the watermark, the instant where the other
+    probes measured three different rules (inclusive agg close, strict
+    input drop, strict join eviction). Both dedup flavors probed with
+    the watermark landing exactly on a duplicated row's event time
+    (11:00 = batch-1 max 13:00 − 2h): whether the engine drops the
+    batch-2 duplicate as late input, dedups it against live state, or
+    already evicted the key, the OUTPUT contract is the same — no id
+    may emit twice on this drain. A strictly-late duplicate (10:00,
+    below the watermark) rides along: it must not double-emit either.
+    """
+    import datetime as dt
+    import glob
+    import os
+
+    from als_pyspark_spark.streaming.events import (
+        run_to_memory,
+        streaming_dedup,
+        streaming_dedup_within_watermark,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows1 = [
+        (1, t(10), 1, "view", 1.0),
+        (2, t(11), 2, "view", 1.0),
+        (9, t(13), 9, "view", 1.0),
+    ]
+    rows2 = [
+        (1, t(10), 1, "view", 1.0),  # strictly-late duplicate
+        (2, t(11), 2, "view", 1.0),  # duplicate exactly AT the watermark
+        (9, t(13), 9, "view", 1.0),  # sentinel duplicate, no wm movement
+    ]
+    staged = str(tmp_path / "dedup_probe")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    first = set(glob.glob(os.path.join(staged, "part-*.parquet")))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+        staged
+    )
+    base = os.path.getmtime(next(iter(first)))
+    for p in set(glob.glob(os.path.join(staged, "part-*.parquet"))) - first:
+        os.utime(p, (base + 10, base + 10))
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .load(staged)
+        )
+
+    for op, name in (
+        (streaming_dedup, "dedup_probe_plain"),
+        (streaming_dedup_within_watermark, "dedup_probe_within"),
+    ):
+        got = run_to_memory(op(src()), name, mode="append").collect()
+        emitted = sorted(r.event_id for r in got)
+        assert emitted == [1, 2, 9], (name, got)
