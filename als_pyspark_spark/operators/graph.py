@@ -565,20 +565,33 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
 
     Each round: label[n] ← min(label[n], min label of n's neighbors);
     stop at fixpoint. Rounds needed = component diameter (near-dup
-    components are tiny cliques/chains, so 2-4). Every intermediate is
-    persisted and the previous round's is unpersisted once superseded —
-    the reference's iterate/persist/unpersist loop discipline (reference
-    ALS.py:121-135) applied to our own operator.
+    components are tiny cliques/chains, so 2-4).
+
+    Lineage discipline (round-8 plan audit): each round's label table is
+    CHECKPOINTED (reliable, to the session's configured checkpoint dir),
+    not merely persisted. Persist alone leaves the logical plan as the
+    full unrolled chain, and because round r's plan embeds round r−1's
+    tree TWICE (once under the neighbor join, once under the left join),
+    plan size grows 2^rounds — the audit measured a 3,133-exchange plan
+    for the semantic-cluster query after only ~4 rounds, and ~10 rounds
+    would stall Catalyst outright. The eager checkpoint truncates the
+    round's plan to a leaf scan, so every round re-plans against a
+    bounded tree (edge subtree + one scan) and eviction can never
+    trigger a cascading recompute. The input pair/edge lists stay
+    persisted (single subtree per round — the reference's C1-C3
+    persist/unpersist discipline, reference ALS.py:63-189); a cluster
+    deployment points the checkpoint dir at HDFS/S3 (session.py sets a
+    local scratch dir).
 
     Scale shape: one join + one groupBy per round, both keyed on node —
     shuffle volume bounded by the EDGE list (never all-pairs). The
     convergence probe costs no extra join: the improvement flag
     (``nbr_label < label``) is computed inside the SAME select that
     builds the round's labels, so detecting the fixpoint is a
-    ``where(changed).limit(1).count()`` over the already-persisted round
-    table (round-8 rewrite — the old probe re-joined new vs old labels,
-    a full extra keyed shuffle per round). Unconverged labels are WRONG
-    labels, so the bound raises instead of returning them.
+    ``where(changed).limit(1).count()`` over the already-checkpointed
+    round table (round-8 rewrite — the old probe re-joined new vs old
+    labels, a full extra keyed shuffle per round). Unconverged labels
+    are WRONG labels, so the bound raises instead of returning them.
     """
     pairs = pairs.persist()
     edges = pairs.unionAll(
@@ -598,19 +611,22 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
-                    "improved"
-                ),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.node == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+            (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                "improved"
+            ),
         )
+        # eager reliable checkpoint: materializes the round AND truncates
+        # its lineage to a leaf scan (see docstring — persist alone lets
+        # the plan double per round). unpersist() is the round-0 cache
+        # release; on later (checkpoint-backed) rounds it is a no-op.
+        new_labels = new_labels.checkpoint(eager=True)
         changed = new_labels.where("improved").limit(1).count()
         labels.unpersist()
         labels = new_labels
@@ -621,16 +637,12 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     if not converged:
         pairs.unpersist()
         edges.unpersist()
-        labels.unpersist()
         raise RuntimeError(
             "connected-components min-label propagation did not converge "
             f"within {max_rounds} rounds; raise the bound for this corpus"
         )
-    # Materialize the fixpoint fully BEFORE freeing its inputs: the
-    # convergence probe's limit(1).count() may have computed only a few
-    # partitions of the persisted labels, and unpersisting edges first
-    # would send the remainder through a full lineage recompute.
-    labels.count()
+    # The fixpoint is checkpoint-backed (eager), so freeing the cached
+    # inputs cannot trigger a lineage recompute of the returned labels.
     pairs.unpersist()
     edges.unpersist()
     return labels.select("node", "label")
