@@ -93,11 +93,15 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src-keyed) edge list and one hash aggregate on dst — the canonical
     distributed PageRank plan. The edge list with out-degrees is computed
     once and persisted across iterations (the reference's C1-C3
-    persist/materialize/unpersist discipline, ALS.py:63-189); iterations
-    are unrolled lineage here (3 rounds), while a production run would
-    checkpoint every ~5 rounds exactly as the CC loop in dedup/queries.py
-    does. Undirected edges mean no dangling-mass correction is needed —
-    every node has out-degree ≥ 1 by construction.
+    persist/materialize/unpersist discipline, ALS.py:63-189); the 3
+    iterations are unrolled lineage here — safe because the rank vector
+    appears ONCE per round, so the plan grows linearly, never doubles. A
+    production run at higher iteration counts would checkpoint the rank
+    vector periodically the way ``min_label_components`` below
+    checkpoints every round (there the round plan embeds its predecessor
+    twice, so truncation is mandatory, not optional). Undirected edges
+    mean no dangling-mass correction is needed — every node has
+    out-degree ≥ 1 by construction.
     """
     top, caches = _pagerank_plan(spark, sf_dir)
     # bounded result (25 rows at any SF): materialize + free the cached
@@ -504,12 +508,15 @@ def q_bfs_part_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreachable within 3 hops are absent on both sides.
 
     100 TB shape: each round is one keyed hash join (edge list × current
-    labels) + one hash min-aggregate — the same persisted-edge-list,
-    unrolled-lineage discipline as q_pagerank_copurchase; a production
-    run checkpoints every ~5 rounds exactly as the CC loop does. The
-    naive "frontier only" optimization (join only newly-labeled nodes)
-    drops the join's left side to the frontier size per round — noted,
-    not needed at 3 rounds.
+    labels) + one hash min-aggregate over the persisted edge list. Unlike
+    PageRank's linear unroll, this round's plan embeds ``dist`` TWICE
+    (once directly in the union, once under ``expanded``), so the
+    lineage doubles per round — bounded and cheap at the fixed 3 rounds
+    (8 leaf copies), but a deeper traversal must checkpoint each round
+    exactly as ``min_label_components`` does for the same
+    doubling-plan reason. The naive "frontier only" optimization (join
+    only newly-labeled nodes) drops the join's left side to the frontier
+    size per round — noted, not needed at 3 rounds.
     """
     hist, caches = _bfs_hist_plan(spark, sf_dir)
     # bounded result (≤ _BFS_ROUNDS+1 histogram rows): materialize + free
