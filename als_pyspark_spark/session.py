@@ -13,9 +13,37 @@ one you would also set on a 1000-executor cluster:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import time
 
 from pyspark.sql import SparkSession
+
+
+def _sweep_stale_checkpoints(base: str, max_age_s: float = 3 * 3600) -> None:
+    """Delete checkpoint subdirectories left behind by DEAD sessions.
+
+    Spark never removes a session's checkpoint directory (it only creates
+    ``<base>/<uuid>`` per context), so crashed or kill -9'd runs leak disk
+    forever — 309 MB had accumulated across eight rounds before this sweep
+    existed. Age-gating (default 3 h, comfortably above the longest local
+    job: the ~68 min full-registry sf1 gate) keeps the sweep safe against
+    checkpoint dirs owned by CONCURRENT live sessions on the same box.
+    On a cluster the same hygiene applies to the HDFS/S3 checkpoint path
+    (lifecycle rules are the usual tool there)."""
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    cutoff = time.time() - max_age_s
+    for name in entries:
+        path = os.path.join(base, name)
+        try:
+            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def build_session(
@@ -51,6 +79,11 @@ def build_session(
         # stays: depth, not volume, is what catches a non-terminating
         # recursion.
         .config("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+        # Delete a checkpointed RDD's files as soon as the driver GCs its
+        # last reference — without this, a session that runs the iterative
+        # CC queries many times (gate sweeps, bench passes) accumulates
+        # every superseded round's checkpoint on disk until JVM exit.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
@@ -60,8 +93,22 @@ def build_session(
     # silently unless a checkpoint dir exists). Lineage truncation is what
     # keeps iterative jobs (ALS, KMeans) plannable past ~10 iterations.
     if spark.sparkContext.getCheckpointDir() is None:
-        ckpt = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", ".scratch", "checkpoints"
+        base = os.path.abspath(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "..",
+                ".scratch",
+                "checkpoints",
+            )
         )
-        spark.sparkContext.setCheckpointDir(os.path.abspath(ckpt))
+        _sweep_stale_checkpoints(base)
+        spark.sparkContext.setCheckpointDir(base)
+        # Remove OUR uuid subdir at interpreter exit (covers clean exits;
+        # the startup sweep above covers crashed ones). getCheckpointDir
+        # returns a file: URI in local mode — strip the scheme.
+        own = spark.sparkContext.getCheckpointDir()
+        if own and own.startswith("file:"):
+            atexit.register(
+                shutil.rmtree, own.removeprefix("file:"), ignore_errors=True
+            )
     return spark
