@@ -7,6 +7,11 @@ This is the per-operator review loop the 100 TB design demands: a query
 whose summary shows an unexpected SortMergeJoin where a broadcast fits, or
 N exchanges where the partitioning should have been reused, gets fixed —
 tests/test_plans.py then pins the fixed shape.
+
+scripts/plan_baseline.txt holds the round-8 final-HEAD snapshot of this
+output (sf0.001); diff against a fresh run to catch plan drift — an
+exchange-count jump on an untouched query is how the CC exponential-
+lineage bug (3,133 exchanges) was caught.
 """
 
 from __future__ import annotations
