@@ -599,7 +599,21 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     round table (round-8 rewrite — the old probe re-joined new vs old
     labels, a full extra keyed shuffle per round). Unconverged labels
     are WRONG labels, so the bound raises instead of returning them.
+
+    Session self-sufficiency (round-9 fix for round 8's only red driver
+    rows): ``Dataset.checkpoint`` requires ``SparkContext.setCheckpointDir``
+    to have run, and the external driver — like any application embedding
+    this package — builds its own bare SparkSession where no dir is set,
+    so the first checkpoint call threw on both CC queries. The loop now
+    claims a scratch dir LAZILY on the input DataFrame's own session
+    (session.ensure_checkpoint_dir — idempotent, respects a dir the
+    embedding application already configured, e.g. HDFS/S3 on a cluster),
+    mirroring the per-query UTC pin in sources/tables.py instead of
+    depending on the build_session factory.
     """
+    from als_pyspark_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(pairs.sparkSession)
     pairs = pairs.persist()
     edges = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

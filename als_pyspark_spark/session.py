@@ -21,17 +21,44 @@ import time
 from pyspark.sql import SparkSession
 
 
+_OWNER_MARKER = ".owner_pid"
+
+
+def _pid_alive(pid: int) -> bool:
+    """True if a process with ``pid`` exists on this host (signal-0 probe;
+    EPERM means it exists but belongs to another user — still alive)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
+
+
 def _sweep_stale_checkpoints(base: str, max_age_s: float = 3 * 3600) -> None:
     """Delete checkpoint subdirectories left behind by DEAD sessions.
 
     Spark never removes a session's checkpoint directory (it only creates
     ``<base>/<uuid>`` per context), so crashed or kill -9'd runs leak disk
     forever — 309 MB had accumulated across eight rounds before this sweep
-    existed. Age-gating (default 3 h, comfortably above the longest local
-    job: the ~68 min full-registry sf1 gate) keeps the sweep safe against
-    checkpoint dirs owned by CONCURRENT live sessions on the same box.
+    existed. Liveness is decided by the ``.owner_pid`` marker each session
+    plants in its own dir (round-9 ADVICE fix: mtime alone deleted a
+    CONCURRENT live session's dir if it went 3 h without writing — long
+    idle gate, debugger pause — which is unrecoverable, since a reliable
+    checkpoint truncated the lineage that could rebuild it):
+
+    - marker present, owner pid alive  → never touched, regardless of age;
+    - marker present, owner pid dead   → removed immediately (no other
+      session can ever read those checkpoints);
+    - no marker (foreign / pre-marker) → the original mtime age gate
+      (default 3 h, above the longest local job: the ~68 min sf1 gate).
+
     On a cluster the same hygiene applies to the HDFS/S3 checkpoint path
-    (lifecycle rules are the usual tool there)."""
+    (lifecycle rules are the usual tool there; pid probes don't cross
+    hosts, so the marker branch is local-mode-only by construction)."""
     try:
         entries = os.listdir(base)
     except OSError:
@@ -40,10 +67,77 @@ def _sweep_stale_checkpoints(base: str, max_age_s: float = 3 * 3600) -> None:
     for name in entries:
         path = os.path.join(base, name)
         try:
-            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+            if not os.path.isdir(path):
+                continue
+            marker = os.path.join(path, _OWNER_MARKER)
+            pid: int | None = None
+            if os.path.isfile(marker):
+                try:
+                    with open(marker) as f:
+                        pid = int(f.read().strip())
+                except (OSError, ValueError):
+                    pid = None
+            if pid is not None:
+                if not _pid_alive(pid):
+                    shutil.rmtree(path, ignore_errors=True)
+                continue
+            if os.path.getmtime(path) < cutoff:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             continue
+
+
+def ensure_checkpoint_dir(spark: SparkSession) -> str:
+    """Set (and hygienically manage) a scratch checkpoint directory on
+    ``spark`` if none is configured; return the directory URI.
+
+    Session-SELF-SUFFICIENT on purpose: callers that need
+    ``Dataset.checkpoint`` (the connected-components loop in
+    operators/graph.py) invoke this lazily on the DataFrame's OWN session,
+    so the iterative queries work on any externally-built bare
+    SparkSession — round 8's only red driver rows were both
+    ``Dataset.checkpoint`` throwing because the dir was wired only inside
+    :func:`build_session` and the external driver builds its own session.
+    Same pattern as the per-query UTC pin in sources/tables.py.
+
+    Hygiene owned here (idempotent; a dir already set — by this helper,
+    by ``build_session``, or by the embedding application — is respected
+    untouched):
+
+    - startup sweep of dirs leaked by DEAD sessions (liveness-marker
+      gated, see :func:`_sweep_stale_checkpoints`);
+    - an ``.owner_pid`` marker in our own dir so concurrent sweeps skip it
+      while this process lives;
+    - atexit removal of our own dir (covers clean exits; the sweep covers
+      crashed ones).
+
+    A cluster deployment instead points ``setCheckpointDir`` at HDFS/S3
+    before running queries, and this helper sees it set and does nothing.
+    """
+    sc = spark.sparkContext
+    own = sc.getCheckpointDir()
+    if own is None:
+        base = os.path.abspath(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "..",
+                ".scratch",
+                "checkpoints",
+            )
+        )
+        _sweep_stale_checkpoints(base)
+        sc.setCheckpointDir(base)
+        # getCheckpointDir returns a file: URI in local mode — strip the
+        # scheme for filesystem work but return the URI Spark reported.
+        own = sc.getCheckpointDir()
+        local = own.removeprefix("file:") if own.startswith("file:") else own
+        try:
+            with open(os.path.join(local, _OWNER_MARKER), "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass  # marker is an optimization; the age gate still applies
+        atexit.register(shutil.rmtree, local, ignore_errors=True)
+    return own
 
 
 def build_session(
@@ -92,23 +186,7 @@ def build_session(
     # never implements it — ALS.py:36,101 defect; MLlib's works but SKIPS
     # silently unless a checkpoint dir exists). Lineage truncation is what
     # keeps iterative jobs (ALS, KMeans) plannable past ~10 iterations.
-    if spark.sparkContext.getCheckpointDir() is None:
-        base = os.path.abspath(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "..",
-                ".scratch",
-                "checkpoints",
-            )
-        )
-        _sweep_stale_checkpoints(base)
-        spark.sparkContext.setCheckpointDir(base)
-        # Remove OUR uuid subdir at interpreter exit (covers clean exits;
-        # the startup sweep above covers crashed ones). getCheckpointDir
-        # returns a file: URI in local mode — strip the scheme.
-        own = spark.sparkContext.getCheckpointDir()
-        if own and own.startswith("file:"):
-            atexit.register(
-                shutil.rmtree, own.removeprefix("file:"), ignore_errors=True
-            )
+    # The wiring lives in ensure_checkpoint_dir so queries that NEED a dir
+    # (the CC loop) can also claim one lazily on a bare external session.
+    ensure_checkpoint_dir(spark)
     return spark

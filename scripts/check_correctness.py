@@ -2,7 +2,18 @@
 on Spark and its DuckDB oracle side-by-side, compare row count, column
 names, and order-insensitive values.
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--bare] [sf_dir] [query ...]
+
+``--bare`` builds a BARE SparkSession (``SparkSession.builder.master(...)``
+with no factory conf at all) instead of ``build_session`` — the shape of
+the EXTERNAL driver's session. Round 8 shipped a regression this mirror
+was structurally blind to: ``min_label_components`` required the
+checkpoint dir that only ``build_session`` wires, so both CC queries were
+locally green and driver-red. Every query must be self-sufficient on a
+bare session (per-query UTC pin, lazy checkpoint dir, per-query recursion
+limit); this flag is how that property is gated locally. The end-of-round
+ritual runs the verification window once with ``--bare`` in addition to
+the 3x factory-session passes.
 """
 
 from __future__ import annotations
@@ -22,10 +33,22 @@ from als_pyspark_spark.sources.tables import TABLES
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
-    spark = build_session("check-correctness")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("check-correctness-bare")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session("check-correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -36,6 +36,50 @@ def test_sweep_removes_only_stale_dirs(tmp_path):
     assert os.path.exists(fresh)
 
 
+def _plant_marker(path: str, content: str) -> None:
+    with open(os.path.join(path, ".owner_pid"), "w") as f:
+        f.write(content)
+    # marker write refreshes the dir mtime — re-age it so the age gate
+    # alone would have deleted it, proving the marker is what decides
+    old = time.time() - 10 * 3600
+    os.utime(path, (old, old))
+
+
+def test_sweep_liveness_marker_overrides_age(tmp_path):
+    """Round-9 ADVICE: a CONCURRENT live session idle >3h (long gate,
+    debugger pause) must NOT lose its reliable checkpoints — deletion is
+    unrecoverable because checkpointing truncated the lineage. The owner
+    pid marker, not directory mtime, decides liveness."""
+    live = _mkdir_with_age(tmp_path, "idle-but-alive", age_s=10 * 3600)
+    _plant_marker(live, str(os.getpid()))  # this very process: alive
+
+    # a dead owner's dir is reclaimed immediately, even when FRESH —
+    # nobody can ever read another context's checkpoints
+    dead = _mkdir_with_age(tmp_path, "fresh-but-dead", age_s=60)
+    # spawn-and-reap a real child so the pid is genuinely dead (not a
+    # guess at an unused number, which pid reuse could make a live alias)
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    _plant_marker(dead, str(proc.pid))
+
+    _sweep_stale_checkpoints(str(tmp_path), max_age_s=3 * 3600)
+    assert os.path.exists(live)
+    assert not os.path.exists(dead)
+
+
+def test_sweep_garbage_marker_falls_back_to_age_gate(tmp_path):
+    old_garbage = _mkdir_with_age(tmp_path, "old-garbage", age_s=10 * 3600)
+    _plant_marker(old_garbage, "not-a-pid")
+    fresh_garbage = _mkdir_with_age(tmp_path, "fresh-garbage", age_s=60)
+    with open(os.path.join(fresh_garbage, ".owner_pid"), "w") as f:
+        f.write("not-a-pid")
+    _sweep_stale_checkpoints(str(tmp_path), max_age_s=3 * 3600)
+    assert not os.path.exists(old_garbage)
+    assert os.path.exists(fresh_garbage)
+
+
 def test_sweep_ignores_plain_files_and_missing_base(tmp_path):
     # a stray file at the base level is not a checkpoint dir — left alone
     stray = os.path.join(str(tmp_path), "notes.txt")
@@ -47,6 +91,37 @@ def test_sweep_ignores_plain_files_and_missing_base(tmp_path):
     assert os.path.exists(stray)
     # nonexistent base is a silent no-op, not an error
     _sweep_stale_checkpoints(os.path.join(str(tmp_path), "nope"))
+
+
+def test_bare_session_gate_on_checkpoint_dependent_queries():
+    """Round-9 gate for the round-8 regression CLASS: every query must be
+    self-sufficient on a BARE SparkSession (the external driver builds its
+    own — no build_session conf exists there). A bare builder inside this
+    pytest process would just return the factory session, so the gate runs
+    in a SUBPROCESS via ``check_correctness.py --bare`` over the two
+    queries that exercise the one correctness-critical session dependency
+    (Dataset.checkpoint needs a checkpoint dir; UTC and the CTE recursion
+    limit are already pinned per-query). The end-of-round ritual widens
+    this to the full verification window."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            "python",
+            os.path.join(repo, "scripts", "check_correctness.py"),
+            "--bare",
+            "/root/testdata/sf0.001",
+            "q_dedup_clusters",
+            "q_semantic_dedup_clusters",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "0 failures" in proc.stdout
 
 
 def test_session_has_checkpoint_dir_and_cleaner(spark):
