@@ -22,6 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from als_pyspark_spark.caching import collected
 from als_pyspark_spark.functions.arrays import cosine, dot, l2_norm
 from als_pyspark_spark.registry import query
 from als_pyspark_spark.sources.tables import load_table
@@ -226,7 +227,19 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines (or a plane dot product) equal to ~1 ulp across engines,
     measure-zero on isotropic float data. Recall vs q_ann_bruteforce_top10
     additionally asserted in tests.
+
+    Bounded result (≤ _N_QUERIES × _TOP_K rows): materialized via
+    ``collected`` so the persisted bucket table is released instead of
+    leaking for the session lifetime (round-9 ADVICE; the
+    caching.collected discipline every other persisting query follows).
     """
+    top, caches = _ann_lsh_plan(spark, sf_dir)
+    return collected(spark, top, *caches)
+
+
+def _ann_lsh_plan(spark: SparkSession, sf_dir: str):
+    """Lazy LSH top-10 plan + the persisted bucket table it reads twice
+    (plan tests inspect the DataFrame without materializing)."""
     e = load_table(spark, sf_dir, "embeddings")
     # Bucket ONCE and derive the query side by filter: the bucketing plan
     # is the expensive thing to analyze/codegen (a 3072-double literal
@@ -249,11 +262,12 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    top = (
         cand.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOP_K)
         .select("query_id", "neighbor_id")
     )
+    return top, [corpus]
 
 
 @query(
@@ -725,7 +739,18 @@ def q_rerank_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage retrieval: the expensive scorer's cost is capped by the
     shortlist, and the neighbor-vector re-fetch is a keyed join against
     the (bucketed) embedding table, broadcast on the shortlist side.
+
+    Bounded result (≤ _N_QUERIES × _RERANK_K rows): materialized via
+    ``collected`` so the stage-1 bucket cache is released instead of
+    leaking for the session lifetime (round-9 ADVICE).
     """
+    top, caches = _rerank_plan(spark, sf_dir)
+    return collected(spark, top, *caches)
+
+
+def _rerank_plan(spark: SparkSession, sf_dir: str):
+    """Lazy two-stage rerank plan + the persisted stage-1 bucket table
+    (plan tests inspect the DataFrame without materializing)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = _with_buckets(e, _ANN_PLANES, _ANN_BLOCKS, spread=True).persist()
     queries = corpus.where(F.col("vec_id") < _N_QUERIES).select(
@@ -770,7 +795,7 @@ def q_rerank_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sum_d(mins) / sum_d(maxs)).alias("xscore"),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("xscore"), F.asc("neighbor_id"))
-    return (
+    top = (
         rescored.withColumn("rk", F.row_number().over(w2))
         .where(F.col("rk") <= _RERANK_K)
         .select(
@@ -779,6 +804,7 @@ def q_rerank_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rerank_pos"),
         )
     )
+    return top, [corpus]
 
 
 # Semantic dedup: embedding-threshold clustering. Planted construction

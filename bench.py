@@ -177,11 +177,15 @@ def main() -> int:
         "value": round(sum(best.values()), 3),
         "unit": "sec",
         "queries": best,
-        "pass_totals": [round(sum(p.values()), 3) for p in passes],
-        "min2_total": round(sum(best2.values()), 3),
         "sf": sf,
     }
     full = dict(out)
+    # epoch-comparison detail lives ONLY in the side file (round-9 ADVICE:
+    # every extra stdout field brings the line closer to the driver's
+    # ~1.8 KB tail capture; pass_totals/min2_total are not driver-contract
+    # fields, so they moved off stdout entirely)
+    full["pass_totals"] = [round(sum(p.values()), 3) for p in passes]
+    full["min2_total"] = round(sum(best2.values()), 3)
     full["queries_min2"] = best2
     full["passes"] = passes
     full_path = os.path.join(
@@ -193,7 +197,17 @@ def main() -> int:
             f.write("\n")
     except OSError as exc:  # bench result still prints even if the FS is RO
         print(f"# could not write {full_path}: {exc}", file=sys.stderr)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # loud overflow guard (round-9 ADVICE): the driver captures only the
+    # stdout TAIL and parses the final line, so silently outgrowing
+    # ~1,800 bytes re-breaks parsing the way round 7 did. Failing the
+    # bench is strictly better than shipping an unparseable record —
+    # adding headline queries must come with trimming this line.
+    assert len(line) < 1800, (
+        f"bench stdout line is {len(line)} bytes (driver tail-capture "
+        "limit ~1800) — trim HEADLINE or move fields to BENCH_full_last.json"
+    )
+    print(line)
     spark.stop()
     return 0
 

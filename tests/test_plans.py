@@ -707,8 +707,14 @@ def test_rerank_two_stage_broadcasts_and_avoids_smj(spark, sf_dir):
     side (stage-1 query vectors against the bucketed corpus; stage-2
     shortlist + query vectors against the embedding table) — a
     SortMergeJoin anywhere means the corpus got sorted for a
-    shortlist-sized probe."""
-    plan = plan_of(QUERIES["q_rerank_two_stage_topk"].build(spark, sf_dir))
+    shortlist-sized probe. (The registered query materializes this plan
+    via caching.collected since round 9, so inspect the lazy helper.)"""
+    from als_pyspark_spark.similarity.queries import _rerank_plan
+
+    top, caches = _rerank_plan(spark, sf_dir)
+    plan = plan_of(top)
+    for c in caches:
+        c.unpersist()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -717,7 +723,12 @@ def test_rerank_stage2_reads_only_needed_columns(spark, sf_dir):
     """The stage-2 re-fetch joins the embedding table by id; the scan must
     prune to (vec_id, embedding) — dragging label or other columns through
     the rerank join would be wasted I/O at every scale."""
-    plan = formatted(QUERIES["q_rerank_two_stage_topk"].build(spark, sf_dir))
+    from als_pyspark_spark.similarity.queries import _rerank_plan
+
+    top, caches = _rerank_plan(spark, sf_dir)
+    plan = formatted(top)
+    for c in caches:
+        c.unpersist()
     read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_lines
     assert all("label" not in l for l in read_lines), read_lines
