@@ -784,3 +784,96 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
         F.sum(F.when(F.col("dist") > 0, 1).otherwise(0)).cast("long").alias("n_near"),
     )
+
+
+_SPAN_N = 5  # word n-gram width for the intra-doc repeated-span tier
+
+
+@query(
+    "q_dedup_intra_doc_spans",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= {_SPAN_N}
+), g AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, len(w) - {_SPAN_N - 1}),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    || ' ' || w[i+3] || ' ' || w[i+4]
+           ) AS grams
+    FROM toks
+), e AS (
+    SELECT doc_id, UNNEST(grams) AS gram FROM g
+), c AS (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM e GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_repeated_positions,
+       CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_distinct_repeated
+FROM c GROUP BY doc_id
+""",
+    tags=("dedup", "intra-doc", "ngram", "scrub"),
+)
+def q_dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-span statistics — the WITHIN-doc dedup tier
+    (boilerplate headers, navigation chrome, copy-pasted paragraphs repeat
+    INSIDE one document; cross-doc dedup never sees them). Per document:
+    total word 5-gram positions, positions covered by a gram that occurs
+    ≥2 times in the same document, and the count of distinct repeated
+    grams — the numbers a scrubbing pass thresholds on before cutting.
+
+    Spark shape: ZERO shuffles. The whole computation is per-row HOFs over
+    the gram array — sort the grams, flag adjacent equals, and derive both
+    counts from the flag array (an occurrence is repeated iff it equals a
+    sorted neighbor; a run of length k ≥ 2 contributes k occurrences =
+    (k-1 adjacent-equal flags) + (1 run start)). At 100 TB this is
+    embarrassingly parallel scan work inside WholeStageCodegen — no
+    (doc, gram) shuffle, unlike the oracle's groupBy replay, because a
+    single document's grams always fit one row. O(g log g) per doc for the
+    sort, g = token count.
+
+    EXACT oracle by a DIFFERENT algorithm (DuckDB re-derives the counts
+    via unnest + GROUP BY on (doc, gram)) — integer-only output, so any
+    divergence in the sorted-run arithmetic vs the multiset count is a
+    hash mismatch, not a rounding question.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.where(F.size(toks) >= _SPAN_N).select(
+        "doc_id", F.array_sort(word_ngrams(toks, _SPAN_N)).alias("s")
+    )
+    # eq_next[i] = s[i] == s[i+1]; zip_with pads the shifted side with
+    # null, and eqNullSafe(value, null) is false, so the tail flag is a
+    # clean false rather than a null that filter() would also drop.
+    shifted = F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0)))
+    flagged = base.select(
+        "doc_id",
+        F.size("s").alias("n_grams"),
+        F.zip_with("s", shifted, lambda a, b: a.eqNullSafe(b)).alias("eq_next"),
+    )
+    # eq_prev = eq_next shifted right one slot (false at the head)
+    eq_prev = F.concat(
+        F.array(F.lit(False)),
+        F.slice(F.col("eq_next"), 1, F.greatest(F.size("eq_next") - 1, F.lit(0))),
+    )
+    truthy = lambda arr: F.size(F.filter(arr, lambda x: x))
+    counted = flagged.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        truthy(F.col("eq_next")).alias("adj_dups"),
+        truthy(
+            F.zip_with(F.col("eq_next"), eq_prev, lambda n, p: n & ~p)
+        ).alias("run_starts"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_grams",
+        (F.col("adj_dups") + F.col("run_starts"))
+        .cast("long")
+        .alias("n_repeated_positions"),
+        F.col("run_starts").cast("long").alias("n_distinct_repeated"),
+    )

@@ -915,3 +915,85 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sgn").alias("signed_count"),
         )
     )
+
+
+# --- Broadcast linear quality scorer (the fastText-classifier shape) ------
+#
+# A production quality filter is usually a linear model over hashed bag-of-
+# words features: score(doc) = Σ_t W[h(t) mod D]. The weight vector is the
+# model; it is tiny (D buckets) and travels to every executor as a literal /
+# broadcast, so scoring is a pure per-row map — the exact shape fastText
+# and the usual "quality classifier" stage of LLM corpus curation run at
+# 100 TB. Weights here are seeded pseudo-random INTEGERS so the score is
+# integer arithmetic and the DuckDB oracle is exact.
+_QS_BUCKETS = 512
+
+
+def _qs_weights() -> list[int]:
+    """Deterministic integer weight vector in [-8, 8], seeded — the stand-in
+    for trained classifier weights (the Spark-side plumbing, not the model,
+    is what this operator exercises)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20240915)
+    return [int(w) for w in rng.integers(-8, 9, size=_QS_BUCKETS)]
+
+
+@query(
+    "q_quality_linear_scorer",
+    oracle=f"""
+WITH w AS (
+    SELECT {_qs_weights()!r}::BIGINT[] AS wv
+)
+SELECT doc_id,
+       CAST(list_aggregate(
+           list_transform(
+               string_split(text, ' '),
+               t -> wv[CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                       % {_QS_BUCKETS} + 1]
+           ), 'sum') AS BIGINT) AS qscore,
+       CASE WHEN list_aggregate(
+           list_transform(
+               string_split(text, ' '),
+               t -> wv[CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                       % {_QS_BUCKETS} + 1]
+           ), 'sum') > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM documents, w
+""",
+    tags=("pipeline", "quality", "classifier", "hashed-features"),
+)
+def q_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality scorer over hashed bag-of-words features — the
+    fastText-classifier stage of corpus curation: score(doc) =
+    Σ_tokens W[md5hash60(token) mod 512], keep when positive.
+
+    Spark shape: the weight vector is a 512-int LITERAL array (Catalyst
+    constant-folds CreateArray-of-literals into one Literal, i.e. the
+    broadcast-to-every-task form of a small model — no join at all), and
+    the score is one F.aggregate over the token array: per-document map
+    work, ZERO shuffles, inside WholeStageCodegen. At 100 TB a real
+    trained W ships the same way (literal for ≤ thousands of buckets,
+    broadcast-joined dimension table beyond); scoring cost is one md5 +
+    one array index per token, embarrassingly parallel.
+
+    EXACT oracle: md5 is byte-identical across engines (the house sketch
+    discipline), the bucket index is nonneg-60-bit % 512 in both, and the
+    weights are integers — the score is pure int64 arithmetic, far from
+    overflow (|W| ≤ 8, docs ≤ thousands of tokens).
+    """
+    from als_pyspark_spark.functions.hashing import md5_hash60
+
+    weights = F.array(*[F.lit(w).cast("long") for w in _qs_weights()])
+    toks = tokens(F.col("text"))
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(weights, (md5_hash60(t) % _QS_BUCKETS + 1).cast("int")),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        score.alias("qscore"),
+        F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )

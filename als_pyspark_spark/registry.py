@@ -231,26 +231,25 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 8 agenda (VERDICT r7 "Next round" items 1, 4, 5):
-#   1. the round-7 correctness bug, FIXED — q_max_concurrent_sessions'
-#      per-ROW running sum inflated the per-day max when sessions ended
-#      at the same instant (hypothesis counterexample: two sessions
-#      closing exactly at midnight reported max_concurrent = 1 on a day
-#      whose true peak was 0, and the oracle replayed the same defect).
-#      Both engine sides now pre-aggregate deltas per (day, t) into one
-#      NET step before any running sum; the property test
-#      (tests/test_properties.py) calls the shipped helper directly and
-#      stands as the spec guard;
-#   2. new round-8 operators — each needs first-window green;
-#   3. the 18 pre-staged r2-vintage rows (ml 7, events 3, multimodal 2,
-#      streaming 2, text 2, joins 1, aggregates 1) — landing these closes
-#      the r2 vintage debt entirely: after round 8 no family's newest
-#      driver row predates r3;
-#   4. the oldest r3-vintage block the remaining slots can carry — the
-#      full TPC-H q2-q22 family plus the physical/shuffle-shape and
-#      grouping/lateral operators; the tail below the boundary pre-stages
-#      round 9's rotation with the remaining r3-vintage rows (text,
-#      curation, dedup, similarity, python-datasource, streaming).
+# Round 9 agenda (VERDICT r8 "Next round" items 1, 4, 6):
+#   1. round 8's only red rows, FIXED — both CC queries died in
+#      Dataset.checkpoint because the checkpoint dir was wired only in
+#      build_session and the driver's bare session has none;
+#      min_label_components now claims a dir lazily on its own session
+#      (session.ensure_checkpoint_dir), and check_correctness.py --bare +
+#      a subprocess pytest gate the bare-session class from now on;
+#   2. new round-9 operators (intra-doc repeated-span stats, broadcast
+#      linear quality scorer) — first-window green required;
+#   3. round-9 ADVICE fixes whose fingerprints flip: the idempotent-merge
+#      algebraic witness went distributed (exceptAll counts instead of a
+#      2× driver collect) and both ANN bucket caches now release through
+#      caching.collected instead of leaking for the session lifetime;
+#   4. the 27 pre-staged r3-vintage rows — landing these closes the r3
+#      vintage debt entirely: no family's newest driver row predates r4;
+#   5. the oldest r4-vintage block the remaining slots can carry (16 of
+#      37, alphabetical — the dedup sketch family, pandas-UDF/UDTF
+#      surface, events/funnel, misc relational); the tail pre-stages
+#      round 10's rotation with the other 20 r4 rows.
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -258,83 +257,17 @@ _MODULE_ORDER = (
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. the round-7 wrong-by-spec row, fixed (per-(day,t) net deltas)
-    "q_max_concurrent_sessions",
-    # 2. new round-8 operators (first-window green required), plus
-    # q_dedup_clusters whose fingerprint flipped when its CC loop moved to
-    # the shared operators/graph.py min_label_components helper
-    "q_rerank_two_stage_topk",
-    "q_semantic_dedup_clusters",
-    "q_stream_idempotent_merge",
-    "q_cms_heavy_hitters",
+    # 1. round 8's red rows — checkpoint-dir fix, must lead the window
     "q_dedup_clusters",
-    # late round-8 docstring-accuracy fix: both graph-iteration docstrings
-    # referenced the CC loop's OLD home (dedup/queries.py) and OLD cadence
-    # (~5 rounds) after the loop moved to operators/graph.py and went to
-    # per-round checkpointing; the corrected lineage-shape claims (PageRank
-    # linear, BFS doubling) flip both fingerprints, so both re-enter the
-    # window (displacing q_pivot_priority_by_status/q_dedup_ngram_containment
-    # — fingerprint-unchanged, their r3 green rows stay valid — to the tail)
-    "q_pagerank_copurchase",
-    "q_bfs_part_distances",
-    # round-8 session-boundary fix: Spark merges an event arriving EXACTLY
-    # at session_end (probed); all three session oracles' gap tests went
-    # `>=` → `>` (q_session_windows sits in the r3 block below)
-    "q_stream_session_windows",
-    "q_stream_dynamic_session_gap",
-    # 3. r2 vintage block — closes the r2 debt entirely
-    "als_implicit_top3",
-    "als_nonnegative_factor_bounds",
-    "als_predictions",
-    "als_top3_recs_per_user",
-    "q_most_rated_items",
-    "q_ratings_stats",
-    "q_ratings_table",
-    "q_asof_last_order_before_event",
-    "q_conditional_agg",
-    "q_events_tumbling_hourly",
-    "q_events_user_daily",
-    "q_time_weighted_value",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_stream_sliding_halfhour",
-    "q_stream_static_enrich",
-    "q_text_bpe_token_counts",
-    "q_text_fingerprints",
-    # 4. displaced-family canaries (sinks freshest-green r7; pandas_udfs
-    # r7) — every extension family keeps one previously-green row in-window
-    "q_sink_csv_roundtrip",
-    "q_pandas_udf_doc_stats",
-    # 5. oldest r3 vintage — TPC-H family first (15), then the
-    # physical/shuffle-shape + grouping operators, with the dedup and
-    # similarity canaries drawn from their own r3-vintage rows
-    "q2_min_cost_supplier",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q11_important_part_values",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier_revenue",
-    "q16_supplier_counts_by_part",
-    "q18_in_big_orders",
-    "q19_disjunctive_revenue",
-    "q22_wealthy_inactive_customers",
-    "q_bucketed_colocated_join",
-    "q_salted_skew_join",
-    "q_two_phase_salted_agg",
-    "q_shuffle_order",
-    "q_range_join_purchase_context",
-    "q_session_windows",
-    "q_grouping_sets_orders",
-    # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-9 rotation — the remaining r3-vintage rows
-    # (after round 8 lands, these are the suite's oldest driver evidence;
-    # q20/q21 displaced from the prefix by the session-boundary hoists;
-    # q_embedding_neardup_pairs by the late CMS-sketch hoist; pivot +
-    # ngram-containment by the graph docstring-accuracy hoists — all
-    # fingerprint-unchanged, their green r3 rows stay valid)
+    "q_semantic_dedup_clusters",
+    # 2. new round-9 operators (first-window green required)
+    "q_dedup_intra_doc_spans",
+    "q_quality_linear_scorer",
+    # 3. ADVICE-fix fingerprint flips (all previously green; re-verify)
+    "q_stream_idempotent_merge",
+    "q_rerank_two_stage_topk",
+    "q_ann_lsh_top10",
+    # 4. the full r3-vintage block — closes the r3 debt entirely
     "q_pivot_priority_by_status",
     "q_dedup_ngram_containment",
     "q_embedding_neardup_pairs",
@@ -362,6 +295,54 @@ _HOISTED = (
     "q_text_normalize",
     "q_timebucket_rollup",
     "q_vocab_top",
+    # 5. oldest r4 vintage — first 16 alphabetically (q_ann_lsh_top10
+    # already re-enters above via its fingerprint flip)
+    "q_applyinpandas_top2_by_type",
+    "q_asof_next_purchase_after_click",
+    "q_bitmap_distinct_users",
+    "q_boilerplate_ngrams",
+    "q_curriculum_stages",
+    "q_dedup_exact",
+    "q_dedup_exact_survivors",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_explode_outer_zip",
+    "q_funnel_steps",
+    "q_interval_math_shipping",
+    "q_listagg_priorities_by_status",
+    "q_median_quantity_by_flag",
+    # 6. sinks-family canary (freshest green r8) — every extension family
+    # keeps one previously-green row in-window (test_registry lint); the
+    # other families are already covered by the blocks above
+    "q_sink_csv_roundtrip",
+    # --- ~50-entry sweep-prefix boundary ---
+    # tail: pre-staged round-10 rotation — the remaining 21 r4-vintage
+    # rows (after round 9 lands these are the suite's oldest driver
+    # evidence; all fingerprint-unchanged, their green r4 rows stay
+    # valid; q_mixture_rebalance displaced from the prefix by the sinks
+    # canary)
+    "q_mixture_rebalance",
+    "q_month_calendar_orders",
+    "q_ngram_novelty",
+    "q_null_safe_join",
+    "q_quality_gate",
+    "q_regexp_extract_props",
+    "q_repetition_metrics",
+    "q_retention_cohorts",
+    "q_revenue_mom_change",
+    "q_rollup_region_hierarchy",
+    "q_stream_tumbling_hourly",
+    "q_text_quality",
+    "q_token_length_histogram",
+    "q_try_arithmetic",
+    "q_udtf_polymorphic_split",
+    "q_union_by_name",
+    "q_user_event_sequences",
+    "q_vocab_encode_docs",
+    "q_window_first_last_ignore_nulls",
+    "q_window_ntile_by_nation",
+    "q_window_rolling_90d_spend",
 )
 
 

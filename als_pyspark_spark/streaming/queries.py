@@ -1399,16 +1399,11 @@ def q_stream_idempotent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected 3 committed merge epochs, got pointer {ptr}"
         )
 
-    def _canon_state():
-        v = _pointer()["version"]
-        return sorted(
-            (r["user_id"], r["ts"], r["event_id"], r["cents"])
-            for r in spark.read.parquet(os.path.join(state_root, f"v{v}"))
-            .select("user_id", "s.ts", "s.event_id", "s.cents")
-            .collect()
+    def _state_df(version: int):
+        return spark.read.parquet(os.path.join(state_root, f"v{version}")).select(
+            "user_id", "s.ts", "s.event_id", "s.cents"
         )
 
-    before = _canon_state()
     stale = spark.read.parquet(src).where(F.col("ts") < F.lit(t1))
 
     # witness 1 — transactional: redelivered epoch 0 must be a no-op
@@ -1419,15 +1414,20 @@ def q_stream_idempotent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transactional idempotence broken"
         )
     # witness 2 — algebraic: forcing the stale batch through the merge
-    # must leave the state CONTENT unchanged (LWW absorbs redelivery)
+    # must leave the state CONTENT unchanged (LWW absorbs redelivery).
+    # Compared DISTRIBUTED (round-9 ADVICE): symmetric exceptAll counts
+    # instead of collecting the full per-user state to the driver twice —
+    # at 100 TB the state table is executor-sized, and a multiset
+    # difference is a keyed shuffle both engines handle at any scale.
     merge_batch(stale, 0, force=True)
     if _pointer()["version"] != 4:
         raise RuntimeError("forced re-merge did not commit a new version")
-    after = _canon_state()
-    if before != after:
+    before, after = _state_df(3), _state_df(4)
+    drift = before.exceptAll(after).count() + after.exceptAll(before).count()
+    if drift:
         raise RuntimeError(
-            "forced replay of batch 0 changed the merged state — "
-            "LWW merge is not idempotent"
+            f"forced replay of batch 0 changed the merged state "
+            f"({drift} differing rows) — LWW merge is not idempotent"
         )
 
     final = spark.read.parquet(os.path.join(state_root, "v4")).select(

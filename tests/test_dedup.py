@@ -156,3 +156,38 @@ def test_min_label_components_multihop_chain(spark):
         100: 100, 200: 100,
         5: 5, 7: 5,
     }
+
+
+def test_intra_doc_spans_known_counts(spark, tmp_path):
+    """Hand-computable fixture for the sorted-run arithmetic: a doc whose
+    5-grams repeat in known multiplicities. tokens = A B C D E A B C D E
+    A B C D E → 11 gram positions; gram 'A B C D E' occurs at positions
+    0, 5, 10 (3×); every other gram ('B C D E A', 'C D E A B', …) occurs
+    2×. So n_grams=11, every position is covered by a repeated gram
+    (n_repeated_positions=11), distinct repeated grams = 5."""
+    text = " ".join(["a b c d e"] * 3)
+    short = "one two three four"  # < 5 tokens → filtered out entirely
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text)), (2, short, "en", "s", len(short))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r.asDict()
+        for r in QUERIES["q_dedup_intra_doc_spans"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(rows) == {1}
+    assert rows[1]["n_grams"] == 11
+    assert rows[1]["n_repeated_positions"] == 11
+    assert rows[1]["n_distinct_repeated"] == 5
+
+
+def test_intra_doc_spans_invariants(spark, sf_dir):
+    """On real data: positions in repeated runs are bounded by total
+    positions, and each distinct repeated gram accounts for ≥2 of them."""
+    rows = QUERIES["q_dedup_intra_doc_spans"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_repeated_positions <= r.n_grams
+        assert r.n_repeated_positions >= 2 * r.n_distinct_repeated

@@ -232,3 +232,45 @@ def test_approx_topk_matches_exact_topk(spark, sf_dir):
         .collect()
     )
     assert Counter(r.approx_count for r in rows) == Counter(r["count"] for r in exact)
+
+
+def test_quality_scorer_sign_consistency_and_determinism(spark, sf_dir):
+    """The verdict must be exactly the sign test on the integer score, and
+    two independent builds must agree bit-for-bit (the broadcast weight
+    vector is a seeded literal — nothing nondeterministic in the plan)."""
+    from als_pyspark_spark.registry import load_all_queries
+
+    q = load_all_queries()["q_quality_linear_scorer"]
+    rows = sorted((r.doc_id, r.qscore, r.verdict) for r in q.build(spark, sf_dir).collect())
+    assert rows
+    for _, qscore, verdict in rows:
+        assert verdict == ("keep" if qscore > 0 else "drop")
+    again = sorted((r.doc_id, r.qscore, r.verdict) for r in q.build(spark, sf_dir).collect())
+    assert rows == again
+
+
+def test_quality_scorer_single_token_matches_weight(spark, tmp_path):
+    """A one-token document's score IS that token's bucket weight — pins
+    the md5→bucket→element_at indexing against an independent Python
+    recomputation of the same arithmetic."""
+    import hashlib
+
+    from als_pyspark_spark.functions.pipeline_queries import (
+        _QS_BUCKETS,
+        _qs_weights,
+    )
+    from als_pyspark_spark.registry import load_all_queries
+
+    tok = "spark"
+    spark.createDataFrame(
+        [(7, tok, "en", "s", len(tok))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    h60 = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+    expect = _qs_weights()[h60 % _QS_BUCKETS]
+    [row] = (
+        load_all_queries()["q_quality_linear_scorer"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert row.qscore == expect
