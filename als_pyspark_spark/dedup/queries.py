@@ -20,7 +20,7 @@ whose expected size is O(1) for near-uniform hash keys. Skewed buckets
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from als_pyspark_spark.functions.hashing import (
@@ -876,4 +876,73 @@ def q_dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_repeated_positions"),
         F.col("run_starts").cast("long").alias("n_distinct_repeated"),
+    )
+
+
+_CHUNK_W = 32  # non-overlapping token window for chunk-level dedup
+
+
+@query(
+    "q_dedup_chunk_level",
+    oracle=f"""
+WITH toked AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ch AS (
+    SELECT doc_id,
+           list_slice(toks, k * {_CHUNK_W} + 1, k * {_CHUNK_W} + {_CHUNK_W}) AS chunk
+    FROM toked,
+         UNNEST(generate_series(0, CAST(len(toks) // {_CHUNK_W} - 1 AS BIGINT))) AS g(k)
+), h AS (
+    SELECT doc_id, md5(array_to_string(chunk, ' ')) AS hh FROM ch
+), c AS (
+    SELECT hh, COUNT(*) AS cnt FROM h GROUP BY hh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM h JOIN c USING (hh)
+GROUP BY doc_id
+""",
+    tags=("dedup", "chunk-level", "paragraph", "hash"),
+)
+def q_dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity corpus dedup — the paragraph/window tier between
+    intra-doc span scrubbing and whole-document dedup (the RefinedWeb /
+    CCNet recipe: a document can be globally unique while half its
+    32-token windows are boilerplate shared across the corpus). Per doc:
+    full non-overlapping 32-token chunks, and how many of them also occur
+    elsewhere in the corpus (by exact content hash).
+
+    Scale shape: two keyed shuffles, both the exact-dedup shape — chunk
+    occurrences counted by a window over the md5 CONTENT HASH partition
+    key (never the chunk text itself: the shuffle carries 32-hex keys,
+    not 32-token payloads), then one partial+final agg back on doc_id.
+    Output volume is corpus-linear; no pairwise anything. The md5 family
+    keeps the oracle exact (house sketch discipline).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    toked = d.repartition(n_part, "doc_id").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n_full = (F.size("toks") / _CHUNK_W).cast("int")  # floor for nonneg
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_full),
+        lambda k: F.slice(F.col("toks"), (k - 1) * _CHUNK_W + 1, _CHUNK_W),
+    )
+    hashed = (
+        toked.where(F.size("toks") >= _CHUNK_W)
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", F.md5(F.array_join("chunk", " ")).alias("hh"))
+    )
+    cnt = F.count("*").over(Window.partitionBy("hh"))
+    return (
+        hashed.withColumn("cnt", cnt)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
     )

@@ -246,10 +246,11 @@ _MODULE_ORDER = (
 #      caching.collected instead of leaking for the session lifetime;
 #   4. the 27 pre-staged r3-vintage rows — landing these closes the r3
 #      vintage debt entirely: no family's newest driver row predates r4;
-#   5. the oldest r4-vintage block the remaining slots can carry (16 of
+#   5. the oldest r4-vintage block the remaining slots can carry (14 of
 #      37, alphabetical — the dedup sketch family, pandas-UDF/UDTF
-#      surface, events/funnel, misc relational); the tail pre-stages
-#      round 10's rotation with the other 20 r4 rows.
+#      surface, events/funnel, misc relational) plus the sinks-family
+#      canary; the tail pre-stages round 10's rotation with the other
+#      22 r4 rows.
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -262,6 +263,7 @@ _HOISTED = (
     "q_semantic_dedup_clusters",
     # 2. new round-9 operators (first-window green required)
     "q_dedup_intra_doc_spans",
+    "q_dedup_chunk_level",
     "q_quality_linear_scorer",
     # 3. ADVICE-fix fingerprint flips (all previously green; re-verify)
     "q_stream_idempotent_merge",
@@ -295,7 +297,7 @@ _HOISTED = (
     "q_text_normalize",
     "q_timebucket_rollup",
     "q_vocab_top",
-    # 5. oldest r4 vintage — first 16 alphabetically (q_ann_lsh_top10
+    # 5. oldest r4 vintage — alphabetical prefix (q_ann_lsh_top10
     # already re-enters above via its fingerprint flip)
     "q_applyinpandas_top2_by_type",
     "q_asof_next_purchase_after_click",
@@ -311,7 +313,6 @@ _HOISTED = (
     "q_funnel_steps",
     "q_interval_math_shipping",
     "q_listagg_priorities_by_status",
-    "q_median_quantity_by_flag",
     # 6. sinks-family canary (freshest green r8) — every extension family
     # keeps one previously-green row in-window (test_registry lint); the
     # other families are already covered by the blocks above
@@ -320,8 +321,9 @@ _HOISTED = (
     # tail: pre-staged round-10 rotation — the remaining 21 r4-vintage
     # rows (after round 9 lands these are the suite's oldest driver
     # evidence; all fingerprint-unchanged, their green r4 rows stay
-    # valid; q_mixture_rebalance displaced from the prefix by the sinks
-    # canary)
+    # valid; q_mixture_rebalance and q_median_quantity_by_flag displaced
+    # from the prefix by the sinks canary and the chunk-level dedup op)
+    "q_median_quantity_by_flag",
     "q_mixture_rebalance",
     "q_month_calendar_orders",
     "q_ngram_novelty",

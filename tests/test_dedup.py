@@ -191,3 +191,27 @@ def test_intra_doc_spans_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_repeated_positions <= r.n_grams
         assert r.n_repeated_positions >= 2 * r.n_distinct_repeated
+
+
+def test_chunk_level_dedup_counts_cross_doc_duplicates(spark, tmp_path):
+    """Two docs sharing their first 32-token chunk, one unique doc, one
+    short doc (< 32 tokens, no full chunk): the shared chunk counts as
+    duplicated in BOTH carriers, the unique chunks in neither."""
+    shared = " ".join(f"w{i}" for i in range(32))
+    uniq_a = " ".join(f"a{i}" for i in range(32))
+    uniq_b = " ".join(f"b{i}" for i in range(32))
+    rows = [
+        (1, shared + " " + uniq_a),  # chunks: shared, uniq_a
+        (2, shared + " " + uniq_b),  # chunks: shared, uniq_b
+        (3, " ".join(f"c{i}" for i in range(40))),  # 1 full chunk, unique
+        (4, "too short for any chunk"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks)
+        for r in QUERIES["q_dedup_chunk_level"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
