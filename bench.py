@@ -94,6 +94,12 @@ HEADLINE = [
     "q_semantic_dedup_clusters",
     "q_stream_idempotent_merge",
     "q_cms_heavy_hitters",
+    # round 9: the three new cost shapes — the zero-shuffle per-doc HOF
+    # fold family (sorted-run span stats, literal-weight linear scoring)
+    # and the chunk-hash window+agg double shuffle
+    "q_dedup_intra_doc_spans",
+    "q_quality_linear_scorer",
+    "q_dedup_chunk_level",
 ]
 
 

@@ -648,3 +648,41 @@ def test_cms_grid_and_estimates_match_python_reference(spark, toks):
     for tok, cnt in exact.items():
         est = min(got_grid[(j, bucket(j, tok))] for j in range(_CMS_D))
         assert est >= cnt, (tok, est, cnt)
+
+
+@_settings
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=2), min_size=5, max_size=24
+    )
+)
+def test_intra_doc_span_counts_match_bruteforce(spark, toks):
+    """The sorted-run flag arithmetic behind q_dedup_intra_doc_spans must
+    equal a brute-force Counter over the naive gram list for ANY token
+    sequence — a two-letter alphabet forces dense gram collisions, the
+    regime where run boundaries (first-of-run vs continuation) can be
+    miscounted. Counts checked: total positions, positions whose gram
+    occurs ≥2 times, distinct repeated grams."""
+    import tempfile
+    from collections import Counter
+
+    from als_pyspark_spark.registry import load_all_queries
+
+    text = " ".join(toks)
+    grams = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+    c = Counter(grams)
+    want = (
+        len(grams),
+        sum(v for v in c.values() if v >= 2),
+        sum(1 for v in c.values() if v >= 2),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        [row] = (
+            load_all_queries()["q_dedup_intra_doc_spans"].build(spark, d).collect()
+        )
+    got = (row.n_grams, row.n_repeated_positions, row.n_distinct_repeated)
+    assert got == want, (toks, got, want)
