@@ -16,6 +16,20 @@ cross join. At 100 TB the bucket join shuffles ~n_docs×bands rows of
 (key, id, small-payload); the quadratic work happens only within buckets,
 whose expected size is O(1) for near-uniform hash keys. Skewed buckets
 (e.g. empty-doc signatures) are pre-filtered.
+
+Cache-lifetime note (round-9 audit): the pair queries persist their
+signature/shingle table DELIBERATELY without an in-query release. The
+table is read 3-4× per execution (both self-join sides + the verify
+re-fetch) and the hash projection dominates the query — measured 56×
+slower when recomputed per reader (exchange reuse cannot substitute:
+column pruning specializes each reader's exchange subtree, so the
+shuffles are not canonically equal and ReuseExchange never fires). The
+results are pair lists (corpus-proportional), so the caching.collected
+release pattern used by the bounded top-k queries would encode a driver
+bottleneck instead. The cache therefore lives until session end — LRU-
+evictable under memory pressure, natural in the one-job-per-query shape
+a 100 TB run has; a long multi-query session embedding these can wrap
+them with its own materialize-then-unpersist.
 """
 
 from __future__ import annotations
@@ -129,6 +143,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
             fingerprint(toks, _SHINGLE_N).alias("fp"),
         )
+        # deliberate session-lifetime cache — see the module docstring's
+        # cache-lifetime note (3-4 readers; recompute measured 56x; result
+        # unbounded so collected() would bottleneck on the driver)
         .persist()
     )
     a = shingled.alias("a")
@@ -226,6 +243,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("sig", minhash_signature(F.col("grams"), _NUM_HASHES))
         .where(F.size("grams") > 0)
+        # deliberate session-lifetime cache — see the module docstring's
+        # cache-lifetime note (3-4 readers; recompute measured 56x; result
+        # unbounded so collected() would bottleneck on the driver)
         .persist()
     )
     banded = sig.select(
@@ -297,6 +317,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.repartition(n_part, "doc_id")
         .select("doc_id", simhash64(tokens(F.col("text"))).alias("sh"))
+        # deliberate session-lifetime cache — see the module docstring's
+        # cache-lifetime note (3-4 readers; recompute measured 56x; result
+        # unbounded so collected() would bottleneck on the driver)
         .persist()
     )
     chunks = sh.select(
@@ -507,6 +530,9 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
             fingerprint(toks, _SHINGLE_N).alias("fp"),
         )
+        # deliberate session-lifetime cache — see the module docstring's
+        # cache-lifetime note (3-4 readers; recompute measured 56x; result
+        # unbounded so collected() would bottleneck on the driver)
         .persist()
     )
     a = shingled.alias("a")

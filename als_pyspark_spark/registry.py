@@ -265,10 +265,13 @@ _HOISTED = (
     "q_dedup_intra_doc_spans",
     "q_dedup_chunk_level",
     "q_quality_linear_scorer",
-    # 3. ADVICE-fix fingerprint flips (all previously green; re-verify)
+    # 3. ADVICE-fix fingerprint flips (all previously green; re-verify) —
+    # q_ann_ivf_top10 joins them late-round: same bounded-result cache
+    # release as the LSH/rerank pair (collected + lazy _ivf_plan helper)
     "q_stream_idempotent_merge",
     "q_rerank_two_stage_topk",
     "q_ann_lsh_top10",
+    "q_ann_ivf_top10",
     # 4. the full r3-vintage block — closes the r3 debt entirely
     "q_pivot_priority_by_status",
     "q_dedup_ngram_containment",
@@ -312,7 +315,6 @@ _HOISTED = (
     "q_explode_outer_zip",
     "q_funnel_steps",
     "q_interval_math_shipping",
-    "q_listagg_priorities_by_status",
     # 6. sinks-family canary (freshest green r8) — every extension family
     # keeps one previously-green row in-window (test_registry lint); the
     # other families are already covered by the blocks above
@@ -321,8 +323,10 @@ _HOISTED = (
     # tail: pre-staged round-10 rotation — the remaining 21 r4-vintage
     # rows (after round 9 lands these are the suite's oldest driver
     # evidence; all fingerprint-unchanged, their green r4 rows stay
-    # valid; q_mixture_rebalance and q_median_quantity_by_flag displaced
-    # from the prefix by the sinks canary and the chunk-level dedup op)
+    # valid; q_mixture_rebalance / q_median_quantity_by_flag /
+    # q_listagg_priorities_by_status displaced from the prefix by the
+    # sinks canary, the chunk-level dedup op, and the late IVF hoist)
+    "q_listagg_priorities_by_status",
     "q_median_quantity_by_flag",
     "q_mixture_rebalance",
     "q_month_calendar_orders",

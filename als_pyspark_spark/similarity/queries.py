@@ -362,7 +362,19 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins). The witness columns cost one extra O(q·n) scored pass over the
     bounded query set — the labeled recall baseline; at 100 TB you would
     drop the witness and sample-audit recall offline instead.
+
+    Bounded result (≤ _N_QUERIES × _TOP_K rows): materialized via
+    ``collected`` so the persisted assignment table is released instead
+    of leaking for the session lifetime (round-9 cache discipline, same
+    as the LSH/rerank pair).
     """
+    top, caches = _ivf_plan(spark, sf_dir)
+    return collected(spark, top, *caches)
+
+
+def _ivf_plan(spark: SparkSession, sf_dir: str):
+    """Lazy IVF plan + the persisted cluster-assignment table it reads
+    three times (query side, candidate lists, brute-force witness)."""
     e = load_table(spark, sf_dir, "embeddings")
     fit_rows = (
         e.select("embedding")
@@ -470,9 +482,10 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall10",
         (F.avg("recall10").over(all_q) >= 0.5).alias("within_bound"),
     )
-    return ivf.join(F.broadcast(witnessed), "query_id").select(
+    top = ivf.join(F.broadcast(witnessed), "query_id").select(
         "query_id", "neighbor_id", "cos_rounded", "recall10", "within_bound"
     )
+    return top, [assigned]
 
 
 # Planted near-dups: scaled copies of the first _PLANT vectors, ids offset
@@ -516,6 +529,10 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the bucket computation and persist: the bucketed table feeds
     # BOTH sides of the self-join — without persist Spark recomputes every
     # hyperplane dot product twice
+    # deliberate session-lifetime cache (both self-join sides read the
+    # bucketed table; pair output is corpus-proportional, so collected()
+    # would bottleneck on the driver) — same trade as the dedup pair
+    # family, see dedup/queries.py module docstring's cache-lifetime note
     b = _with_buckets(e.unionByName(planted), _DUP_PLANES, _DUP_BLOCKS, spread=True).persist()
     a = b.alias("a")
     c = b.alias("b")

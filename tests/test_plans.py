@@ -769,3 +769,20 @@ def test_cms_probe_join_is_broadcast_and_topk_is_take_ordered(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_broadcast_only_no_smj(spark, sf_dir):
+    """IVF ANN: every join must broadcast its bounded side (centroid
+    probes, shortlist, witness) — a SortMergeJoin means the corpus got
+    sorted for a query-set-sized probe. (The registered query
+    materializes via caching.collected since round 9, so inspect the
+    lazy helper.)"""
+    from als_pyspark_spark.similarity.queries import _ivf_plan
+
+    top, caches = _ivf_plan(spark, sf_dir)
+    plan = plan_of(top)
+    for c in caches:
+        c.unpersist()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -686,3 +686,50 @@ def test_intra_doc_span_counts_match_bruteforce(spark, toks):
         )
     got = (row.n_grams, row.n_repeated_positions, row.n_distinct_repeated)
     assert got == want, (toks, got, want)
+
+
+@_settings
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["p", "q"]), min_size=0, max_size=70).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_chunk_level_dedup_matches_bruteforce(spark, texts):
+    """q_dedup_chunk_level vs a brute-force Counter over naive 32-token
+    windowing: a two-symbol alphabet makes cross-doc chunk collisions
+    near-certain, exercising the cnt>=2 window logic; docs under 32
+    tokens must vanish entirely (no full chunk)."""
+    import tempfile
+    from collections import Counter
+
+    from als_pyspark_spark.registry import load_all_queries
+
+    W = 32
+    chunks = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else [""]
+        chunks[i] = [
+            " ".join(toks[k * W : (k + 1) * W]) for k in range(len(toks) // W)
+        ]
+    c = Counter(ch for lst in chunks.values() for ch in lst)
+    want = {
+        i: (len(lst), sum(1 for ch in lst if c[ch] >= 2))
+        for i, lst in chunks.items()
+        if lst
+    }
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_chunks, r.n_dup_chunks)
+            for r in load_all_queries()["q_dedup_chunk_level"]
+            .build(spark, d)
+            .collect()
+        }
+    assert got == want, (texts, got, want)
