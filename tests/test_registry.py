@@ -354,3 +354,53 @@ def test_dtype_parity_catches_hugeint_class():
     # matched kinds pass
     ok = pd.DataFrame({"k": ["a", "b"], "n": [15, 7]})
     assert_dtype_parity(s_rows, ok[["k", "n"]], ["k", "n"], "fixture")
+
+
+def test_every_persist_site_is_released_or_documented():
+    """Mechanical closure of the round-9 cache-leak class: every
+    ``.persist()`` in the engine must sit in a function that either
+    releases the cache (``caching.collected`` / an explicit
+    ``unpersist``), hands it to its caller for release (the
+    ``return <df>, [caches]`` lazy-plan-helper convention), or carries
+    the 'deliberate session-lifetime cache' marker comment pointing at
+    the documented trade (dedup/queries.py module docstring: 3-4 readers,
+    measured 56x recompute, corpus-proportional results). A bare persist
+    with none of these is exactly how the r8/r9 ADVICE leaks shipped."""
+    import os
+    import re
+
+    pkg = os.path.join(_REPO, "als_pyspark_spark")
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            src = open(path).read().splitlines()
+            defs = [
+                (i, re.match(r"\s*def (\w+)", l).group(1))
+                for i, l in enumerate(src)
+                if re.match(r"\s*def \w+", l)
+            ]
+            for i, line in enumerate(src):
+                if ".persist()" not in line or line.strip().startswith("#"):
+                    continue
+                start = max((d for d in defs if d[0] <= i), default=(0, "<module>"))
+                end = min((d[0] for d in defs if d[0] > i), default=len(src))
+                body = "\n".join(src[start[0] : end])
+                documented = any(
+                    "deliberate session-lifetime cache" in l
+                    for l in src[max(0, i - 6) : i]
+                )
+                released = (
+                    "unpersist" in body
+                    or "collected(" in body
+                    or re.search(r"return .*, \[", body) is not None
+                    or re.search(r"return .*, caches", body) is not None
+                )
+                if not (documented or released):
+                    offenders.append(f"{path}:{i + 1} in {start[1]}")
+    assert not offenders, (
+        "persist() without release, caller-release convention, or the "
+        f"documented-cache marker: {offenders}"
+    )
