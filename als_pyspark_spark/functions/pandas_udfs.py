@@ -278,3 +278,132 @@ def q_pandas_grouped_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_count_udf("cents").alias("n_orders"),
         trimmed_sum_udf("cents").alias("trimmed_cents"),
     )
+
+
+def _asof_merge_cogroup(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    """Per-user cogrouped merge_asof: for each purchase event, the most
+    recent order date within the lookback. Inner semantics — events with
+    no qualifying order emit nothing (matching the oracle's plain JOIN)."""
+    if events.empty or orders.empty:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "last_orderdate": pd.Series(dtype="object")})
+    left = events.sort_values("ts")
+    right = orders.sort_values("o_orderdate")
+    merged = pd.merge_asof(
+        left,
+        right[["o_orderdate"]],
+        left_on="ts",
+        right_on="o_orderdate",
+        direction="backward",
+        tolerance=pd.Timedelta(days=10957),
+    )
+    merged = merged.dropna(subset=["o_orderdate"])
+    return pd.DataFrame(
+        {
+            "event_id": merged["event_id"].astype("int64"),
+            "last_orderdate": merged["o_orderdate"].dt.strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+        }
+    )
+
+
+@query(
+    "q_cogroup_asof_merge",
+    oracle="""
+SELECT e.event_id AS event_id,
+       MAX(STRFTIME(o.o_orderdate, '%Y-%m-%d %H:%M:%S')) AS last_orderdate
+FROM events e
+JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate <= e.ts
+ AND o.o_orderdate >= e.ts - INTERVAL 10957 DAY
+WHERE e.event_type = 'purchase'
+GROUP BY e.event_id
+""",
+    tags=("udf", "cogroup", "applyInPandas", "asof"),
+)
+def q_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join via COGROUPED applyInPandas — the fifth and last pandas/
+    Arrow UDF surface (§2.10): ``groupBy(k).cogroup(groupBy(k))`` aligns
+    both relations' groups per key and hands each pair of pandas frames to
+    ``pd.merge_asof`` (the canonical cogroup use case, per the PySpark
+    docs' own example). Semantics identical to the relational composition
+    in q_asof_last_order_before_event (same oracle) — registered as the
+    cogroup SURFACE PROOF with an exact oracle, while the range-join form
+    stays the recommended JVM-side hot path.
+
+    Scale shape: one co-partitioned shuffle on the user key for both
+    sides; each task then runs a per-key local merge_asof over Arrow
+    batches — per-user history is the only in-memory unit, so skew is
+    bounded by the hottest user, the same bound the windowed form has.
+    merge_asof's tolerance is inclusive on both ends, matching the
+    oracle's ``>= ts - INTERVAL`` (fixture event clocks are microsecond-
+    offset and never land on the boundary — house boundary discipline).
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(
+            _asof_merge_cogroup, "event_id long, last_orderdate string"
+        )
+    )
+
+
+def _arrow_token_stats(batches):
+    """mapInArrow body: per-batch token/char stats computed with pyarrow
+    compute kernels — zero pandas materialization, the lowest-overhead
+    Python batch surface Spark exposes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.add(pc.count_substring(text, " "), 1).cast(pa.int64()),
+                pc.utf8_length(text).cast(pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "n_chars"],
+        )
+
+
+@query(
+    "q_arrow_map_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    tags=("udf", "mapInArrow", "arrow"),
+)
+def q_arrow_map_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char counts via mapInArrow — the raw Arrow
+    RecordBatch surface (one step below mapInPandas: no pandas conversion
+    at all, pyarrow compute kernels on the columnar buffers). Registered
+    as the Arrow-batch SURFACE PROOF with an exact integer oracle; the
+    JVM built-in (``F.size(F.split(...))``) remains the hot-path form.
+
+    The token count is ``count_substring(' ') + 1``, exactly Spark's
+    ``size(split(text, ' '))`` on this corpus (single-space separated,
+    split keeps empty trailing strings; both count m separators as m+1
+    fields, including the empty-text case: 0 separators → 1 field).
+
+    Scale shape: pure per-batch map over the scan, ZERO shuffles; Arrow
+    batch size bounds memory; nothing crosses to Python per row.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _arrow_token_stats, "doc_id long, n_tokens long, n_chars long"
+    )

@@ -246,11 +246,10 @@ _MODULE_ORDER = (
 #      caching.collected instead of leaking for the session lifetime;
 #   4. the 27 pre-staged r3-vintage rows — landing these closes the r3
 #      vintage debt entirely: no family's newest driver row predates r4;
-#   5. the oldest r4-vintage block the remaining slots can carry (14 of
+#   5. the oldest r4-vintage block the remaining slots can carry (11 of
 #      37, alphabetical — the dedup sketch family, pandas-UDF/UDTF
-#      surface, events/funnel, misc relational) plus the sinks-family
-#      canary; the tail pre-stages round 10's rotation with the other
-#      22 r4 rows.
+#      surface, misc relational) plus the sinks-family canary; the tail
+#      pre-stages round 10's rotation with the other 25 r4 rows.
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -261,10 +260,14 @@ _HOISTED = (
     # 1. round 8's red rows — checkpoint-dir fix, must lead the window
     "q_dedup_clusters",
     "q_semantic_dedup_clusters",
-    # 2. new round-9 operators (first-window green required)
+    # 2. new round-9 operators (first-window green required); the UDF
+    # pair completes all five pandas/Arrow surfaces (§2.10): cogrouped
+    # applyInPandas (merge_asof) and mapInArrow (pyarrow kernels)
     "q_dedup_intra_doc_spans",
     "q_dedup_chunk_level",
     "q_quality_linear_scorer",
+    "q_cogroup_asof_merge",
+    "q_arrow_map_token_stats",
     # 3. ADVICE-fix fingerprint flips (all previously green; re-verify) —
     # q_ann_ivf_top10 joins them late-round: same bounded-result cache
     # release as the LSH/rerank pair (collected + lazy _ivf_plan helper)
@@ -313,8 +316,6 @@ _HOISTED = (
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_explode_outer_zip",
-    "q_funnel_steps",
-    "q_interval_math_shipping",
     # 6. sinks-family canary (freshest green r8) — every extension family
     # keeps one previously-green row in-window (test_registry lint); the
     # other families are already covered by the blocks above
@@ -323,9 +324,11 @@ _HOISTED = (
     # tail: pre-staged round-10 rotation — the remaining 21 r4-vintage
     # rows (after round 9 lands these are the suite's oldest driver
     # evidence; all fingerprint-unchanged, their green r4 rows stay
-    # valid; q_mixture_rebalance / q_median_quantity_by_flag /
-    # q_listagg_priorities_by_status displaced from the prefix by the
-    # sinks canary, the chunk-level dedup op, and the late IVF hoist)
+    # valid; five r4 rows displaced from the prefix by the sinks canary,
+    # the chunk-level dedup op, the late IVF hoist, and the two late UDF
+    # surface proofs)
+    "q_funnel_steps",
+    "q_interval_math_shipping",
     "q_listagg_priorities_by_status",
     "q_median_quantity_by_flag",
     "q_mixture_rebalance",

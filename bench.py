@@ -94,12 +94,16 @@ HEADLINE = [
     "q_semantic_dedup_clusters",
     "q_stream_idempotent_merge",
     "q_cms_heavy_hitters",
-    # round 9: the three new cost shapes — the zero-shuffle per-doc HOF
-    # fold family (sorted-run span stats, literal-weight linear scoring)
-    # and the chunk-hash window+agg double shuffle
+    # round 9: the new cost shapes — the zero-shuffle per-doc HOF fold
+    # family (sorted-run span stats, literal-weight linear scoring), the
+    # chunk-hash window+agg double shuffle, and the two remaining Python
+    # batch surfaces (cogrouped pandas merge_asof: co-partitioned dual
+    # shuffle + per-key pandas; mapInArrow: pure Arrow-kernel scan map)
     "q_dedup_intra_doc_spans",
     "q_quality_linear_scorer",
     "q_dedup_chunk_level",
+    "q_cogroup_asof_merge",
+    "q_arrow_map_token_stats",
 ]
 
 

@@ -274,3 +274,49 @@ def test_quality_scorer_single_token_matches_weight(spark, tmp_path):
         .collect()
     )
     assert row.qscore == expect
+
+
+def test_cogroup_asof_matches_relational_form(spark, sf_dir):
+    """The cogrouped merge_asof surface proof must return EXACTLY the
+    relational range-join+argmax composition's rows — same oracle, same
+    semantics, different execution surface."""
+    from als_pyspark_spark.registry import load_all_queries
+
+    q = load_all_queries()
+    a = sorted(
+        (r.event_id, r.last_orderdate)
+        for r in q["q_cogroup_asof_merge"].build(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.event_id, r.last_orderdate)
+        for r in q["q_asof_last_order_before_event"].build(spark, sf_dir).collect()
+    )
+    assert a == b
+    assert a  # non-trivial at every SF
+
+
+def test_arrow_map_matches_jvm_builtins(spark, sf_dir):
+    """mapInArrow token/char stats must equal the JVM built-in forms row
+    for row (split-size and length), including any empty-text rows."""
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.registry import load_all_queries
+    from als_pyspark_spark.sources.tables import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_chars)
+        for r in load_all_queries()["q_arrow_map_token_stats"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        r.doc_id: (r.nt, r.nc)
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        .collect()
+    }
+    assert got == want
