@@ -280,10 +280,15 @@ def q_pandas_grouped_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COGROUP_BUCKETS = 64
+
+
 def _asof_merge_cogroup(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
-    """Per-user cogrouped merge_asof: for each purchase event, the most
-    recent order date within the lookback. Inner semantics — events with
-    no qualifying order emit nothing (matching the oracle's plain JOIN)."""
+    """Per-BUCKET cogrouped merge_asof: for each purchase event, the most
+    recent order date of the same user within the lookback
+    (``merge_asof(by='user_id')`` keeps the per-user asof semantics inside
+    each bucket). Inner semantics — events with no qualifying order emit
+    nothing (matching the oracle's plain JOIN)."""
     if events.empty or orders.empty:
         return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                              "last_orderdate": pd.Series(dtype="object")})
@@ -291,9 +296,10 @@ def _asof_merge_cogroup(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFr
     right = orders.sort_values("o_orderdate")
     merged = pd.merge_asof(
         left,
-        right[["o_orderdate"]],
+        right[["user_id", "o_orderdate"]],
         left_on="ts",
         right_on="o_orderdate",
+        by="user_id",
         direction="backward",
         tolerance=pd.Timedelta(days=10957),
     )
@@ -333,26 +339,38 @@ def q_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogroup SURFACE PROOF with an exact oracle, while the range-join form
     stays the recommended JVM-side hot path.
 
-    Scale shape: one co-partitioned shuffle on the user key for both
-    sides; each task then runs a per-key local merge_asof over Arrow
-    batches — per-user history is the only in-memory unit, so skew is
-    bounded by the hottest user, the same bound the windowed form has.
-    merge_asof's tolerance is inclusive on both ends, matching the
-    oracle's ``>= ts - INTERVAL`` (fixture event clocks are microsecond-
-    offset and never land on the boundary — house boundary discipline).
+    The cogroup key is a BUCKET (user_id mod 64), not the raw user id —
+    the load-bearing scale decision: grouped/cogrouped applyInPandas pays
+    a per-GROUP Python round-trip (one Arrow batch flush per group;
+    measured ~20 ms each, 31.4s for 1,500 per-user groups at sf0.1), so
+    Python invocations must scale with a FREE bucket parameter, not key
+    cardinality — ``merge_asof(by='user_id')`` keeps exact per-user
+    semantics inside each bucket. Measured 31.4→1.2s (warm) at sf0.1; at
+    100 TB the bucket count scales with the cluster while per-user
+    correctness is untouched. Both sides co-shuffle once on the bucket;
+    skew is bounded by the hottest bucket (a tunable), and merge_asof's
+    inclusive tolerance matches the oracle's ``>= ts - INTERVAL``
+    (fixture event clocks are microsecond-offset and never land on the
+    boundary — house boundary discipline).
     """
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.pmod("user_id", F.lit(_COGROUP_BUCKETS)).alias("bucket"),
+        )
     )
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        F.pmod("o_custkey", F.lit(_COGROUP_BUCKETS)).alias("bucket"),
     )
     return (
-        e.groupBy("user_id")
-        .cogroup(o.groupBy("user_id"))
+        e.groupBy("bucket")
+        .cogroup(o.groupBy("bucket"))
         .applyInPandas(
             _asof_merge_cogroup, "event_id long, last_orderdate string"
         )
