@@ -22,6 +22,11 @@ from pyspark.sql import SparkSession
 
 
 _OWNER_MARKER = ".owner_pid"
+# Fallback age past which even a "live"-pid checkpoint dir is swept —
+# guards against pid reuse by an unrelated long-lived process making a
+# dead session's dir immortal (round-10 ADVICE). Far above any real
+# local session lifetime, far below "forever".
+_PID_REUSE_AGE_S = 48 * 3600.0
 
 
 def _pid_alive(pid: int) -> bool:
@@ -50,7 +55,11 @@ def _sweep_stale_checkpoints(base: str, max_age_s: float = 3 * 3600) -> None:
     idle gate, debugger pause — which is unrecoverable, since a reliable
     checkpoint truncated the lineage that could rebuild it):
 
-    - marker present, owner pid alive  → never touched, regardless of age;
+    - marker present, owner pid alive  → kept, unless the dir has sat
+      untouched past a generous 48 h fallback gate (round-10 ADVICE: pid
+      REUSE can hand a dead session's recorded pid to an unrelated
+      long-lived process, which would otherwise make the dir immortal —
+      no local session here lives remotely close to 48 h);
     - marker present, owner pid dead   → removed immediately (no other
       session can ever read those checkpoints);
     - no marker (foreign / pre-marker) → the original mtime age gate
@@ -79,6 +88,11 @@ def _sweep_stale_checkpoints(base: str, max_age_s: float = 3 * 3600) -> None:
                     pid = None
             if pid is not None:
                 if not _pid_alive(pid):
+                    shutil.rmtree(path, ignore_errors=True)
+                elif os.path.getmtime(path) < time.time() - _PID_REUSE_AGE_S:
+                    # "alive" may be an unrelated process that recycled
+                    # the dead owner's pid — past the 48 h fallback gate
+                    # no genuine local session can still own this dir.
                     shutil.rmtree(path, ignore_errors=True)
                 continue
             if os.path.getmtime(path) < cutoff:

@@ -213,10 +213,14 @@ def main() -> int:
     # ~1,800 bytes re-breaks parsing the way round 7 did. Failing the
     # bench is strictly better than shipping an unparseable record —
     # adding headline queries must come with trimming this line.
-    assert len(line) < 1800, (
-        f"bench stdout line is {len(line)} bytes (driver tail-capture "
-        "limit ~1800) — trim HEADLINE or move fields to BENCH_full_last.json"
-    )
+    # (round-10 ADVICE: a bare assert is stripped under `python -O`,
+    # silently reintroducing the failure mode — raise unconditionally.)
+    if len(line) >= 1800:
+        raise SystemExit(
+            f"bench stdout line is {len(line)} bytes (driver tail-capture "
+            "limit ~1800) — trim HEADLINE or move fields to "
+            "BENCH_full_last.json"
+        )
     print(line)
     spark.stop()
     return 0

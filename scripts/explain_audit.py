@@ -25,6 +25,32 @@ from als_pyspark_spark.plans.inspect import exchange_count, join_kinds, pushed_f
 from als_pyspark_spark.registry import load_all_queries
 from als_pyspark_spark.session import build_session
 
+# Queries that eagerly materialize through caching.collected() return a
+# bounded LOCAL relation — auditing q.build would (a) execute the query
+# end-to-end just to print a trivial plan and (b) blind the baseline diff
+# to drift in the real distributed plan (round-10 ADVICE). Resolve these
+# through the same lazy plan helpers tests/test_plans.py pins.
+_LAZY_PLANS = {
+    "q_pagerank_copurchase": ("als_pyspark_spark.operators.graph", "_pagerank_plan"),
+    "q_triangle_count_parts": ("als_pyspark_spark.operators.graph", "_triangle_top_plan"),
+    "q_bfs_part_distances": ("als_pyspark_spark.operators.graph", "_bfs_hist_plan"),
+    "q_equidepth_deciles": ("als_pyspark_spark.operators.aggregates", "_equidepth_plan"),
+    "q_ann_lsh_top10": ("als_pyspark_spark.similarity.queries", "_ann_lsh_plan"),
+    "q_ann_ivf_top10": ("als_pyspark_spark.similarity.queries", "_ivf_plan"),
+    "q_rerank_two_stage_topk": ("als_pyspark_spark.similarity.queries", "_rerank_plan"),
+}
+
+
+def _resolve_plan(name, q, spark, sf_dir):
+    """Return (df, caches): the lazy plan to inspect plus any persisted
+    intermediates the helper claimed (unpersist after inspection)."""
+    if name in _LAZY_PLANS:
+        import importlib
+
+        mod, fn = _LAZY_PLANS[name]
+        return getattr(importlib.import_module(mod), fn)(spark, sf_dir)
+    return q.build(spark, sf_dir), ()
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -36,10 +62,12 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            df = q.build(spark, sf_dir)
+            df, caches = _resolve_plan(name, q, spark, sf_dir)
             joins = join_kinds(df)
             nex = exchange_count(df)
             npush = sum("[]" not in p for p in pushed_filters(df))
+            for c in caches:
+                c.unpersist()
             print(
                 f"{name:42s} exchanges={nex:2d} "
                 f"joins={','.join(joins) if joins else '-':60s} "

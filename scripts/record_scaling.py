@@ -27,6 +27,7 @@ def main() -> int:
         ("1.0", sf1_dir),
     ]
     out = {}
+    full_path = os.path.join(REPO, "BENCH_full_last.json")
     for key, sf_dir in tiers:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         r = subprocess.run(
@@ -40,8 +41,20 @@ def main() -> int:
         if r.returncode != 0:
             print(r.stdout[-1000:] + r.stderr[-1000:])
             return 1
-        with open(os.path.join(REPO, "BENCH_full_last.json")) as f:
+        with open(full_path) as f:
             out[key] = json.load(f)
+        # round-10 ADVICE: bench.py exits 0 even when it could not write
+        # BENCH_full_last.json (read-only FS path only warns), so a stale
+        # previous run could silently be recorded under this tier's key.
+        # The record's own "sf" field must match the tier we just ran.
+        got_sf = out[key].get("sf")
+        want_sf = float(key)
+        if got_sf != want_sf:
+            print(
+                f"stale {full_path}: sf={got_sf} but tier {key} just ran "
+                f"({sf_dir}) — bench.py failed to write its record"
+            )
+            return 1
         print(f"sf{key}: {out[key]['value']}s ({len(out[key]['queries'])} queries)")
     path = os.path.join(REPO, f"BENCH_SCALING_r{rnd:02d}.json")
     with open(path, "w") as f:

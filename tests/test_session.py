@@ -69,6 +69,23 @@ def test_sweep_liveness_marker_overrides_age(tmp_path):
     assert not os.path.exists(dead)
 
 
+def test_sweep_pid_reuse_fallback_age_gate(tmp_path):
+    """Round-10 ADVICE: a recycled pid must not make a dead session's dir
+    immortal — past the generous 48 h fallback gate even an alive-looking
+    owner pid loses the dir (no genuine local session lives that long).
+    Under the gate, the alive marker still protects it (the round-9
+    semantics are unchanged for real sessions)."""
+    ancient = _mkdir_with_age(tmp_path, "pid-reused", age_s=72 * 3600)
+    _plant_marker(ancient, str(os.getpid()))  # alive — but dir is 72h old
+    old = time.time() - 72 * 3600
+    os.utime(ancient, (old, old))  # _plant_marker re-ages to 10h; go past 48h
+    recent = _mkdir_with_age(tmp_path, "alive-and-recent", age_s=10 * 3600)
+    _plant_marker(recent, str(os.getpid()))  # alive, 10h < 48h: kept
+    _sweep_stale_checkpoints(str(tmp_path), max_age_s=3 * 3600)
+    assert not os.path.exists(ancient)
+    assert os.path.exists(recent)
+
+
 def test_sweep_garbage_marker_falls_back_to_age_gate(tmp_path):
     old_garbage = _mkdir_with_age(tmp_path, "old-garbage", age_s=10 * 3600)
     _plant_marker(old_garbage, "not-a-pid")
