@@ -992,8 +992,14 @@ def q_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.element_at(weights, (md5_hash60(t) % _QS_BUCKETS + 1).cast("int")),
     )
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # Alias the aggregate ONCE and derive the verdict from the alias:
+    # single evaluation of the token HOF is structural, not dependent on
+    # the optimizer spotting the common subexpression (round-9 ADVICE).
+    scored = d.select("doc_id", score.alias("qscore"))
+    return scored.select(
         "doc_id",
-        score.alias("qscore"),
-        F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+        "qscore",
+        F.when(F.col("qscore") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
     )
