@@ -972,3 +972,147 @@ def q_dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_chunks"),
         )
     )
+
+
+_SS_K = 16  # overlapping window length (tokens) for the substring tier
+
+
+@query(
+    "q_dedup_substring_spans",
+    oracle=f"""
+WITH toked AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), w AS (
+    SELECT doc_id, k AS pos,
+           md5(array_to_string(list_slice(toks, k, k + {_SS_K} - 1), ' ')) AS hh
+    FROM toked,
+         UNNEST(generate_series(1, CAST(len(toks) - {_SS_K} + 1 AS BIGINT))) AS g(k)
+    WHERE len(toks) >= {_SS_K}
+), c AS (
+    SELECT hh FROM w GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 2
+), dup AS (
+    SELECT doc_id, pos FROM w JOIN c USING (hh)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= {_SS_K} - 1
+                THEN 0 ELSE 1 END AS new_span
+    FROM dup
+), grp AS (
+    SELECT doc_id, pos,
+           SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+    FROM isl
+), spans AS (
+    SELECT doc_id, MAX(pos) - MIN(pos) + {_SS_K} AS span_tokens
+    FROM grp GROUP BY doc_id, span_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+FROM spans GROUP BY doc_id
+""",
+    tags=("dedup", "substring", "spans", "hash"),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup — maximal cross-document repeated spans of
+    ≥ 16 tokens (the Lee et al. 2021 "Deduplicating Training Data"
+    exact-substring tier, re-expressed with overlapping window hashes
+    instead of a suffix array). Per doc: every OVERLAPPING 16-token
+    window is content-hashed; a window is duplicated when it occurs in
+    ≥ 2 DISTINCT documents; overlapping duplicated windows merge into
+    maximal spans (interval union: windows whose starts are ≤ K−1 apart
+    overlap). Output per affected doc: the number of maximal spans and
+    the total token count they cover — the numbers a scrub/filter stage
+    keys on. Completes the granularity ladder between
+    ``q_dedup_chunk_level`` (aligned 32-token windows) and the whole-doc
+    tiers: an unaligned verbatim quote is invisible to aligned chunks
+    but lands here.
+
+    Scale shape: two keyed shuffles. (1) cross-doc counting by a
+    collect_set window over the md5 CONTENT HASH partition key — the
+    shuffle carries (doc_id, pos, 32-hex), never the window text, and
+    the per-key state is a doc-id set (bounded by corpus dup breadth; a
+    pathological corpus-wide boilerplate key would salt, same note as
+    the chunk tier). (2) one partial+final agg back on doc_id, where the
+    span merge runs as an in-row fold over the doc's sorted duplicated
+    positions (a single doc's positions always fit one row — the
+    q_dedup_intra_doc_spans argument), not a per-position window chain.
+    Volume is Σ tokens per doc (overlapping windows ≈ one per token), so
+    corpus-linear; no pairwise anything.
+
+    EXACT oracle by a DIFFERENT algorithm: DuckDB re-derives the spans
+    via LAG/SUM gaps-and-islands over the same md5 window hashes
+    (byte-identical across engines — house sketch discipline); the
+    output is integer-only, so any divergence in the fold arithmetic vs
+    the window replay is a hash mismatch, not a rounding question.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    toked = d.repartition(n_part, "doc_id").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - _SS_K + 1),
+        lambda k: F.md5(F.array_join(F.slice("toks", k, _SS_K), " ")),
+    )
+    w = (
+        toked.where(F.size("toks") >= _SS_K)
+        .select("doc_id", F.posexplode(hashes).alias("i", "hh"))
+        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "hh")
+    )
+    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("hh")))
+    dup = w.withColumn("nd", nd).where(F.col("nd") >= 2).select("doc_id", "pos")
+    pos_arr = dup.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    # interval-union fold over sorted positions: a new maximal span opens
+    # when the gap to the previous duplicated window start exceeds K-1
+    # (the windows no longer overlap); closing a span adds its covered
+    # width prev - start + K. The sentinel start/prev make the first
+    # position take the open-new-span branch with nothing to close.
+    far = -(10**9)
+    init = F.struct(
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("toks"),
+        F.lit(far).cast("long").alias("start"),
+        F.lit(far).cast("long").alias("prev"),
+    )
+    spans = F.aggregate(
+        F.col("ps"),
+        init,
+        lambda acc, p: F.when(
+            p - acc["prev"] <= _SS_K - 1,
+            F.struct(
+                acc["n_spans"].alias("n_spans"),
+                acc["toks"].alias("toks"),
+                acc["start"].alias("start"),
+                p.cast("long").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["n_spans"] + 1).alias("n_spans"),
+                (
+                    acc["toks"]
+                    + F.when(
+                        acc["n_spans"] > 0, acc["prev"] - acc["start"] + _SS_K
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("toks"),
+                p.cast("long").alias("start"),
+                p.cast("long").alias("prev"),
+            )
+        ),
+        lambda acc: F.struct(
+            acc["n_spans"].alias("n_spans"),
+            (acc["toks"] + acc["prev"] - acc["start"] + _SS_K)
+            .cast("long")
+            .alias("dup_tokens"),
+        ),
+    )
+    # alias the fold ONCE, then extract fields: single evaluation is
+    # structural (CollapseProject keeps non-cheap producers separate),
+    # not optimizer-dependent — the quality-scorer discipline.
+    return pos_arr.select("doc_id", spans.alias("s")).select(
+        "doc_id",
+        F.col("s.n_spans").alias("n_spans"),
+        F.col("s.dup_tokens").alias("dup_tokens"),
+    )

@@ -215,3 +215,32 @@ def test_chunk_level_dedup_counts_cross_doc_duplicates(spark, tmp_path):
         for r in QUERIES["q_dedup_chunk_level"].build(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
+
+
+def test_substring_spans_unaligned_and_multi_span(spark, tmp_path):
+    """The exact-substring tier must catch UNALIGNED verbatim runs (the
+    case aligned chunking misses): docs 1 and 2 share a 20-token run at
+    different offsets → one maximal span of 20 tokens each; doc 4 carries
+    two separated copies of a 16-token run shared with doc 5 → two spans;
+    a unique doc produces no row at all."""
+    s20 = " ".join(f"s{i}" for i in range(20))
+    s16 = " ".join(f"t{i}" for i in range(16))
+    pad = lambda pref, n: " ".join(f"{pref}{i}" for i in range(n))
+    rows = [
+        (1, pad("a", 10) + " " + s20 + " " + pad("b", 8)),
+        (2, pad("c", 13) + " " + s20 + " " + pad("d", 5)),
+        (3, pad("e", 40)),
+        (4, s16 + " " + pad("f", 5) + " " + s16),
+        (5, s16),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens)
+        for r in QUERIES["q_dedup_substring_spans"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: (1, 20), 2: (1, 20), 4: (2, 32), 5: (1, 16)}
