@@ -231,25 +231,19 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 9 agenda (VERDICT r8 "Next round" items 1, 4, 6):
-#   1. round 8's only red rows, FIXED — both CC queries died in
-#      Dataset.checkpoint because the checkpoint dir was wired only in
-#      build_session and the driver's bare session has none;
-#      min_label_components now claims a dir lazily on its own session
-#      (session.ensure_checkpoint_dir), and check_correctness.py --bare +
-#      a subprocess pytest gate the bare-session class from now on;
-#   2. new round-9 operators (intra-doc repeated-span stats, broadcast
-#      linear quality scorer) — first-window green required;
-#   3. round-9 ADVICE fixes whose fingerprints flip: the idempotent-merge
-#      algebraic witness went distributed (exceptAll counts instead of a
-#      2× driver collect) and both ANN bucket caches now release through
-#      caching.collected instead of leaking for the session lifetime;
-#   4. the 27 pre-staged r3-vintage rows — landing these closes the r3
-#      vintage debt entirely: no family's newest driver row predates r4;
-#   5. the oldest r4-vintage block the remaining slots can carry (11 of
-#      37, alphabetical — the dedup sketch family, pandas-UDF/UDTF
-#      surface, misc relational) plus the sinks-family canary; the tail
-#      pre-stages round 10's rotation with the other 25 r4 rows.
+# Round 10 agenda (VERDICT r9 "Next round" items 1-3, 6):
+#   1. the new exact-substring dedup tier (first-window green required);
+#   2. fingerprint flips, all previously green, re-verify: the ANN-stack
+#      vectorized-Arrow reshape (bucketing UDF: ann_lsh / rerank /
+#      neardup / semantic-dedup; mapInArrow IVF), the quality-scorer
+#      structural-single-eval alias, and q_dedup_clusters via the
+#      session-helper pid-reuse gate (transitive fingerprint);
+#   3. the full 25-row r4-vintage block — landing these closes the r4
+#      vintage debt entirely: no query's newest driver row predates r5;
+#   4. the oldest r5-vintage block the remaining slots carry (16 of 45,
+#      alphabetical) — starts the r5 drain; the tail pre-stages round
+#      11's rotation with the other 29 r5 rows;
+#   5. the sinks-family canary (freshest green r9).
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -257,76 +251,17 @@ _MODULE_ORDER = (
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. round 8's red rows — checkpoint-dir fix, must lead the window
-    "q_dedup_clusters",
-    "q_semantic_dedup_clusters",
-    # 2. new round-9 operators (first-window green required); the UDF
-    # pair completes all five pandas/Arrow surfaces (§2.10): cogrouped
-    # applyInPandas (merge_asof) and mapInArrow (pyarrow kernels)
-    "q_dedup_intra_doc_spans",
-    "q_dedup_chunk_level",
-    "q_quality_linear_scorer",
-    "q_cogroup_asof_merge",
-    "q_arrow_map_token_stats",
-    # 3. ADVICE-fix fingerprint flips (all previously green; re-verify) —
-    # q_ann_ivf_top10 joins them late-round: same bounded-result cache
-    # release as the LSH/rerank pair (collected + lazy _ivf_plan helper)
-    "q_stream_idempotent_merge",
-    "q_rerank_two_stage_topk",
+    # 1. new round-10 operator — first-window green required
+    "q_dedup_substring_spans",
+    # 2. fingerprint flips (ANN reshape, scorer alias, session helper)
     "q_ann_lsh_top10",
     "q_ann_ivf_top10",
-    # 4. the full r3-vintage block — closes the r3 debt entirely
-    "q_pivot_priority_by_status",
-    "q_dedup_ngram_containment",
+    "q_rerank_two_stage_topk",
     "q_embedding_neardup_pairs",
-    "q20_heavy_shippers_of_parts",
-    "q21_multi_supplier_orders",
-    "q_unpivot_lineitem_measures",
-    "q_lateral_top2_orders_per_customer",
-    "q_observe_metrics",
-    "q_bm25_retrieval",
-    "q_chunk_documents",
-    "q_collated_group",
-    "q_decontaminate",
-    "q_doc_salient_terms",
-    "q_length_filter_percentile",
-    "q_pack_sequences",
-    "q_pii_redact",
-    "q_python_datasource_agg",
-    "q_python_datasource_scan",
-    "q_python_stream_datasource",
-    "q_sample_balanced",
-    "q_sample_stratified",
-    "q_semantic_cluster_assign",
-    "q_split_train_test",
-    "q_stream_stateful_threshold",
-    "q_text_normalize",
-    "q_timebucket_rollup",
-    "q_vocab_top",
-    # 5. oldest r4 vintage — alphabetical prefix (q_ann_lsh_top10
-    # already re-enters above via its fingerprint flip)
-    "q_applyinpandas_top2_by_type",
-    "q_asof_next_purchase_after_click",
-    "q_bitmap_distinct_users",
-    "q_boilerplate_ngrams",
-    "q_curriculum_stages",
-    "q_dedup_exact",
-    "q_dedup_exact_survivors",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_explode_outer_zip",
-    # 6. sinks-family canary (freshest green r8) — every extension family
-    # keeps one previously-green row in-window (test_registry lint); the
-    # other families are already covered by the blocks above
-    "q_sink_csv_roundtrip",
-    # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-10 rotation — the remaining 21 r4-vintage
-    # rows (after round 9 lands these are the suite's oldest driver
-    # evidence; all fingerprint-unchanged, their green r4 rows stay
-    # valid; five r4 rows displaced from the prefix by the sinks canary,
-    # the chunk-level dedup op, the late IVF hoist, and the two late UDF
-    # surface proofs)
+    "q_semantic_dedup_clusters",
+    "q_dedup_clusters",
+    "q_quality_linear_scorer",
+    # 3. the full r4-vintage block — closes the r4 debt entirely
     "q_funnel_steps",
     "q_interval_math_shipping",
     "q_listagg_priorities_by_status",
@@ -352,6 +287,61 @@ _HOISTED = (
     "q_window_first_last_ignore_nulls",
     "q_window_ntile_by_nation",
     "q_window_rolling_90d_spend",
+    # 4. oldest r5 vintage — alphabetical prefix (16 of 45)
+    "q1_pricing_summary",
+    "q_ab_test_analysis",
+    "q_activity_streak_islands",
+    "q_approx_topk_tokens",
+    "q_benford_digit_profile",
+    "q_bigram_lm_counts",
+    "q_bloom_incremental_dedup",
+    "q_bpe_pair_counts",
+    "q_cdc_last_writer_wins",
+    "q_churn_labels",
+    "q_constraint_checks",
+    "q_corr_covar_exact",
+    "q_cumulative_distinct_users",
+    "q_event_transition_matrix",
+    "q_fuzzy_part_match",
+    "q_gapfill_locf_daily",
+    # 5. sinks-family canary (freshest green r9) — every extension family
+    # keeps one previously-green row in-window (test_registry lint); the
+    # other families are already covered by the blocks above
+    "q_sink_csv_roundtrip",
+    # --- ~50-entry sweep-prefix boundary ---
+    # tail: pre-staged round-11 rotation — the remaining 29 r5-vintage
+    # rows (after round 10 lands these are the suite's oldest driver
+    # evidence; all fingerprint-unchanged, their green r5 rows stay
+    # valid)
+    "q_incremental_agg_merge",
+    "q_latency_percentile_bands",
+    "q_leakage_safe_split",
+    "q_market_basket_pairs",
+    "q_multitouch_attribution",
+    "q_ohlc_hourly_bars",
+    "q_pandas_grouped_agg_trimmed",
+    "q_pareto_abc_parts",
+    "q_profile_orders",
+    "q_recency_weighted_engagement",
+    "q_recursive_referral_depth",
+    "q_relational_division",
+    "q_revenue_trend_ols",
+    "q_scd2_customer_history",
+    "q_scd2_point_in_time",
+    "q_sink_sorted_layout",
+    "q_skew_diagnostics",
+    "q_snapshot_diff",
+    "q_source_vocab_overlap",
+    "q_stream_apws_user_max",
+    "q_stream_dedup_count",
+    "q_stream_dedup_within_watermark",
+    "q_stream_ohlc_hourly",
+    "q_table_checksum",
+    "q_target_encoding_loo",
+    "q_upsert_snapshot",
+    "q_weighted_sampling",
+    "q_winsorize_prices",
+    "q_zscore_outlier_orders",
 )
 
 
