@@ -977,6 +977,40 @@ def q_dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SS_K = 16  # overlapping window length (tokens) for the substring tier
 
 
+def _toked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents split to (doc_id, toks), pre-spread across the default
+    parallelism (the parquet may be one row group; the window hashing is
+    the CPU-heavy step)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    return d.repartition(n_part, "doc_id").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+
+
+def _dup_window_positions(toked: DataFrame) -> DataFrame:
+    """(doc_id, ps): per doc, the SORTED start positions (1-based) of its
+    overlapping ``_SS_K``-token windows that also occur in ≥ 2 distinct
+    documents — the shared frontend of the exact-substring tier (span
+    stats + scrub). Cross-doc counting is a collect_set window over the
+    md5 CONTENT HASH partition key: the shuffle carries (doc_id, pos,
+    32-hex), never window text."""
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - _SS_K + 1),
+        lambda k: F.md5(F.array_join(F.slice("toks", k, _SS_K), " ")),
+    )
+    w = (
+        toked.where(F.size("toks") >= _SS_K)
+        .select("doc_id", F.posexplode(hashes).alias("i", "hh"))
+        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "hh")
+    )
+    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("hh")))
+    dup = w.withColumn("nd", nd).where(F.col("nd") >= 2).select("doc_id", "pos")
+    return dup.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+
+
 @query(
     "q_dedup_substring_spans",
     oracle=f"""
@@ -1046,25 +1080,8 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is integer-only, so any divergence in the fold arithmetic vs
     the window replay is a hash mismatch, not a rounding question.
     """
-    d = load_table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    toked = d.repartition(n_part, "doc_id").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - _SS_K + 1),
-        lambda k: F.md5(F.array_join(F.slice("toks", k, _SS_K), " ")),
-    )
-    w = (
-        toked.where(F.size("toks") >= _SS_K)
-        .select("doc_id", F.posexplode(hashes).alias("i", "hh"))
-        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "hh")
-    )
-    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("hh")))
-    dup = w.withColumn("nd", nd).where(F.col("nd") >= 2).select("doc_id", "pos")
-    pos_arr = dup.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("pos")).alias("ps")
-    )
+    toked = _toked_documents(spark, sf_dir)
+    pos_arr = _dup_window_positions(toked)
     # interval-union fold over sorted positions: a new maximal span opens
     # when the gap to the previous duplicated window start exceeds K-1
     # (the windows no longer overlap); closing a span adds its covered
@@ -1115,4 +1132,142 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("s.n_spans").alias("n_spans"),
         F.col("s.dup_tokens").alias("dup_tokens"),
+    )
+
+
+@query(
+    "q_dedup_scrub_spans",
+    oracle=f"""
+WITH toked AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), w AS (
+    SELECT doc_id, k AS pos,
+           md5(array_to_string(list_slice(toks, k, k + {_SS_K} - 1), ' ')) AS hh
+    FROM toked,
+         UNNEST(generate_series(1, CAST(len(toks) - {_SS_K} + 1 AS BIGINT))) AS g(k)
+    WHERE len(toks) >= {_SS_K}
+), c AS (
+    SELECT hh FROM w GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 2
+), dup AS (
+    SELECT doc_id, pos FROM w JOIN c USING (hh)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     <= {_SS_K} - 1
+                THEN 0 ELSE 1 END AS new_span
+    FROM dup
+), grp AS (
+    SELECT doc_id, pos,
+           SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SS_K} - 1 AS e
+    FROM grp GROUP BY doc_id, span_id
+), tokpos AS (
+    SELECT doc_id, t, toks[t] AS tok
+    FROM toked,
+         UNNEST(generate_series(1, CAST(len(toks) AS BIGINT))) AS g(t)
+), cov AS (
+    SELECT tp.doc_id, tp.t, tp.tok, COUNT(sp.s) > 0 AS covered
+    FROM tokpos tp
+    LEFT JOIN spans sp
+      ON sp.doc_id = tp.doc_id AND tp.t BETWEEN sp.s AND sp.e
+    GROUP BY tp.doc_id, tp.t, tp.tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY t),
+                '') AS cleaned
+FROM cov GROUP BY doc_id
+""",
+    tags=("dedup", "substring", "scrub", "transform"),
+)
+def q_dedup_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring SCRUB — the transform stage the span stats feed
+    (Lee et al. 2021 apply-side): every token covered by a maximal
+    cross-document repeated span of ≥ 16 tokens is deleted from every
+    carrier, and each document comes back with its cleaned text plus the
+    before/after token accounting. Corpus-complete output: clean
+    documents pass through unchanged (n_removed = 0), so the result IS
+    the next pipeline stage's input table.
+
+    Scale shape: the ``_dup_window_positions`` frontend (hash-key window
+    + doc_id agg, hash-only shuffle payload), then ONE co-partitioned
+    left join back to the tokenized docs — both sides are already
+    hash-partitioned on doc_id (the repartition feeds both the window
+    frontend and the join probe), so no extra exchange — and the scrub
+    itself is in-row: the sorted positions fold into MERGED disjoint
+    intervals first (bounded by span count, not window count), and each
+    token index tests against those few intervals, O(tokens × spans) per
+    doc instead of O(tokens × dup-windows). Nothing pairwise, output
+    corpus-linear.
+
+    EXACT oracle by a DIFFERENT algorithm: DuckDB re-derives coverage by
+    LAG/SUM islands + a positional BETWEEN join and rebuilds the text
+    with ordered string_agg; the md5 window hashes are byte-identical
+    across engines. The cleaned STRING must match byte-for-byte — a
+    stronger check than the integer span stats.
+    """
+    toked = _toked_documents(spark, sf_dir)
+    pos_arr = _dup_window_positions(toked)
+    far = -(10**9)
+    iv_t = "array<struct<s:bigint,e:bigint>>"
+    init = F.struct(
+        F.array().cast(iv_t).alias("ivs"),
+        F.lit(far).cast("long").alias("start"),
+        F.lit(far).cast("long").alias("prev"),
+    )
+    close = lambda acc: F.concat(
+        acc["ivs"],
+        F.array(
+            F.struct(
+                acc["start"].alias("s"), (acc["prev"] + _SS_K - 1).alias("e")
+            )
+        ).cast(iv_t),
+    )
+    ivs = F.aggregate(
+        F.coalesce(F.col("ps"), F.array().cast("array<long>")),
+        init,
+        lambda acc, p: F.when(
+            p - acc["prev"] <= _SS_K - 1,
+            F.struct(
+                acc["ivs"].alias("ivs"),
+                acc["start"].alias("start"),
+                p.cast("long").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["start"] > 0, close(acc))
+                .otherwise(acc["ivs"])
+                .alias("ivs"),
+                p.cast("long").alias("start"),
+                p.cast("long").alias("prev"),
+            )
+        ),
+        lambda acc: F.when(acc["start"] > 0, close(acc)).otherwise(acc["ivs"]),
+    )
+    joined = toked.join(pos_arr, "doc_id", "left").select(
+        "doc_id", "toks", ivs.alias("ivs")
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1).cast("long"), F.size("toks").cast("long")),
+        lambda t: ~F.exists(
+            F.col("ivs"), lambda iv: (t >= iv["s"]) & (t <= iv["e"])
+        ),
+    )
+    out = joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        "toks",
+        kept.alias("kept"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform("kept", lambda t: F.element_at("toks", t.cast("int"))),
+            " ",
+        ).alias("cleaned"),
     )

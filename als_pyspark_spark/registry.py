@@ -251,8 +251,10 @@ _MODULE_ORDER = (
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. new round-10 operator — first-window green required
+    # 1. new round-10 operators — first-window green required (the
+    # exact-substring tier: span stats + the scrub transform)
     "q_dedup_substring_spans",
+    "q_dedup_scrub_spans",
     # 2. fingerprint flips (ANN reshape, scorer alias, session helper)
     "q_ann_lsh_top10",
     "q_ann_ivf_top10",
@@ -303,16 +305,17 @@ _HOISTED = (
     "q_cumulative_distinct_users",
     "q_event_transition_matrix",
     "q_fuzzy_part_match",
-    "q_gapfill_locf_daily",
     # 5. sinks-family canary (freshest green r9) — every extension family
     # keeps one previously-green row in-window (test_registry lint); the
     # other families are already covered by the blocks above
     "q_sink_csv_roundtrip",
     # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-11 rotation — the remaining 29 r5-vintage
+    # tail: pre-staged round-11 rotation — the remaining 30 r5-vintage
     # rows (after round 10 lands these are the suite's oldest driver
     # evidence; all fingerprint-unchanged, their green r5 rows stay
-    # valid)
+    # valid; q_gapfill_locf_daily displaced from the prefix by the late
+    # scrub-transform hoist)
+    "q_gapfill_locf_daily",
     "q_incremental_agg_merge",
     "q_latency_percentile_bands",
     "q_leakage_safe_split",

@@ -53,22 +53,6 @@ def _sql_double_list(vec: np.ndarray) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
 
 
-def _matrix_lit(mat: np.ndarray) -> F.Column:
-    """A 2-D numpy matrix as ONE Spark array<array<double>> literal, parsed
-    JVM-side from SQL text. Building the same literal one F.lit per float
-    costs ~0.5ms of py4j round trip per element (~1.5s for a 48×64 matrix,
-    pure driver time); the text parse is ~10ms and bit-exact (repr emits
-    the shortest decimal that round-trips the IEEE double)."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
-            for row in mat
-        )
-        + ")"
-    )
-
-
 def _sql_bucket_list(n_planes: int, n_blocks: int) -> str:
     """DuckDB twin of `_with_buckets`: a BIGINT[] of one sign-bit bucket id
     per hyperplane block, offset by block so buckets never collide across

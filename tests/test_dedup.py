@@ -244,3 +244,35 @@ def test_substring_spans_unaligned_and_multi_span(spark, tmp_path):
         .collect()
     }
     assert got == {1: (1, 20), 2: (1, 20), 4: (2, 32), 5: (1, 16)}
+
+
+def test_scrub_spans_removes_exactly_the_covered_tokens(spark, tmp_path):
+    """Scrub = the apply side of the span stats: the shared 20-token run
+    disappears from both carriers (keeping their unique pre/suffixes in
+    order), a unique doc passes through byte-identical, and the doc that
+    IS exactly a shared 16-token run scrubs to empty string."""
+    s20 = " ".join(f"s{i}" for i in range(20))
+    s16 = " ".join(f"t{i}" for i in range(16))
+    pad = lambda pref, n: " ".join(f"{pref}{i}" for i in range(n))
+    rows = [
+        (1, pad("a", 10) + " " + s20 + " " + pad("b", 8)),
+        (2, pad("c", 13) + " " + s20 + " " + pad("d", 5)),
+        (3, pad("e", 40)),
+        (5, s16),
+        (6, s16),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned)
+        for r in QUERIES["q_dedup_scrub_spans"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (38, 20, pad("a", 10) + " " + pad("b", 8)),
+        2: (38, 20, pad("c", 13) + " " + pad("d", 5)),
+        3: (40, 0, pad("e", 40)),
+        5: (16, 16, ""),
+        6: (16, 16, ""),
+    }
