@@ -200,7 +200,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct grams explode once per side, then an equi-join on
     the gram string — shuffle bounded by distinct-gram volume, identical to
     the dedup band-join. The benchmark side is tiny (≈1% of docs) and
-    broadcast; counting shared grams per doc is one partial+final agg."""
+    broadcast; counting shared grams per doc is one partial+final agg.
+
+    The gram table is PERSISTED, for two measured reasons (sf1, round 10):
+    it feeds both sides of the bench/train split, and — the dominant one —
+    exploding an array built by an expensive inline HOF pipeline re-pays
+    that pipeline ~per OUTPUT row (Generate evaluation, 18×: 11.6s inline
+    vs 0.74s materialize + 0.47s explode; a shuffle barrier does NOT help
+    because the optimizer reorders the projection across it). Query total
+    11.6 → 1.7s warm. Same cache-lifetime note as dedup/queries.py: the
+    result is corpus-proportional so collected() would bottleneck the
+    driver; LRU eviction bounds the cost and a one-job-per-query 100 TB
+    run releases at session end (or stages grams to a temp table)."""
     d = load_table(spark, sf_dir, "documents")
     # repartition BEFORE the gram projection: shingling is the CPU-heavy
     # step and the corpus parquet may be a single row group (1 task) — same
@@ -209,7 +220,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.repartition(n_part, "doc_id").select(
         "doc_id",
         F.array_distinct(word_ngrams(tokens(F.col("text")), _DECONTAM_N)).alias("gs"),
-    )
+        # deliberate session-lifetime cache — see the docstring's persist
+        # rationale (2 readers + the measured 18× Generate re-evaluation)
+    ).persist()
     bench = (
         grams.where(F.col("doc_id") % 97 == 0)
         .select(F.explode("gs").alias("g"))

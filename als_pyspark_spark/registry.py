@@ -256,7 +256,8 @@ _HOISTED = (
     "q_dedup_substring_spans",
     "q_dedup_scrub_spans",
     # 2. fingerprint flips (ANN reshape, scorer alias, session helper,
-    # native-bit_count hamming64)
+    # native-bit_count hamming64, decontaminate gram-cache fix)
+    "q_decontaminate",
     "q_dedup_simhash",
     "q_ann_lsh_top10",
     "q_ann_ivf_top10",
@@ -305,17 +306,18 @@ _HOISTED = (
     "q_constraint_checks",
     "q_corr_covar_exact",
     "q_cumulative_distinct_users",
-    "q_event_transition_matrix",
     # 5. sinks-family canary (freshest green r9) — every extension family
     # keeps one previously-green row in-window (test_registry lint); the
     # other families are already covered by the blocks above
     "q_sink_csv_roundtrip",
     # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-11 rotation — the remaining 31 r5-vintage
+    # tail: pre-staged round-11 rotation — the remaining 32 r5-vintage
     # rows (after round 10 lands these are the suite's oldest driver
     # evidence; all fingerprint-unchanged, their green r5 rows stay
-    # valid; q_fuzzy_part_match and q_gapfill_locf_daily displaced from
-    # the prefix by the late scrub-transform and hamming64 hoists)
+    # valid; q_event_transition_matrix, q_fuzzy_part_match and
+    # q_gapfill_locf_daily displaced from the prefix by the late
+    # scrub-transform, hamming64 and gram-cache hoists)
+    "q_event_transition_matrix",
     "q_fuzzy_part_match",
     "q_gapfill_locf_daily",
     "q_incremental_agg_merge",
