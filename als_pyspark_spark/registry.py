@@ -252,9 +252,11 @@ _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
     # 1. new round-10 operators — first-window green required (the
-    # exact-substring tier: span stats + the scrub transform)
+    # exact-substring tier: span stats + the scrub transform; the
+    # memory-compressed IVF-PQ ANN tier)
     "q_dedup_substring_spans",
     "q_dedup_scrub_spans",
+    "q_ann_ivfpq_top10",
     # 2. fingerprint flips (ANN reshape, scorer alias, session helper,
     # native-bit_count hamming64, decontaminate gram-cache fix)
     "q_decontaminate",
@@ -305,18 +307,18 @@ _HOISTED = (
     "q_churn_labels",
     "q_constraint_checks",
     "q_corr_covar_exact",
-    "q_cumulative_distinct_users",
     # 5. sinks-family canary (freshest green r9) — every extension family
     # keeps one previously-green row in-window (test_registry lint); the
     # other families are already covered by the blocks above
     "q_sink_csv_roundtrip",
     # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-11 rotation — the remaining 32 r5-vintage
+    # tail: pre-staged round-11 rotation — the remaining 33 r5-vintage
     # rows (after round 10 lands these are the suite's oldest driver
     # evidence; all fingerprint-unchanged, their green r5 rows stay
-    # valid; q_event_transition_matrix, q_fuzzy_part_match and
-    # q_gapfill_locf_daily displaced from the prefix by the late
-    # scrub-transform, hamming64 and gram-cache hoists)
+    # valid; the last four alphabetical r5 rows displaced from the
+    # prefix by the late scrub-transform, hamming64, gram-cache and
+    # IVF-PQ hoists)
+    "q_cumulative_distinct_users",
     "q_event_transition_matrix",
     "q_fuzzy_part_match",
     "q_gapfill_locf_daily",

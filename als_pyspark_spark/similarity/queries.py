@@ -307,13 +307,17 @@ def _fit_coarse_quantizer(sample: np.ndarray, k: int, iters: int, seed: int) -> 
             + (cents * cents).sum(axis=1)
         )
         assign = d2.argmin(axis=1)
-        for j in range(k):
-            members = sample[assign == j]
-            cents[j] = (
-                members.mean(axis=0)
-                if len(members)
-                else sample[rng.randint(len(sample))]
-            )
+        # vectorized M-step (round 10): the per-cluster Python mask loop
+        # cost ~3.6s across the 8 PQ codebook fits (k=256 × iters × masks
+        # over the sample); scatter-add + bincount is the same mean.
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        empty = counts == 0
+        counts[empty] = 1.0
+        cents = sums / counts[:, None]
+        if empty.any():
+            cents[empty] = sample[rng.randint(len(sample), size=int(empty.sum()))]
     return cents
 
 
@@ -455,10 +459,17 @@ def _ivf_plan(spark: SparkSession, sf_dir: str):
             probe_rows.append((int(r.vec_id), int(c)))
     probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
 
-    assigned = e.select("vec_id", "embedding").mapInArrow(
-        _assign_batches(cents, np.array(q_units)),
-        "vec_id long, cluster int, scores array<double>",
-    ).persist()
+    # spread before the Arrow pass: the embeddings parquet may be a single
+    # row group (1 task), and the assignment matmuls are the CPU-heavy step
+    assigned = (
+        e.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .mapInArrow(
+            _assign_batches(cents, np.array(q_units)),
+            "vec_id long, cluster int, scores array<double>",
+        )
+        .persist()
+    )
 
     # One (neighbor, query) pair stream serves BOTH stages: the scores
     # were fused into the corpus pass, so the candidate stage reuses them
@@ -522,6 +533,278 @@ def _ivf_plan(spark: SparkSession, sf_dir: str):
         "query_id", "neighbor_id", "cos_rounded", "recall10", "within_bound"
     )
     return top, [assigned, ivf]
+
+
+_PQ_M = 8  # product-quantizer subspaces (64 dims → 8 × 8-dim)
+_PQ_KSUB = 256  # centroids per subspace → 1 byte/code, 8 bytes/vector
+_PQ_ITERS = 6
+_PQ_SHORTLIST = 256  # ADC shortlist size refined by exact re-rank
+
+
+def _fit_pq_codebooks(
+    units: np.ndarray, cents: np.ndarray, m_sub: int, ksub: int, iters: int, seed: int
+) -> np.ndarray:
+    """Residual product-quantizer codebooks: assign the (unit-normalized)
+    sample to its nearest coarse centroid, split the residuals into m_sub
+    equal subspaces, and run the same seeded Lloyd fit per subspace.
+    Returns (m_sub, ksub', dsub); ksub' clamps to the sample size on tiny
+    corpora (same degradation rule as the coarse quantizer)."""
+    d2 = (
+        (units * units).sum(axis=1, keepdims=True)
+        - 2.0 * (units @ cents.T)
+        + (cents * cents).sum(axis=1)
+    )
+    res = units - cents[d2.argmin(axis=1)]
+    dsub = units.shape[1] // m_sub
+    return np.stack(
+        [
+            _fit_coarse_quantizer(
+                res[:, m * dsub : (m + 1) * dsub], ksub, iters, seed + m
+            )
+            for m in range(m_sub)
+        ]
+    )
+
+
+def _pq_encode_batches(cents: np.ndarray, books: np.ndarray, q_units: np.ndarray):
+    """Vectorized Arrow-batched IVF-PQ corpus pass (``mapInArrow``): per
+    row, the nearest-coarse-centroid cluster id over the UNIT vector, the
+    m_sub residual PQ codes (argmin per subspace codebook — the 8-byte
+    compressed representation that is the entire point of PQ at 100 TB:
+    the inverted lists hold codes, not vectors), and the fused recall-
+    witness cosines against the |q| query units — same zero-copy Arrow
+    discipline and rationale as :func:`_assign_batches`."""
+    c64 = cents.astype(np.float64)
+    qt = q_units.astype(np.float64).T
+    n_q = qt.shape[1]
+    m_sub, ksub, dsub = books.shape
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            m = (
+                b.column("embedding")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+            np.divide(m, norms, out=m, where=norms > 0)
+            d2 = (
+                (m * m).sum(axis=1, keepdims=True)
+                - 2.0 * (m @ c64.T)
+                + (c64 * c64).sum(axis=1)
+            )
+            cl = d2.argmin(axis=1)
+            res = m - c64[cl]
+            codes = np.empty((n, m_sub), dtype=np.int32)
+            for j in range(m_sub):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                bk = books[j]
+                sd2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ bk.T)
+                    + (bk * bk).sum(axis=1)
+                )
+                codes[:, j] = sd2.argmin(axis=1)
+            scores = m @ qt
+            off_codes = pa.array(np.arange(0, (n + 1) * m_sub, m_sub, dtype=np.int32))
+            off_scores = pa.array(np.arange(0, (n + 1) * n_q, n_q, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("vec_id"),
+                    pa.array(cl.astype(np.int32)),
+                    pa.ListArray.from_arrays(off_codes, pa.array(codes.ravel())),
+                    pa.ListArray.from_arrays(off_scores, pa.array(scores.ravel())),
+                ],
+                ["vec_id", "cluster", "codes", "scores"],
+            )
+
+    return encode
+
+
+@query("q_ann_ivfpq_top10", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
+def q_ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-10 — the memory-compressed scale tier of the ANN
+    stack (the FAISS IVFPQ + refine architecture): coarse inverted lists
+    over unit vectors (cosine = inner product on the unit sphere),
+    residuals product-quantized to ``_PQ_M`` one-byte codes, query-time
+    scoring by asymmetric distance computation (ADC): approx cos(q, x) =
+    q·c_cluster + Σ_m LUT_q[m][code_m], where each query's LUT holds its
+    subspace dot products against the codebooks — then an exact re-rank
+    of the ≤ ``_PQ_SHORTLIST``-row ADC shortlist (on an isotropic corpus
+    ADC noise exceeds the top-10's cosine margins, so raw-ADC ordering is
+    honest only down to the shortlist tier; measured mean recall@10 0.18
+    raw vs 0.66+ refined at sf1).
+
+    Why this exists beside q_ann_ivf_top10: at 100 TB the inverted lists
+    cannot hold raw vectors — PQ stores 8 BYTES per 64-dim vector (32×
+    compression) and ADC never reconstructs; the shuffle/storage story is
+    codes, the flops story is |q| × M × ksub LUT builds on the driver
+    plus one table lookup per (candidate, subspace). Driver-side data is
+    bounded by construction: the fit sample, k + M×ksub centroids, the
+    _N_QUERIES query vectors, and the per-query LUTs (M×ksub doubles).
+
+    Rows-only check (learned quantizers make the neighbor set
+    implementation-specific), with the same fused in-row recall witness
+    as IVF: recall@10 per query against the exact brute-force ranking
+    computed in the same corpus pass, and a within_bound flag (mean
+    recall ≥ 0.5 — PQ8x8 residual coding is accurate enough on this
+    corpus; the local test pins the same floor). The registered,
+    witnessed form pays full witness scoring once BY DESIGN; the
+    witness-free production form scores only probed clusters via the
+    LUTs.
+
+    Bounded result (≤ _N_QUERIES × _TOP_K rows): materialized via
+    ``collected``; caches released (assigned codes + the ≤50-row top-k).
+    """
+    top, caches = _ivfpq_plan(spark, sf_dir)
+    return collected(spark, top, *caches)
+
+
+def _ivfpq_plan(spark: SparkSession, sf_dir: str):
+    """Lazy IVF-PQ plan + persisted intermediates (code table read by the
+    candidate stage and the witness; the ≤ q·k top-k read twice)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fit_rows = (
+        e.select("embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(_IVF_FIT_N)
+        .collect()
+    )
+    sample = np.array([r.embedding for r in fit_rows], dtype=np.float64)
+    norms = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
+    np.divide(sample, norms, out=sample, where=norms > 0)
+    cents = _fit_coarse_quantizer(sample, _IVF_K, _IVF_LLOYD_ITERS, seed=42)
+    books = _fit_pq_codebooks(sample, cents, _PQ_M, _PQ_KSUB, _PQ_ITERS, seed=1042)
+    ksub = books.shape[1]
+    dsub = books.shape[2]
+
+    q_rows = sorted(
+        e.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not q_rows:
+        raise ValueError("IVF-PQ: no query vectors (vec_id < %d)" % _N_QUERIES)
+    probe_rows = []
+    lut_rows = []
+    q_units = []
+    for qi, r in enumerate(q_rows):
+        v = np.array(r.embedding, dtype=np.float64)
+        norm = float(np.sqrt((v * v).sum()))
+        u = v / norm if norm > 0 else v
+        q_units.append(u)
+        d2 = ((cents - u) ** 2).sum(axis=1)
+        for c in np.argsort(d2, kind="stable")[: min(_IVF_NPROBE, len(cents))]:
+            # carry q·c (ADC's coarse term) and the query's index into the
+            # fused witness-score array (the refine stage reads it)
+            probe_rows.append((int(r.vec_id), qi, int(c), float(u @ cents[c])))
+        lut = np.concatenate(
+            [books[m] @ u[m * dsub : (m + 1) * dsub] for m in range(_PQ_M)]
+        )
+        lut_rows.append((int(r.vec_id), [float(x) for x in lut]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qi int, cluster int, qdotc double"
+    )
+    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+
+    # spread before the Arrow pass: the embeddings parquet may be a single
+    # row group (1 task), and the per-subspace code matmuls are the
+    # CPU-heavy step (measured 7.1s single-task → sub-second spread)
+    assigned = (
+        e.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .mapInArrow(
+            _pq_encode_batches(cents, books, np.array(q_units)),
+            "vec_id long, cluster int, codes array<int>, scores array<double>",
+        )
+        .persist()
+    )
+
+    # Stage 1 — ADC shortlist: probed-cluster broadcast join + per-query
+    # LUT broadcast join; the score is M table lookups unrolled into
+    # straight codegen (no HOF) — the per-candidate cost PQ is designed
+    # around. Stage 2 — refine: exact cosine re-rank of the ≤ L-row
+    # shortlist (the FAISS IndexRefine pattern; ADC noise on an isotropic
+    # corpus is larger than the top-10's cosine margins, so the shortlist
+    # is PQ's honest product and the final order comes from a bounded
+    # exact re-check — at 100 TB the refine re-fetches raw vectors for
+    # L·|q| rows only; here the exact scores already ride on the code
+    # table from the fused witness pass).
+    adc = F.col("qdotc")
+    for m in range(_PQ_M):
+        adc = adc + F.element_at(
+            "lut", F.element_at("codes", m + 1) + m * ksub + 1
+        )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(luts), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc"),
+            F.element_at("scores", F.col("qi") + 1).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= _PQ_SHORTLIST)
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    pq_top = (
+        shortlist.withColumn("rk2", F.row_number().over(w_cos))
+        .where(F.col("rk2") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("adc", 4).alias("adc_rounded"))
+        .persist()
+    )
+
+    # fused witness: exact cosine top-10 from the same corpus pass
+    qids_lit = F.array(*[F.lit(int(r.vec_id)).cast("long") for r in q_rows])
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    truth = (
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode("scores").alias("qi", "cos"),
+        )
+        .select(
+            F.element_at(qids_lit, F.col("qi") + 1).alias("query_id"),
+            "neighbor_id",
+            "cos",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("true_id"))
+    )
+    hits = (
+        pq_top.join(
+            F.broadcast(truth),
+            (pq_top.query_id == truth.query_id)
+            & (pq_top.neighbor_id == truth.true_id),
+            "left",
+        )
+        .groupBy(pq_top.query_id)
+        .agg((F.count("true_id") / F.lit(_TOP_K)).alias("recall10"))
+    )
+    all_q = Window.partitionBy()
+    witnessed = hits.select(
+        "query_id",
+        "recall10",
+        (F.avg("recall10").over(all_q) >= 0.5).alias("within_bound"),
+    )
+    top = pq_top.join(F.broadcast(witnessed), "query_id").select(
+        "query_id", "neighbor_id", "adc_rounded", "recall10", "within_bound"
+    )
+    return top, [assigned, pq_top]
 
 
 # Planted near-dups: scaled copies of the first _PLANT vectors, ids offset

@@ -771,6 +771,22 @@ def test_cms_probe_join_is_broadcast_and_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivfpq_broadcast_only_no_smj(spark, sf_dir):
+    """IVF-PQ: same join discipline as IVF — probes and per-query LUTs
+    broadcast against the code table; a SortMergeJoin would mean the
+    corpus got sorted for a bounded probe. (Registered query materializes
+    via caching.collected; inspect the lazy helper.)"""
+    from als_pyspark_spark.similarity.queries import _ivfpq_plan
+
+    top, caches = _ivfpq_plan(spark, sf_dir)
+    plan = plan_of(top)
+    for c in caches:
+        c.unpersist()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_broadcast_only_no_smj(spark, sf_dir):
     """IVF ANN: every join must broadcast its bounded side (centroid
     probes, shortlist, witness) — a SortMergeJoin means the corpus got

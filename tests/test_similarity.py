@@ -57,6 +57,31 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert avg_recall >= 0.5, f"IVF avg recall {avg_recall:.2f} (per-query {recalls})"
 
 
+def test_ivfpq_recall_vs_bruteforce_and_witness(spark, sf_dir):
+    """IVF-PQ + refine: the exact re-rank of the ADC shortlist must keep
+    recall at the IVF floor (the shortlist tier absorbs the ADC noise an
+    isotropic corpus maximizes), the in-row witness must agree with an
+    external recomputation, and codes/ranks must be well-formed."""
+    exact = QUERIES["q_ann_bruteforce_top10"].build(spark, sf_dir).collect()
+    approx = QUERIES["q_ann_ivfpq_top10"].build(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    wit: dict[int, float] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        wit[r.query_id] = r.recall10
+        assert r.query_id != r.neighbor_id
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.5, f"IVF-PQ avg recall {avg_recall:.2f} ({recalls})"
+    # the fused witness measures recall against the same exact ranking the
+    # brute-force query computes — the two must agree per query
+    for q in truth:
+        assert abs(wit[q] - len(truth[q] & got.get(q, set())) / len(truth[q])) < 1e-9
+
+
 def test_bruteforce_excludes_self(spark, sf_dir):
     for r in QUERIES["q_ann_bruteforce_top10"].build(spark, sf_dir).collect():
         assert r.query_id != r.neighbor_id
