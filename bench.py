@@ -104,6 +104,14 @@ HEADLINE = [
     "q_dedup_chunk_level",
     "q_cogroup_asof_merge",
     "q_arrow_map_token_stats",
+    # round 10: the new cost shapes — the overlapping-window-hash
+    # substring tier (hash-key window shuffle + in-row interval fold),
+    # its scrub transform (one extra co-partitioned join + string
+    # rebuild), and the code-compressed ANN tier (Arrow encode pass +
+    # broadcast ADC + bounded exact refine)
+    "q_dedup_substring_spans",
+    "q_dedup_scrub_spans",
+    "q_ann_ivfpq_top10",
 ]
 
 

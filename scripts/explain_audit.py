@@ -37,6 +37,7 @@ _LAZY_PLANS = {
     "q_equidepth_deciles": ("als_pyspark_spark.operators.aggregates", "_equidepth_plan"),
     "q_ann_lsh_top10": ("als_pyspark_spark.similarity.queries", "_ann_lsh_plan"),
     "q_ann_ivf_top10": ("als_pyspark_spark.similarity.queries", "_ivf_plan"),
+    "q_ann_ivfpq_top10": ("als_pyspark_spark.similarity.queries", "_ivfpq_plan"),
     "q_rerank_two_stage_topk": ("als_pyspark_spark.similarity.queries", "_rerank_plan"),
 }
 
