@@ -36,6 +36,7 @@ from als_pyspark_spark.functions.text import (
     tokens,
     word_ngrams,
 )
+from als_pyspark_spark.caching import collected
 from als_pyspark_spark.registry import query
 from als_pyspark_spark.sources.tables import load_table
 
@@ -157,17 +158,42 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-doc grams are deduped BEFORE the explode (array_distinct), so the
     aggregate is a plain COUNT(*) on (gram) — one shuffle with map-side
-    combine, then TakeOrderedAndProject for the bounded report."""
+    combine, then TakeOrderedAndProject for the bounded report.
+
+    The gram table materializes through a released cache (round 10):
+    exploding an array built by an expensive inline HOF pipeline re-pays
+    the pipeline ~per OUTPUT row (the decontaminate Generate class) —
+    measured 6.2s inline vs 0.6s from the materialized column at sf1.
+    The result is a bounded ≤{top}-row report, so ``collected`` releases
+    the cache instead of leaking it."""
+    top, caches = _boilerplate_plan(spark, sf_dir)
+    return collected(spark, top, *caches)
+
+
+def _boilerplate_plan(spark: SparkSession, sf_dir: str):
+    """Lazy boilerplate-report plan + the persisted per-doc gram table
+    (plan tests inspect the DataFrame without materializing)."""
     d = load_table(spark, sf_dir, "documents")
-    grams = F.array_distinct(word_ngrams(tokens(F.col("text")), _BOILER_N))
-    return (
-        d.select("doc_id", F.explode(grams).alias("gram"))
+    n_part = spark.sparkContext.defaultParallelism
+    grams = (
+        d.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(tokens(F.col("text")), _BOILER_N)).alias(
+                "gs"
+            ),
+        )
+        .persist()
+    )
+    top = (
+        grams.select(F.explode("gs").alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
         .orderBy(F.desc("n_docs"), F.asc("gram"))
         .limit(_BOILER_TOP)
     )
+    return top, [grams]
 
 
 @query(

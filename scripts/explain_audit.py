@@ -39,6 +39,10 @@ _LAZY_PLANS = {
     "q_ann_ivf_top10": ("als_pyspark_spark.similarity.queries", "_ivf_plan"),
     "q_ann_ivfpq_top10": ("als_pyspark_spark.similarity.queries", "_ivfpq_plan"),
     "q_rerank_two_stage_topk": ("als_pyspark_spark.similarity.queries", "_rerank_plan"),
+    "q_boilerplate_ngrams": (
+        "als_pyspark_spark.functions.curation_queries",
+        "_boilerplate_plan",
+    ),
 }
 
 

@@ -53,7 +53,14 @@ def test_boilerplate_ngrams_nonvacuous_and_bounded(spark, sf_dir):
 
 
 def test_boilerplate_uses_take_ordered(spark, sf_dir):
-    plan = plan_of(QUERIES["q_boilerplate_ngrams"].build(spark, sf_dir))
+    # the registered query materializes via caching.collected (round 10),
+    # so inspect the lazy helper's real distributed plan
+    from als_pyspark_spark.functions.curation_queries import _boilerplate_plan
+
+    top, caches = _boilerplate_plan(spark, sf_dir)
+    plan = plan_of(top)
+    for c in caches:
+        c.unpersist()
     assert "TakeOrderedAndProject" in plan, plan
 
 
