@@ -261,6 +261,7 @@ _HOISTED = (
     # native-bit_count hamming64, decontaminate gram-cache fix)
     "q_decontaminate",
     "q_boilerplate_ngrams",
+    "q_pagerank_copurchase",
     "q_dedup_simhash",
     "q_ann_lsh_top10",
     "q_ann_ivf_top10",
@@ -306,18 +307,18 @@ _HOISTED = (
     "q_bpe_pair_counts",
     "q_cdc_last_writer_wins",
     "q_churn_labels",
-    "q_constraint_checks",
     # 5. sinks-family canary (freshest green r9) — every extension family
     # keeps one previously-green row in-window (test_registry lint); the
     # other families are already covered by the blocks above
     "q_sink_csv_roundtrip",
     # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-11 rotation — the remaining 34 r5-vintage
+    # tail: pre-staged round-11 rotation — the remaining 35 r5-vintage
     # rows (after round 10 lands these are the suite's oldest driver
     # evidence; all fingerprint-unchanged, their green r5 rows stay
-    # valid; the last five alphabetical r5 rows displaced from the
+    # valid; the last six alphabetical r5 rows displaced from the
     # prefix by the late scrub-transform, hamming64, gram-cache,
-    # IVF-PQ and boilerplate-cache hoists)
+    # IVF-PQ, boilerplate-cache and pagerank-nodes hoists)
+    "q_constraint_checks",
     "q_corr_covar_exact",
     "q_cumulative_distinct_users",
     "q_event_transition_matrix",
