@@ -1055,7 +1055,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is content-hashed; a window is duplicated when it occurs in
     ≥ 2 DISTINCT documents; overlapping duplicated windows merge into
     maximal spans (interval union: windows whose starts are ≤ K−1 apart
-    overlap). Output per affected doc: the number of maximal spans and
+    overlap; windows whose coverage merely TOUCHES — start gap exactly
+    K — stay separate spans, a convention both engines implement
+    identically and a hypothesis property pins at the boundary). Output per affected doc: the number of maximal spans and
     the total token count they cover — the numbers a scrub/filter stage
     keys on. Completes the granularity ladder between
     ``q_dedup_chunk_level`` (aligned 32-token windows) and the whole-doc

@@ -733,3 +733,79 @@ def test_chunk_level_dedup_matches_bruteforce(spark, texts):
             .collect()
         }
     assert got == want, (texts, got, want)
+
+
+@_settings
+@given(
+    st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=25)
+)
+def test_substring_interval_union_fold_matches_bruteforce(spark, positions):
+    """The exact-substring span fold (dedup/queries.py): for ANY set of
+    duplicated window start positions, dup_tokens must equal the
+    brute-force SIZE of the union of covered intervals [p, p+K-1]
+    (convention-independent), and n_spans must follow the documented
+    merge rule — windows merge iff their starts are ≤ K-1 apart, i.e.
+    they strictly OVERLAP. Two windows whose coverage merely TOUCHES
+    (start gap exactly K) stay separate spans — both the Spark fold and
+    the DuckDB LAG/SUM oracle implement that convention (hypothesis
+    found the boundary; the engines agree with each other, which is
+    what the exact oracle pins). The fold is gap-threshold arithmetic,
+    and hypothesis hunts the off-by-one boundaries."""
+    from als_pyspark_spark.dedup.queries import _SS_K
+
+    ps = sorted(set(positions))
+    covered = set()
+    for p in ps:
+        covered.update(range(p, p + _SS_K))
+    spans = 0
+    prev = None
+    for p in ps:  # documented rule: new span iff start gap > K-1
+        if prev is None or p - prev > _SS_K - 1:
+            spans += 1
+        prev = p
+    want = (spans, len(covered))
+
+    # run the SAME fold expression the query uses, over a one-row frame
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(sorted(set(positions)),)], "ps array<long>")
+    far = -(10**9)
+    init = F.struct(
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("toks"),
+        F.lit(far).cast("long").alias("start"),
+        F.lit(far).cast("long").alias("prev"),
+    )
+    fold = F.aggregate(
+        F.col("ps"),
+        init,
+        lambda acc, p: F.when(
+            p - acc["prev"] <= _SS_K - 1,
+            F.struct(
+                acc["n_spans"].alias("n_spans"),
+                acc["toks"].alias("toks"),
+                acc["start"].alias("start"),
+                p.cast("long").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["n_spans"] + 1).alias("n_spans"),
+                (
+                    acc["toks"]
+                    + F.when(
+                        acc["n_spans"] > 0, acc["prev"] - acc["start"] + _SS_K
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("toks"),
+                p.cast("long").alias("start"),
+                p.cast("long").alias("prev"),
+            )
+        ),
+        lambda acc: F.struct(
+            acc["n_spans"].alias("n_spans"),
+            (acc["toks"] + acc["prev"] - acc["start"] + _SS_K)
+            .cast("long")
+            .alias("dup_tokens"),
+        ),
+    )
+    r = df.select(fold.alias("s")).select("s.n_spans", "s.dup_tokens").collect()[0]
+    assert (r.n_spans, r.dup_tokens) == want, (ps, (r.n_spans, r.dup_tokens), want)
