@@ -171,7 +171,25 @@ def _canon_frame(df, ndigits: int = 9):
                 else v
             )
     if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort")
+        # Sort string cells by their UTF-8 bytes, not the raw str: pandas'
+        # multi-column sort factorizes object columns through numpy
+        # fixed-width unicode, where a trailing NUL is PADDING — '' and
+        # '\x00' compare as a tie and the stable mergesort then leaks the
+        # input row order into the "canonical" form (hypothesis-falsified
+        # in round 10 with [('', None, ''), ('', None, '\x00')]). UTF-8
+        # byte order equals code-point order for every valid code point,
+        # so the key changes nothing except breaking NUL-padding ties.
+        df = df.sort_values(
+            by=list(df.columns),
+            kind="mergesort",
+            key=lambda col: col.map(
+                lambda v: v.encode("utf-8", "surrogatepass")
+                if isinstance(v, str)
+                else v
+            )
+            if col.dtype.kind == "O"
+            else col,
+        )
     # pandas turns None into NaN in float columns; NaN != NaN would make
     # the elementwise tuple compare fail on NULLs both engines agree on —
     # normalize back to None (identically on both sides) after the sort.

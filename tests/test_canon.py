@@ -155,6 +155,28 @@ def test_none_only_and_empty_results():
     assert canon([(None, None)], ["a", "b"]) == [(None, None)]
 
 
+def test_nul_byte_strings_sort_deterministically():
+    """Pinned round-10 hypothesis counterexample: pandas' multi-column
+    sort factorizes object columns through numpy fixed-width unicode,
+    where a trailing '\\x00' is padding — '' and '\\x00' tied and the
+    stable mergesort leaked input row order into the canonical form.
+    The UTF-8-bytes sort key (canon.py _canon_frame) must break the tie
+    identically for every permutation."""
+    cols = ["a", "b", "c"]
+    rows = [("", None, ""), ("", None, "\x00")]
+    assert canon(rows, cols) == canon(list(reversed(rows)), cols)
+    # and the broader NUL family: padding at depth, interior NULs, ties
+    # across multiple sort columns
+    rows2 = [("x", 1, "ab"), ("x", 1, "ab\x00"), ("x", 1, "ab\x00\x00")]
+    expect = canon(rows2, cols)
+    for perm in (
+        [rows2[2], rows2[0], rows2[1]],
+        [rows2[1], rows2[2], rows2[0]],
+        list(reversed(rows2)),
+    ):
+        assert canon(perm, cols) == expect
+
+
 @_settings
 @given(
     rows=_typed_rows(2),
