@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from als_pyspark_spark.caching import deferred
 from als_pyspark_spark.functions.text import STOPWORDS, tokens, word_ngrams
 from als_pyspark_spark.registry import query
 from als_pyspark_spark.sources.tables import load_table
@@ -208,21 +209,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pipeline ~per OUTPUT row (Generate evaluation, 18×: 11.6s inline
     vs 0.74s materialize + 0.47s explode; a shuffle barrier does NOT help
     because the optimizer reorders the projection across it). Query total
-    11.6 → 1.7s warm. Same cache-lifetime note as dedup/queries.py: the
-    result is corpus-proportional so collected() would bottleneck the
-    driver; LRU eviction bounds the cost and a one-job-per-query 100 TB
-    run releases at session end (or stages grams to a temp table)."""
+    11.6 → 1.7s warm. Cache lifetime (round-11 ADVICE): the result is
+    corpus-proportional so collected() would bottleneck the driver, and
+    the gram table has no readers outside this query's own plan — so it
+    registers with ``caching.deferred`` and the harness releases it at
+    the next between-queries checkpoint instead of leaking it for the
+    session lifetime (a one-job-per-query 100 TB run releases at session
+    end either way, or stages grams to a temp table)."""
     d = load_table(spark, sf_dir, "documents")
     # repartition BEFORE the gram projection: shingling is the CPU-heavy
     # step and the corpus parquet may be a single row group (1 task) — same
     # discipline as the LSH signature pipeline (dedup/queries.py)
     n_part = spark.sparkContext.defaultParallelism
-    grams = d.repartition(n_part, "doc_id").select(
-        "doc_id",
-        F.array_distinct(word_ngrams(tokens(F.col("text")), _DECONTAM_N)).alias("gs"),
-        # deliberate session-lifetime cache — see the docstring's persist
-        # rationale (2 readers + the measured 18× Generate re-evaluation)
-    ).persist()
+    grams = deferred(
+        d.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(tokens(F.col("text")), _DECONTAM_N)).alias(
+                "gs"
+            ),
+        )
+        .persist()
+    )
     bench = (
         grams.where(F.col("doc_id") % 97 == 0)
         .select(F.explode("gs").alias("g"))

@@ -89,10 +89,18 @@ def _sweep_stale_checkpoints(base: str, max_age_s: float = 3 * 3600) -> None:
             if pid is not None:
                 if not _pid_alive(pid):
                     shutil.rmtree(path, ignore_errors=True)
-                elif os.path.getmtime(path) < time.time() - _PID_REUSE_AGE_S:
+                elif os.path.getmtime(marker) < time.time() - _PID_REUSE_AGE_S:
                     # "alive" may be an unrelated process that recycled
                     # the dead owner's pid — past the 48 h fallback gate
                     # no genuine local session can still own this dir.
+                    # Age is judged from the MARKER's mtime, which the
+                    # owner re-touches on every ensure_checkpoint_dir
+                    # call (round-11 ADVICE: checkpoint WRITES land in
+                    # nested rdd-N subdirs and never bump the base dir's
+                    # mtime, so a genuinely live long session — CI soak,
+                    # attached notebook — looked idle by dir mtime and
+                    # lost its unrecoverable checkpoints). Liveness is
+                    # owner-asserted, not inferred from write patterns.
                     shutil.rmtree(path, ignore_errors=True)
                 continue
             if os.path.getmtime(path) < cutoff:
@@ -130,7 +138,22 @@ def ensure_checkpoint_dir(spark: SparkSession) -> str:
     """
     sc = spark.sparkContext
     own = sc.getCheckpointDir()
-    if own is None:
+    if own is not None:
+        # Dir already claimed (by an earlier call here, build_session, or
+        # the embedding app). If the liveness marker in it is OURS,
+        # re-touch it: every query that lazily claims checkpointing
+        # refreshes the owner-asserted heartbeat the 48 h sweep fallback
+        # reads, so a long-lived session that keeps working keeps its dir.
+        local = own.removeprefix("file:") if own.startswith("file:") else own
+        marker = os.path.join(local, _OWNER_MARKER)
+        try:
+            with open(marker) as f:
+                if int(f.read().strip()) == os.getpid():
+                    os.utime(marker)
+        except (OSError, ValueError):
+            pass  # foreign/absent marker: not ours to touch
+        return own
+    else:
         base = os.path.abspath(
             os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),

@@ -359,6 +359,41 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collected(spark, top, *caches)
 
 
+def _embedding_matrix(batch, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow batch's ``embedding`` list
+    column, refusing null or ragged rows BEFORE the reshape (round-11
+    ADVICE): ``ListArray.flatten()`` silently DROPS a null row's slot and
+    concatenates ragged rows, so a corrupt embedding column either died
+    in a confusing reshape error or — when the lengths happened to divide
+    evenly — shifted every subsequent row one slot over and misassigned
+    clusters with no diagnostic. The expected ``dim`` is known from the
+    fit sample/codebooks, so the guard is two O(1) checks per batch."""
+    import pyarrow.compute as pc
+
+    col = batch.column("embedding")
+    n = batch.num_rows
+    if col.null_count:
+        raise ValueError(
+            f"embedding batch has {col.null_count} NULL rows out of {n}; "
+            "IVF corpus passes require a dense embedding column"
+        )
+    # Per-row length check, not just total-length: two ragged rows whose
+    # combined length happens to divide by dim would reshape "cleanly"
+    # into shifted garbage — the exact no-diagnostic case. min==max==dim
+    # is one vectorized Arrow kernel over the offsets, O(n) with no
+    # Python loop.
+    lens = pc.list_value_length(col)
+    lo, hi = pc.min_max(lens).values()
+    if n and (lo.as_py() != dim or hi.as_py() != dim):
+        raise ValueError(
+            f"ragged embedding batch: row lengths span "
+            f"[{lo.as_py()}, {hi.as_py()}], expected uniform {dim} "
+            f"(fit-sample dimensionality)"
+        )
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(n, dim)
+
+
 def _assign_batches(cents: np.ndarray, q_units: np.ndarray):
     """Vectorized Arrow-batched IVF corpus pass (``mapInArrow``): per row,
     the nearest-centroid cluster id (ties toward the lower id, matching
@@ -386,13 +421,7 @@ def _assign_batches(cents: np.ndarray, q_units: np.ndarray):
             n = b.num_rows
             if n == 0:
                 continue
-            m = (
-                b.column("embedding")
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                .reshape(n, -1)
-            )
+            m = _embedding_matrix(b, c64.shape[1])
             d2 = (
                 (m * m).sum(axis=1, keepdims=True)
                 - 2.0 * (m @ c64.T)
@@ -586,13 +615,7 @@ def _pq_encode_batches(cents: np.ndarray, books: np.ndarray, q_units: np.ndarray
             n = b.num_rows
             if n == 0:
                 continue
-            m = (
-                b.column("embedding")
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                .reshape(n, -1)
-            )
+            m = _embedding_matrix(b, c64.shape[1])
             norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
             np.divide(m, norms, out=m, where=norms > 0)
             d2 = (

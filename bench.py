@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from als_pyspark_spark.caching import release_deferred
 from als_pyspark_spark.registry import load_all_queries
 from als_pyspark_spark.session import build_session
 
@@ -155,6 +156,9 @@ def main() -> int:
             force(q.build(spark, sf_dir))
             dt = time.time() - t0
             timings[name] = round(dt, 3)
+            # harness checkpoint for caching.deferred registrants — every
+            # pass re-pays the real cache-build cost (honest repricing)
+            release_deferred()
             print(f"# pass{pass_i} {name}: {dt:.2f}s", file=sys.stderr)
         passes.append(timings)
 
@@ -181,6 +185,7 @@ def main() -> int:
             t0 = time.time()
             force(queries[name].build(spark, sf_dir))
             dt = round(time.time() - t0, 3)
+            release_deferred()
             print(f"# pass3(fast) {name}: {dt:.2f}s", file=sys.stderr)
             best[name] = min(best[name], dt)
     # The driver captures only the tail of stdout and parses the final

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from als_pyspark_spark.caching import release_deferred
 from als_pyspark_spark.canon import assert_scalar_schema, compare_result
 from als_pyspark_spark.registry import load_all_queries, requirements_met
 from als_pyspark_spark.session import build_session
@@ -73,6 +74,11 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
+        finally:
+            # between-queries checkpoint for caching.deferred registrants
+            # (caches with corpus-proportional results and no cross-query
+            # readers — released here instead of leaking per session)
+            release_deferred()
         if q.oracle is None:
             print(f"ok(rows-only)  {name}: {len(s_rows)} rows  [{time.time()-t0:.1f}s]")
             continue

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pytest
 
+from als_pyspark_spark.caching import release_deferred
 from als_pyspark_spark.canon import assert_scalar_schema, compare_result
 from als_pyspark_spark.registry import load_all_queries, requirements_met
 
@@ -20,11 +21,15 @@ def test_query(name, spark, sf_dir, duck):
     q = QUERIES[name]
     if not requirements_met(q):
         pytest.skip(f"optional dependency absent: {q.requires}")
-    sdf = q.build(spark, sf_dir)
-    # Driver-contract lint: complex top-level output types break the
-    # driver's canonicalizer even when the values are right.
-    assert_scalar_schema(sdf.schema, name)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        sdf = q.build(spark, sf_dir)
+        # Driver-contract lint: complex top-level output types break the
+        # driver's canonicalizer even when the values are right.
+        assert_scalar_schema(sdf.schema, name)
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        # between-queries checkpoint for caching.deferred registrants
+        release_deferred()
     if q.oracle is None:
         # rows-only contract: must run and have a stable schema
         assert sdf.schema is not None

@@ -72,18 +72,28 @@ def test_sweep_liveness_marker_overrides_age(tmp_path):
 def test_sweep_pid_reuse_fallback_age_gate(tmp_path):
     """Round-10 ADVICE: a recycled pid must not make a dead session's dir
     immortal — past the generous 48 h fallback gate even an alive-looking
-    owner pid loses the dir (no genuine local session lives that long).
-    Under the gate, the alive marker still protects it (the round-9
-    semantics are unchanged for real sessions)."""
+    owner pid loses the dir (no genuine local session lives that long
+    without asserting liveness). Round-11 ADVICE refinement: the age is
+    the MARKER's mtime (owner-asserted heartbeat, re-touched by every
+    ensure_checkpoint_dir call), NOT the dir's — checkpoint writes land
+    in nested rdd-N subdirs and never bump the base dir, so a genuinely
+    live long session looked idle by dir mtime and lost unrecoverable
+    checkpoints."""
     ancient = _mkdir_with_age(tmp_path, "pid-reused", age_s=72 * 3600)
-    _plant_marker(ancient, str(os.getpid()))  # alive — but dir is 72h old
+    _plant_marker(ancient, str(os.getpid()))  # alive — but heartbeat 72h old
     old = time.time() - 72 * 3600
-    os.utime(ancient, (old, old))  # _plant_marker re-ages to 10h; go past 48h
+    os.utime(os.path.join(ancient, ".owner_pid"), (old, old))
     recent = _mkdir_with_age(tmp_path, "alive-and-recent", age_s=10 * 3600)
-    _plant_marker(recent, str(os.getpid()))  # alive, 10h < 48h: kept
+    _plant_marker(recent, str(os.getpid()))  # alive, fresh heartbeat: kept
+    # a live session whose DIR is ancient but whose heartbeat is fresh is
+    # exactly the CI-soak/notebook case the marker gate exists for — kept
+    soak = _mkdir_with_age(tmp_path, "old-dir-fresh-heartbeat", age_s=72 * 3600)
+    _plant_marker(soak, str(os.getpid()))
+    os.utime(soak, (old, old))  # dir ancient, marker mtime stays fresh
     _sweep_stale_checkpoints(str(tmp_path), max_age_s=3 * 3600)
     assert not os.path.exists(ancient)
     assert os.path.exists(recent)
+    assert os.path.exists(soak)
 
 
 def test_sweep_garbage_marker_falls_back_to_age_gate(tmp_path):
@@ -148,3 +158,23 @@ def test_session_has_checkpoint_dir_and_cleaner(spark):
         spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
         == "true"
     )
+
+
+def test_ensure_checkpoint_dir_refreshes_own_heartbeat(spark):
+    """Every lazy per-query claim re-touches OUR .owner_pid marker, so the
+    48 h pid-reuse sweep fallback reads an owner-asserted heartbeat
+    instead of inferring liveness from dir write patterns (round-11
+    ADVICE — checkpoint writes land in nested rdd-N subdirs and never
+    bump the base dir's mtime)."""
+    from als_pyspark_spark.session import _OWNER_MARKER, ensure_checkpoint_dir
+
+    own = ensure_checkpoint_dir(spark)
+    local = own.removeprefix("file:") if own.startswith("file:") else own
+    marker = os.path.join(local, _OWNER_MARKER)
+    assert os.path.isfile(marker)
+    with open(marker) as f:
+        assert int(f.read().strip()) == os.getpid()
+    old = time.time() - 72 * 3600
+    os.utime(marker, (old, old))
+    ensure_checkpoint_dir(spark)  # idempotent claim → heartbeat touch
+    assert os.path.getmtime(marker) > time.time() - 60

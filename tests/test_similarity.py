@@ -193,3 +193,38 @@ def test_bucket_array_matches_numpy_reference(spark):
             for b in range(_ANN_BLOCKS)
         }
         assert got[i] == want, f"vec {i}: {got[i]} != {want}"
+
+
+def test_embedding_matrix_guards_null_and_ragged_batches():
+    """Round-11 ADVICE: ListArray.flatten() silently drops a null row's
+    slot and concatenates ragged rows — when lengths happened to divide
+    evenly that misassigned clusters with NO diagnostic. The guard must
+    name the problem before any reshape."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from als_pyspark_spark.similarity.queries import _embedding_matrix
+
+    def batch(rows):
+        return pa.RecordBatch.from_arrays(
+            [pa.array(range(len(rows))), pa.array(rows, type=pa.list_(pa.float32()))],
+            ["vec_id", "embedding"],
+        )
+
+    good = batch([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    m = _embedding_matrix(good, 2)
+    assert m.shape == (3, 2) and m.dtype == np.float64
+    assert m[2, 1] == 6.0
+
+    with _pytest.raises(ValueError, match="NULL rows"):
+        _embedding_matrix(batch([[1.0, 2.0], None, [5.0, 6.0]]), 2)
+
+    with _pytest.raises(ValueError, match="ragged"):
+        _embedding_matrix(batch([[1.0], [2.0, 3.0, 4.0]]), 3)
+    # ragged AND total-length-divisible by the expected dim: rows of 1+3
+    # values against dim 2 flatten to 4 == 2*2 — the old code reshaped
+    # this into shifted garbage with no diagnostic; the per-row length
+    # check is what catches it
+    with _pytest.raises(ValueError, match="ragged"):
+        _embedding_matrix(batch([[1.0], [2.0, 3.0, 4.0]]), 2)
