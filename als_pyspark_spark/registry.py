@@ -231,19 +231,18 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 10 agenda (VERDICT r9 "Next round" items 1-3, 6):
-#   1. the new exact-substring dedup tier (first-window green required);
-#   2. fingerprint flips, all previously green, re-verify: the ANN-stack
-#      vectorized-Arrow reshape (bucketing UDF: ann_lsh / rerank /
-#      neardup / semantic-dedup; mapInArrow IVF), the quality-scorer
-#      structural-single-eval alias, and q_dedup_clusters via the
-#      session-helper pid-reuse gate (transitive fingerprint);
-#   3. the full 25-row r4-vintage block — landing these closes the r4
-#      vintage debt entirely: no query's newest driver row predates r5;
-#   4. the oldest r5-vintage block the remaining slots carry (16 of 45,
-#      alphabetical) — starts the r5 drain; the tail pre-stages round
-#      11's rotation with the other 29 r5 rows;
-#   5. the sinks-family canary (freshest green r9).
+# Round 11 agenda (VERDICT r10 "Next round" items 2-4 + the ADVICE lows):
+#   1. fingerprint flips from this round's fixes, all previously green,
+#      re-verify: the decontaminate gram-cache deferred release, the IVF /
+#      IVF-PQ embedding-batch guards (+ any recall-floor retune), and the
+#      two connected-components queries via the session-helper heartbeat
+#      gate (transitive fingerprint through ensure_checkpoint_dir);
+#   2. the full remaining 35-row r5-vintage block — landing these closes
+#      the r5 vintage entirely: no query's newest driver row predates r6.
+# Family canaries (streaming/sinks/pandas_udfs/text/dedup/similarity) are
+# all inside blocks 1-2 this round (q_stream_* x4, q_sink_sorted_layout,
+# q_pandas_grouped_agg_trimmed, q_source_vocab_overlap, q_dedup_clusters +
+# q_fuzzy_part_match, and the ANN trio).
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -251,73 +250,15 @@ _MODULE_ORDER = (
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. new round-10 operators — first-window green required (the
-    # exact-substring tier: span stats + the scrub transform; the
-    # memory-compressed IVF-PQ ANN tier)
-    "q_dedup_substring_spans",
-    "q_dedup_scrub_spans",
-    "q_ann_ivfpq_top10",
-    # 2. fingerprint flips (ANN reshape, scorer alias, session helper,
-    # native-bit_count hamming64, decontaminate gram-cache fix)
+    # 1. fingerprint flips (deferred gram-cache release; embedding batch
+    # guards on both mapInArrow corpus passes; checkpoint-heartbeat
+    # session helper reachable from both CC queries)
     "q_decontaminate",
-    "q_boilerplate_ngrams",
-    "q_pagerank_copurchase",
-    "q_dedup_simhash",
-    "q_ann_lsh_top10",
     "q_ann_ivf_top10",
-    "q_rerank_two_stage_topk",
-    "q_embedding_neardup_pairs",
+    "q_ann_ivfpq_top10",
     "q_semantic_dedup_clusters",
     "q_dedup_clusters",
-    "q_quality_linear_scorer",
-    # 3. the full r4-vintage block — closes the r4 debt entirely
-    "q_funnel_steps",
-    "q_interval_math_shipping",
-    "q_listagg_priorities_by_status",
-    "q_median_quantity_by_flag",
-    "q_mixture_rebalance",
-    "q_month_calendar_orders",
-    "q_ngram_novelty",
-    "q_null_safe_join",
-    "q_quality_gate",
-    "q_regexp_extract_props",
-    "q_repetition_metrics",
-    "q_retention_cohorts",
-    "q_revenue_mom_change",
-    "q_rollup_region_hierarchy",
-    "q_stream_tumbling_hourly",
-    "q_text_quality",
-    "q_token_length_histogram",
-    "q_try_arithmetic",
-    "q_udtf_polymorphic_split",
-    "q_union_by_name",
-    "q_user_event_sequences",
-    "q_vocab_encode_docs",
-    "q_window_first_last_ignore_nulls",
-    "q_window_ntile_by_nation",
-    "q_window_rolling_90d_spend",
-    # 4. oldest r5 vintage — alphabetical prefix (16 of 45)
-    "q1_pricing_summary",
-    "q_ab_test_analysis",
-    "q_activity_streak_islands",
-    "q_approx_topk_tokens",
-    "q_benford_digit_profile",
-    "q_bigram_lm_counts",
-    "q_bloom_incremental_dedup",
-    "q_bpe_pair_counts",
-    "q_cdc_last_writer_wins",
-    "q_churn_labels",
-    # 5. sinks-family canary (freshest green r9) — every extension family
-    # keeps one previously-green row in-window (test_registry lint); the
-    # other families are already covered by the blocks above
-    "q_sink_csv_roundtrip",
-    # --- ~50-entry sweep-prefix boundary ---
-    # tail: pre-staged round-11 rotation — the remaining 35 r5-vintage
-    # rows (after round 10 lands these are the suite's oldest driver
-    # evidence; all fingerprint-unchanged, their green r5 rows stay
-    # valid; the last six alphabetical r5 rows displaced from the
-    # prefix by the late scrub-transform, hamming64, gram-cache,
-    # IVF-PQ, boilerplate-cache and pagerank-nodes hoists)
+    # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",
     "q_cumulative_distinct_users",
@@ -353,8 +294,10 @@ _HOISTED = (
     "q_weighted_sampling",
     "q_winsorize_prices",
     "q_zscore_outlier_orders",
+    # --- ~50-entry sweep-prefix boundary: the ~10 remaining slots fill
+    # from _MODULE_ORDER (graph/warehouse heads, all previously green) and
+    # absorb any queries added later this round ---
 )
-
 
 def load_all_queries() -> dict[str, Query]:
     """Import every module that registers queries, then return the registry

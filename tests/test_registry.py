@@ -32,13 +32,13 @@ from als_pyspark_spark.registry import (
 
 _WINDOW = 50
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ROUNDS = (1, 2, 3, 4, 5, 6, 7, 8, 9)
+_ROUNDS = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
 
 
 def _driver_verified() -> set[str]:
     seen: set[str] = set()
     for i in _ROUNDS:
-        path = os.path.join(_REPO, f"CORRECTNESS_r0{i}.json")
+        path = os.path.join(_REPO, f"CORRECTNESS_r{i:02d}.json")
         with open(path) as f:
             seen |= set(json.load(f))
     return seen
