@@ -567,7 +567,17 @@ def _ivf_plan(spark: SparkSession, sf_dir: str):
 _PQ_M = 8  # product-quantizer subspaces (64 dims → 8 × 8-dim)
 _PQ_KSUB = 256  # centroids per subspace → 1 byte/code, 8 bytes/vector
 _PQ_ITERS = 6
-_PQ_SHORTLIST = 256  # ADC shortlist size refined by exact re-rank
+# ADC shortlist size refined by exact re-rank. 1024, from the round-11
+# sweep (scripts/sweep_ivfpq.py, PERF.md): on this isotropic corpus the
+# shortlist — not the probe count — was the binding recall constraint at
+# sf1 (sim recall@10 0.82→0.92 at L=256→1024; real witness 0.66→0.76 at
+# sf1 / 0.86 at sf0.1, runtime unchanged), and the refine stage's cost is
+# L·|q| bounded rows, so the bump is ~free. The residual sf1 misses are
+# COVERAGE (true neighbors in unprobed cells): at nprobe/K = 1/2 on an
+# isotropic corpus, recall is scan-fraction-bound regardless of K — more
+# coarse cells buy nothing at fixed scan, and pushing nprobe to 12/16
+# (scan 0.75) would defeat the pruning that makes IVF worth running.
+_PQ_SHORTLIST = 1024
 
 
 def _fit_pq_codebooks(
