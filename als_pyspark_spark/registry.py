@@ -258,6 +258,10 @@ _HOISTED = (
     "q_ann_ivfpq_top10",
     "q_semantic_dedup_clusters",
     "q_dedup_clusters",
+    # (added mid-round) the exact-substring tier's two-phase dup count —
+    # the salting caveat closed structurally — flips both span queries
+    "q_dedup_substring_spans",
+    "q_dedup_scrub_spans",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",

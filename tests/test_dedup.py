@@ -276,3 +276,36 @@ def test_scrub_spans_removes_exactly_the_covered_tokens(spark, tmp_path):
         5: (16, 16, ""),
         6: (16, 16, ""),
     }
+
+
+def test_substring_spans_planted_corpus_wide_boilerplate(spark, tmp_path):
+    """Round-10's docstring promised the cross-doc count survives a
+    corpus-wide boilerplate key; round 11 made that structural (two-phase
+    aggregate: distinct (hh, doc_id) pairs, map-side-combined count per
+    hash, AQE-skew-eligible join back) — this pins the SEMANTICS under
+    the plant: every doc shares one 16-token banner, so every doc gets
+    exactly one 16-token span; a longer shared run still merges into one
+    maximal span; the unique tails never produce spans."""
+    banner = " ".join(f"bn{i}" for i in range(16))
+    pad = lambda pref, n: " ".join(f"{pref}{i}" for i in range(n))
+    n_docs = 60
+    rows = [(i, banner + " " + pad(f"u{i}_", 24)) for i in range(n_docs)]
+    # one pair additionally shares a 20-token run (banner + 4 tokens) to
+    # prove merging still works while the hot key is present
+    s20 = banner + " " + " ".join(f"x{i}" for i in range(4))
+    rows[1] = (1, s20 + " " + pad("q", 10))
+    rows[2] = (2, s20 + " " + pad("r", 10))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens)
+        for r in QUERIES["q_dedup_substring_spans"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    expect = {i: (1, 16) for i in range(n_docs)}
+    expect[1] = (1, 20)
+    expect[2] = (1, 20)
+    assert got == expect
