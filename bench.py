@@ -113,6 +113,9 @@ HEADLINE = [
     "q_dedup_substring_spans",
     "q_dedup_scrub_spans",
     "q_ann_ivfpq_top10",
+    # round 11: the exact-complete prefix-filtered set-similarity join
+    # (PPJoin tier — guaranteed-complete Jaccard pairs, never all-pairs)
+    "q_dedup_jaccard_prefix_join",
 ]
 
 

@@ -309,3 +309,50 @@ def test_substring_spans_planted_corpus_wide_boilerplate(spark, tmp_path):
     expect[1] = (1, 20)
     expect[2] = (1, 20)
     assert got == expect
+
+
+def test_jaccard_prefix_join_is_exact_complete(spark, tmp_path):
+    """The prefix-filter tier's whole point: EVERY pair with Jaccard ≥ τ
+    is produced (the winnowing tier can miss pairs whose min-fingerprint
+    grams differ; MinHash is probabilistic). Verified against a Python
+    brute-force over all pairs, and as a superset of the winnowing tier
+    on the same fixture."""
+    import itertools
+
+    rng_words = [f"w{i}" for i in range(30)]
+    # overlapping word windows so gram sets intersect heavily between
+    # neighbors, plus exact and near duplicates
+    rows = [(i, " ".join(rng_words[i : i + 12])) for i in range(12)]
+    rows += [(100, rows[3][1]), (101, rows[3][1] + " zz0 zz1")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_dedup_jaccard_prefix_join"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    gs = {i: grams(t) for i, t in rows if len(grams(t))}
+    want = {}
+    for a, b in itertools.combinations(sorted(gs), 2):
+        j = len(gs[a] & gs[b]) / len(gs[a] | gs[b])
+        if j >= 0.5:
+            want[(a, b)] = j
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+    # superset of the single-fingerprint-blocked tier at the same τ
+    winnow = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_ngram_jaccard"].build(spark, str(tmp_path)).collect()
+    }
+    assert winnow <= set(got)
