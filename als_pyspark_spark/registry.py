@@ -262,9 +262,12 @@ _HOISTED = (
     # the salting caveat closed structurally — flips both span queries
     "q_dedup_substring_spans",
     "q_dedup_scrub_spans",
-    # NEW round-11 operator — first-window green required: the
+    # NEW round-11 operators — first-window green required: the
     # exact-complete prefix-filtered set-similarity join (PPJoin tier)
+    # and distributed PCA (one-pass Gramian moments + driver eig +
+    # distributed projection, spectral-identity self-witness)
     "q_dedup_jaccard_prefix_join",
+    "q_embedding_pca_project",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",

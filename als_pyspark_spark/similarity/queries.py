@@ -1264,3 +1264,119 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size"),
         )
     )
+
+
+_PCA_K = 8  # projected dimensions (64 → 8)
+
+
+@query(
+    "q_embedding_pca_project",
+    oracle=None,
+    tags=("similarity", "pca", "linear-algebra", "witness"),
+)
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus + projection to the top
+    ``_PCA_K`` principal components — the dimension-reduction stage an
+    embedding pipeline runs before ANN indexing (and the corpus-level
+    analogue of the reference's A4 Gramian ``treeAggregate``: ALS.py's
+    ``compute_YtY`` accumulates a factor Gramian the same one-pass way).
+
+    Spark-first shape, two corpus passes and NOTHING quadratic:
+
+    1. MOMENTS: one ``mapInArrow`` pass emits per-batch partial moments
+       (count, Σx, upper-triangular ΣxxT — d(d+1)/2 doubles). The
+       driver reduces the ≤ #tasks partial rows (bounded by
+       construction: ~17 KB per task at d=64, independent of corpus
+       size — the treeAggregate pattern with Arrow batches as leaves),
+       assembles the covariance C = ΣxxT/n − μμT, and eigendecomposes
+       the 64×64 matrix locally. Eigenvector signs are pinned
+       (largest-|entry| coordinate made positive) so reruns are stable.
+    2. PROJECT: a second ``mapInArrow`` pass ships W (k×d, a few KB)
+       inside the serialized function and emits per vector its k
+       projected coordinates plus the energy split ‖WT(x−μ)‖² vs
+       ‖x−μ‖² for the witness.
+
+    Rows-only check (eigendecomposition is not SQL-expressible), with a
+    SELF-WITNESS stronger than a recall floor: by the spectral theorem
+    Σᵢ‖WT(xᵢ−μ)‖² / Σᵢ‖xᵢ−μ‖² must equal Σ_top-k λ / Σλ exactly, and
+    the two sides are computed INDEPENDENTLY (distributed projection
+    sums vs driver eigenvalues), so ``within_bound`` certifies the whole
+    pipeline — moments, eig, sign pinning, projection — to float
+    precision in every row. The global-sum window is fine at test SF;
+    a 100 TB run folds the two sums into pass 2's aggregate instead.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n_part = spark.sparkContext.defaultParallelism
+    spread = e.select("vec_id", "embedding").repartition(n_part, "vec_id")
+    iu0, iu1 = np.triu_indices(_DIM)
+
+    def moments(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            m = _embedding_matrix(b, _DIM)
+            g = m.T @ m
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([b.num_rows], type=pa.int64()),
+                    pa.array([m.sum(axis=0).tolist()]),
+                    pa.array([g[iu0, iu1].tolist()]),
+                ],
+                ["cnt", "s", "g"],
+            )
+
+    parts = spread.mapInArrow(
+        moments, "cnt long, s array<double>, g array<double>"
+    ).collect()  # ≤ one small row per task — bounded by construction
+    if not parts:
+        raise ValueError("PCA: embeddings table is empty — nothing to fit")
+    n = sum(r.cnt for r in parts)
+    s = np.sum([r.s for r in parts], axis=0)
+    gt = np.zeros((_DIM, _DIM))
+    gt[iu0, iu1] = np.sum([r.g for r in parts], axis=0)
+    gt = gt + np.triu(gt, 1).T
+    mu = s / n
+    cov = gt / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+    k = min(_PCA_K, _DIM)
+    w = evecs[:, :k].copy()
+    # sign pinning: the largest-|entry| coordinate of each PC is positive
+    for j in range(k):
+        if w[np.abs(w[:, j]).argmax(), j] < 0:
+            w[:, j] = -w[:, j]
+    lam_frac = float(evals[:k].sum() / evals.sum())
+
+    def project(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            m = _embedding_matrix(b, _DIM) - mu
+            proj = m @ w  # (n, k)
+            num = (proj * proj).sum(axis=1)
+            den = (m * m).sum(axis=1)
+            arrs = [b.column("vec_id")]
+            names = ["vec_id"]
+            for j in range(min(4, k)):
+                arrs.append(pa.array(np.round(proj[:, j], 6)))
+                names.append(f"pc{j + 1}")
+            arrs += [pa.array(num), pa.array(den)]
+            names += ["energy_num", "energy_den"]
+            yield pa.RecordBatch.from_arrays(arrs, names)
+
+    schema = "vec_id long, " + ", ".join(
+        f"pc{j + 1} double" for j in range(min(4, k))
+    ) + ", energy_num double, energy_den double"
+    projected = spread.mapInArrow(project, schema)
+    all_rows = Window.partitionBy()
+    frac = F.sum("energy_num").over(all_rows) / F.sum("energy_den").over(all_rows)
+    return projected.select(
+        "vec_id",
+        *[F.col(f"pc{j + 1}") for j in range(min(4, k))],
+        F.round(F.col("energy_num") / F.col("energy_den"), 6).alias("energy_frac"),
+        (F.abs(frac - F.lit(lam_frac)) < 1e-6).alias("within_bound"),
+    )

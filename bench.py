@@ -115,7 +115,11 @@ HEADLINE = [
     "q_ann_ivfpq_top10",
     # round 11: the exact-complete prefix-filtered set-similarity join
     # (PPJoin tier — guaranteed-complete Jaccard pairs, never all-pairs)
+    # and distributed PCA (one-pass Gramian moments + driver eig +
+    # distributed projection; ~1.3s flat from sf0.1 to sf1 — the corpus
+    # passes dominate and they are embarrassingly parallel)
     "q_dedup_jaccard_prefix_join",
+    "q_embedding_pca_project",
 ]
 
 

@@ -228,3 +228,43 @@ def test_embedding_matrix_guards_null_and_ragged_batches():
     # check is what catches it
     with _pytest.raises(ValueError, match="ragged"):
         _embedding_matrix(batch([[1.0], [2.0, 3.0, 4.0]]), 2)
+
+
+def test_pca_projection_witness_and_planted_direction(spark, tmp_path):
+    """The PCA self-witness is the spectral identity (projection energy
+    ratio == top-k eigenvalue ratio, computed independently); on a
+    corpus with one PLANTED high-variance direction, PC1 must recover it
+    (|corr| with the planted axis ~ 1) and reruns must be bit-identical
+    (sign pinning + rounding)."""
+    import numpy as np
+
+    from als_pyspark_spark.registry import load_all_queries
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 64
+    axis = np.zeros(d)
+    axis[7] = 1.0
+    x = rng.standard_normal((n, d)) * 0.1 + rng.standard_normal((n, 1)) * 5.0 * axis
+    spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    q = load_all_queries()["q_embedding_pca_project"]
+    rows = sorted(q.build(spark, str(tmp_path)).collect(), key=lambda r: r.vec_id)
+    assert len(rows) == n
+    assert all(r.within_bound for r in rows)
+    assert all(-1e-9 <= r.energy_frac <= 1.0 + 1e-9 for r in rows)
+    # PC1 recovers the planted axis: projected coord ~ the axis coefficient
+    pc1 = np.array([r.pc1 for r in rows])
+    coef = x[:, 7] - x[:, 7].mean()
+    corr = abs(np.corrcoef(pc1, coef)[0, 1])
+    assert corr > 0.99, corr
+    # planted direction dominates the energy
+    mean_frac = float(np.mean([r.energy_frac for r in rows]))
+    assert mean_frac > 0.8, mean_frac  # mean of per-row ratios sits below the global energy ratio
+    # rerun determinism (sign pinning)
+    rows2 = sorted(q.build(spark, str(tmp_path)).collect(), key=lambda r: r.vec_id)
+    assert [(r.pc1, r.pc2, r.pc3, r.pc4) for r in rows] == [
+        (r.pc1, r.pc2, r.pc3, r.pc4) for r in rows2
+    ]
