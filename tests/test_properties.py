@@ -809,3 +809,59 @@ def test_substring_interval_union_fold_matches_bruteforce(spark, positions):
     )
     r = df.select(fold.alias("s")).select("s.n_spans", "s.dup_tokens").collect()[0]
     assert (r.n_spans, r.dup_tokens) == want, (ps, (r.n_spans, r.dup_tokens), want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40), min_size=1, max_size=20),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_candidate_rule_is_complete(sets):
+    """The PPJoin candidate rule q_dedup_jaccard_prefix_join relies on,
+    falsification-tested in pure Python: for EVERY pair with
+    J(A,B) >= tau, the rarest-first prefixes must share an element AND
+    survive the length + positional filters — if hypothesis finds a
+    qualifying pair the rule misses, the Spark query is incomplete by
+    construction (its oracle would agree, so the driver gate could
+    never catch it)."""
+    import math
+
+    tau = 0.5
+    # global order: document frequency asc, element asc (the query's rank)
+    df: dict[int, int] = {}
+    for s in sets:
+        for x in s:
+            df[x] = df.get(x, 0) + 1
+    order = {x: i for i, x in enumerate(sorted(df, key=lambda x: (df[x], x)))}
+
+    def prefix_with_pos(s):
+        ranked = sorted(s, key=lambda x: order[x])
+        ell = len(s) - math.ceil(tau * len(s)) + 1
+        return {x: i + 1 for i, x in enumerate(ranked[:ell])}  # 1-based rn
+
+    pres = [prefix_with_pos(s) for s in sets]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac < tau:
+                continue
+            na, nb = len(a), len(b)
+            # length filter must pass for every qualifying pair
+            assert tau * nb <= na and tau * na <= nb, (a, b)
+            # some shared PREFIX element must also pass the positional
+            # filter (the query prunes rows, keeps pairs where ANY row
+            # survives)
+            alpha = (na + nb + 2) // 3
+            survivors = [
+                x
+                for x in (pres[i].keys() & pres[j].keys())
+                if 1 + min(na - pres[i][x], nb - pres[j][x]) >= alpha
+            ]
+            assert survivors, (
+                f"complete-rule violation: J={jac:.3f} pair {sorted(a)} / "
+                f"{sorted(b)} has no surviving prefix meeting"
+            )
