@@ -826,7 +826,16 @@ def test_prefix_filter_candidate_rule_is_complete(sets):
     survive the length + positional filters — if hypothesis finds a
     qualifying pair the rule misses, the Spark query is incomplete by
     construction (its oracle would agree, so the driver gate could
-    never catch it)."""
+    never catch it).
+
+    The property additionally imposes the AllPairs asymmetric INDEX
+    prefix on the smaller set (pos <= n - ceil(2tau/(1+tau)*n) + 1) —
+    STRICTER than the shipped join, so its completeness implies the
+    shipped rule's. The stricter form is deliberately NOT shipped:
+    measured on the sf1 corpus it prunes exactly 0 of the 17.2M
+    post-positional candidates (equal-size near-dup clusters make the
+    positional filter subsume it), so it would be dead weight in the
+    join condition."""
     import math
 
     tau = 0.5
@@ -856,10 +865,19 @@ def test_prefix_filter_candidate_rule_is_complete(sets):
             # filter (the query prunes rows, keeps pairs where ANY row
             # survives)
             alpha = (na + nb + 2) // 3
+            # role for the asymmetric index prefix: smaller set, ties by
+            # position (the query's doc_a < doc_b orientation makes that
+            # "a when sizes are equal")
+            a_small = na <= nb
+            def idx_ok(x):
+                if a_small:
+                    return pres[i][x] <= na - (2 * na + 2) // 3 + 1
+                return pres[j][x] <= nb - (2 * nb + 2) // 3 + 1
             survivors = [
                 x
                 for x in (pres[i].keys() & pres[j].keys())
                 if 1 + min(na - pres[i][x], nb - pres[j][x]) >= alpha
+                and idx_ok(x)
             ]
             assert survivors, (
                 f"complete-rule violation: J={jac:.3f} pair {sorted(a)} / "
