@@ -806,6 +806,99 @@ def q_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_weighted_reservoir",
+    oracle="""
+WITH scored AS (
+    SELECT source, doc_id,
+           LEAST(8, 1 + len(string_split(text, ' ')) // 16) AS weight
+    FROM documents
+), keyed AS (
+    SELECT source, doc_id, weight,
+           list_max(list_transform(generate_series(1, weight),
+               j -> ('0x' || substr(md5('wres|' || CAST(doc_id AS VARCHAR)
+                                    || '|' || CAST(j AS VARCHAR)), 1, 15))
+                    ::BIGINT)) AS sample_key
+    FROM scored
+), ranked AS (
+    SELECT source, doc_id, weight, sample_key,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY sample_key DESC, doc_id ASC) AS smp_rank
+    FROM keyed
+)
+SELECT source, smp_rank, doc_id, weight, sample_key
+FROM ranked WHERE smp_rank <= 10
+""",
+    tags=("pipeline", "sampling", "weighted", "reservoir"),
+)
+def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT fixed-size weighted sampling without replacement: the top-10
+    documents per source drawn with probability proportional to an
+    integer quality weight — the Efraimidis–Spirakis (A-ES, 2006)
+    reservoir, the data-mixing primitive for "exactly k exemplars per
+    domain, quality-weighted". Complements q_weighted_sampling, whose
+    Bernoulli draw yields a RANDOM-SIZE sample.
+
+    A-ES orders items by u_i^(1/w_i) (u_i iid uniform) and takes the top
+    k. That key needs pow/log — float transcendentals that are NOT
+    bit-stable across engines — so this uses the max-of-w-draws identity
+    instead: for integer w, P(max(u_1..u_w) ≤ t) = t^w = P(u^(1/w) ≤ t),
+    i.e. the MAX of w independent md5-derived 60-bit hash draws has
+    exactly the A-ES key's distribution, in pure integer arithmetic both
+    engines replay byte-identically. Weights are capped at 8, so the key
+    is an in-row array_max over ≤8 md5 calls — no explode, no shuffle.
+
+    Per-group top-k runs TWO-PHASE for skew safety (a corpus with 4
+    sources would otherwise funnel everything through 4 reducer tasks):
+    top-10 within (source, doc_id mod 16) salted subgroups first, then
+    top-10 of the ≤160 survivors per source — exact because the global
+    top-10 of a group is contained in the union of its salted top-10s.
+    The output carries the integer sample_key itself, so the oracle
+    hash-checks the full selection order, not just membership.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from als_pyspark_spark.functions.hashing import md5_hash60
+
+    n_tokens = F.size(tokens(F.col("text")))
+    w = F.least(F.lit(8), F.lit(1) + F.floor(n_tokens / F.lit(16)).cast("int"))
+    key = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: md5_hash60(
+                F.concat(
+                    F.lit("wres|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    j.cast("string"),
+                )
+            ),
+        )
+    )
+    scored = d.select(
+        "source",
+        "doc_id",
+        w.cast("long").alias("weight"),
+        key.alias("sample_key"),
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("salt"),
+    )
+    w_salted = Window.partitionBy("source", "salt").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    survivors = (
+        scored.withColumn("rn", F.row_number().over(w_salted))
+        .where(F.col("rn") <= 10)
+        .drop("rn", "salt")
+    )
+    w_final = Window.partitionBy("source").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        survivors.withColumn("smp_rank", F.row_number().over(w_final))
+        .where(F.col("smp_rank") <= 10)
+        .select("source", "smp_rank", "doc_id", "weight", "sample_key")
+    )
+
+
+@query(
     "q_kfold_assignment",
     oracle="""
 WITH f AS (

@@ -566,6 +566,101 @@ def _bfs_hist_plan(spark: SparkSession, sf_dir: str):
     return hist, [e]
 
 
+_LPA_ROUNDS = 2
+
+
+@query(
+    "q_label_propagation_communities",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+    SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+    SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y AS u, x AS v FROM e0
+), l0 AS (
+    SELECT DISTINCT u AS node, u AS lbl FROM e
+), c1 AS (
+    SELECT e.u, l0.lbl, COUNT(*) AS c FROM e JOIN l0 ON l0.node = e.v
+    GROUP BY e.u, l0.lbl
+), l1 AS (
+    SELECT u AS node, lbl FROM (
+        SELECT u, lbl,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn
+        FROM c1
+    ) WHERE rn = 1
+), c2 AS (
+    SELECT e.u, l1.lbl, COUNT(*) AS c FROM e JOIN l1 ON l1.node = e.v
+    GROUP BY e.u, l1.lbl
+), l2 AS (
+    SELECT u AS node, lbl FROM (
+        SELECT u, lbl,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn
+        FROM c2
+    ) WHERE rn = 1
+)
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l2 GROUP BY lbl
+ORDER BY n_members DESC, community ASC LIMIT 25
+""",
+    tags=("graph", "community", "label-propagation", "iterative"),
+)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the part
+    co-purchase graph, 2 rounds, reported as the 25 largest communities —
+    the community-detection primitive a curation pipeline uses to group
+    related products/topics (where connected components is too coarse:
+    one giant component ≠ one community).
+
+    LPA is normally nondeterministic (random tie-breaks, random update
+    order); this variant is made EXACTLY reproducible — and therefore
+    oracle-checkable — by (a) synchronous rounds (every node updates from
+    the previous round's labels) and (b) the deterministic tie-break
+    most-frequent-then-smallest label, mirrored by the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY c DESC, lbl ASC)``.
+
+    Per round: one keyed join (edges × labels, shuffled on node id) +
+    one count aggregate + one per-node argmax. The argmax is a
+    ``max(struct(c, -lbl))`` AGGREGATE, not a window — partial-combinable
+    map-side, so the hot reducer sees one partial per upstream partition
+    (the same skew-safe shape as the substring tier's two-phase count).
+    The doubled edge list persists across rounds; at the fixed 2 rounds
+    the unrolled lineage is bounded (deeper fixpoints must checkpoint
+    per round exactly as ``min_label_components`` does). Output is the
+    bounded top-25 histogram, so ``collected`` frees the edge cache.
+    """
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = (
+        e0.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionByName(e0.select(F.col("y").alias("u"), F.col("x").alias("v")))
+        .persist()
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.groupBy("u")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select(F.col("u").alias("node"), (-F.col("m.neg")).alias("lbl"))
+        )
+    top = (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(25)
+    )
+    return collected(spark, top, e)
+
+
 def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected pair list ``(src, dst)`` — the shared core behind near-dup

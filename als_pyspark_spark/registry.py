@@ -268,6 +268,14 @@ _HOISTED = (
     # distributed projection, spectral-identity self-witness)
     "q_dedup_jaccard_prefix_join",
     "q_embedding_pca_project",
+    # NEW round-11 extended-session operators — first-window green
+    # required: exact weighted reservoir sampling (A-ES via the
+    # max-of-w-draws identity) and synchronous label propagation
+    "q_sample_weighted_reservoir",
+    "q_label_propagation_communities",
+    # (extended session) clone-class collapse fingerprint flip — the
+    # MinHash tier now groups identical gram sets before banding/verify
+    "q_dedup_minhash_lsh",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",

@@ -356,3 +356,61 @@ def test_jaccard_prefix_join_is_exact_complete(spark, tmp_path):
         for r in QUERIES["q_dedup_ngram_jaccard"].build(spark, str(tmp_path)).collect()
     }
     assert winnow <= set(got)
+
+
+def test_label_propagation_python_replay(spark, tmp_path):
+    """Synchronous LPA with the deterministic most-frequent-then-smallest
+    tie-break must equal a pure-Python replay on a two-clique graph with
+    a bridge, and the two cliques must resolve to separate communities."""
+    from collections import Counter
+
+    from als_pyspark_spark.operators.graph import _LPA_ROUNDS
+    from als_pyspark_spark.registry import load_all_queries
+
+    # orders 1-4: clique over parts {1,2,3}; orders 5-8: clique {11,12,13};
+    # order 9 bridges 3-11
+    li = []
+    for ok in (1, 2, 3, 4):
+        for pk in (1, 2, 3):
+            li.append((ok, pk))
+    for ok in (5, 6, 7, 8):
+        for pk in (11, 12, 13):
+            li.append((ok, pk))
+    li += [(9, 3), (9, 11)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r.community: r.n_members
+        for r in load_all_queries()["q_label_propagation_communities"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+
+    # pure-Python synchronous replay
+    edges = set()
+    by_order: dict[int, list[int]] = {}
+    for ok, pk in li:
+        by_order.setdefault(ok, []).append(pk)
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a < b:
+                    edges.add((a, b))
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(_LPA_ROUNDS):
+        nxt = {}
+        for n in adj:
+            freq = Counter(lbl[m] for m in adj[n])
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        lbl = nxt
+    want = dict(Counter(lbl.values()))
+    assert got == want
+    # the two cliques resolve to separate communities
+    assert len(got) >= 2

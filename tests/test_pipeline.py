@@ -320,3 +320,51 @@ def test_arrow_map_matches_jvm_builtins(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_weighted_reservoir_python_replay(spark, tmp_path):
+    """The A-ES sample must equal a pure-Python replay of the same
+    max-of-w md5 keys (exactness), return exactly min(10, group size)
+    rows per source, and respect the rank order the keys induce."""
+    import hashlib
+
+    from als_pyspark_spark.registry import load_all_queries
+
+    rows = []
+    did = 0
+    for src, n_docs in (("wiki", 25), ("web", 7), ("code", 12)):
+        for _ in range(n_docs):
+            # vary token counts so weights span 1..8
+            text = " ".join(f"t{did}_{j}" for j in range((did % 10) * 16 + 1))
+            rows.append((did, text, "en", src, len(text)))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r.source, r.smp_rank, r.doc_id, r.weight, r.sample_key)
+        for r in load_all_queries()["q_sample_weighted_reservoir"]
+        .build(spark, str(tmp_path))
+        .collect()
+    ]
+
+    def key(doc_id, w):
+        return max(
+            int(hashlib.md5(f"wres|{doc_id}|{j}".encode()).hexdigest()[:15], 16)
+            for j in range(1, w + 1)
+        )
+
+    want = []
+    by_src: dict[str, list] = {}
+    for doc_id, text, _, src, _ in rows:
+        w = min(8, 1 + len(text.split(" ")) // 16)
+        by_src.setdefault(src, []).append((-key(doc_id, w), doc_id, w))
+    for src in by_src:
+        for rank, (negk, doc_id, w) in enumerate(sorted(by_src[src])[:10], 1):
+            want.append((src, rank, doc_id, w, -negk))
+    assert sorted(got) == sorted(want)
+    from collections import Counter
+
+    per_src = Counter(s for s, *_ in got)
+    assert per_src == {"wiki": 10, "web": 7, "code": 10}
