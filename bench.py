@@ -120,6 +120,13 @@ HEADLINE = [
     # passes dominate and they are embarrassingly parallel)
     "q_dedup_jaccard_prefix_join",
     "q_embedding_pca_project",
+    # round 11 (extended session): the two new cost shapes — synchronous
+    # LPA (argmax label propagation: join+count+struct-max agg per round,
+    # the frequency-vote variant of the iterative-graph family) and the
+    # A-ES weighted reservoir (per-row bounded md5 fan-out + two-phase
+    # salted per-group top-k)
+    "q_label_propagation_communities",
+    "q_sample_weighted_reservoir",
 ]
 
 

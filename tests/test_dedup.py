@@ -367,18 +367,18 @@ def test_label_propagation_python_replay(spark, tmp_path):
     from als_pyspark_spark.operators.graph import _LPA_ROUNDS
     from als_pyspark_spark.registry import load_all_queries
 
-    # orders 1-4: clique over parts {1,2,3}; orders 5-8: clique {11,12,13};
-    # order 9 bridges 3-11
+    # suppliers 1-2 × parts {1,2,3}: biclique A; suppliers 5-6 ×
+    # {11,12,13}: biclique B; supplier 9 bridges parts 3 and 11
     li = []
-    for ok in (1, 2, 3, 4):
+    for sk in (1, 2):
         for pk in (1, 2, 3):
-            li.append((ok, pk))
-    for ok in (5, 6, 7, 8):
+            li.append((sk, pk))
+    for sk in (5, 6):
         for pk in (11, 12, 13):
-            li.append((ok, pk))
+            li.append((sk, pk))
     li += [(9, 3), (9, 11)]
     spark.createDataFrame(
-        li, "l_orderkey long, l_partkey long"
+        li, "l_suppkey long, l_partkey long"
     ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
 
     got = {
@@ -388,16 +388,8 @@ def test_label_propagation_python_replay(spark, tmp_path):
         .collect()
     }
 
-    # pure-Python synchronous replay
-    edges = set()
-    by_order: dict[int, list[int]] = {}
-    for ok, pk in li:
-        by_order.setdefault(ok, []).append(pk)
-    for parts in by_order.values():
-        for a in parts:
-            for b in parts:
-                if a < b:
-                    edges.add((a, b))
+    # pure-Python synchronous replay on the parity-packed bipartite graph
+    edges = {(2 * sk, 2 * pk + 1) for sk, pk in li}
     adj: dict[int, list[int]] = {}
     for a, b in edges:
         adj.setdefault(a, []).append(b)
