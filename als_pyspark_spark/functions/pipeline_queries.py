@@ -898,6 +898,123 @@ def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARDS = 8  # consistent-hash ring size before the resize
+_VNODES = 16  # virtual nodes per shard
+
+
+def _ring(n_shards: int) -> list[int]:
+    """The deterministic consistent-hash ring, packed (point, shard) longs:
+    44-bit md5 point · 16 + shard id. Constant-size (n_shards · _VNODES
+    entries), data-independent, and byte-identically reproducible in
+    Python, Spark and DuckDB from the same md5 construction."""
+    import hashlib
+
+    return sorted(
+        int(hashlib.md5(f"ring|{s}|{v}".encode()).hexdigest()[:11], 16) * 16 + s
+        for s in range(n_shards)
+        for v in range(_VNODES)
+    )
+
+
+@query(
+    "q_consistent_shard_assignment",
+    oracle=f"""
+WITH r8 AS (
+    SELECT list_sort(flatten(list_transform(generate_series(0, {_SHARDS - 1}), s ->
+        list_transform(generate_series(0, {_VNODES - 1}), v ->
+            ('0x' || substr(md5('ring|' || CAST(s AS VARCHAR) || '|'
+                             || CAST(v AS VARCHAR)), 1, 11))::BIGINT * 16 + s))))
+        AS ring
+), r9 AS (
+    SELECT list_sort(flatten(list_transform(generate_series(0, {_SHARDS}), s ->
+        list_transform(generate_series(0, {_VNODES - 1}), v ->
+            ('0x' || substr(md5('ring|' || CAST(s AS VARCHAR) || '|'
+                             || CAST(v AS VARCHAR)), 1, 11))::BIGINT * 16 + s))))
+        AS ring
+), assigned AS (
+    SELECT
+        COALESCE(list_min(list_filter(r8.ring, p -> p >= h.h16)),
+                 list_min(r8.ring)) % 16 AS shard_before,
+        COALESCE(list_min(list_filter(r9.ring, p -> p >= h.h16)),
+                 list_min(r9.ring)) % 16 AS shard_after
+    FROM (SELECT ('0x' || substr(md5('doc|' || CAST(doc_id AS VARCHAR)), 1, 11))
+                 ::BIGINT * 16 AS h16
+          FROM documents) h, r8, r9
+)
+SELECT CAST(shard_before AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN shard_after = {_SHARDS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved_to_new,
+       CAST(SUM(CASE WHEN shard_after <> shard_before
+                      AND shard_after <> {_SHARDS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reassigned_existing
+FROM assigned GROUP BY shard_before
+""",
+    tags=("pipeline", "sharding", "consistent-hash"),
+)
+def q_consistent_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash shard assignment (Karger et al. 1997) of the
+    document corpus onto an 8-shard × 16-vnode ring, plus the RESIZE
+    DELTA when a 9th shard is added — how a 100 TB corpus is laid out so
+    growing the fleet re-shuffles ~1/(N+1) of the data instead of
+    rehashing everything (a mod-N assignment would move (N-1)/N of every
+    shard).
+
+    Ring points and document hashes pack into single longs (44-bit md5
+    point · 16 + shard id, so point order and packed order agree and
+    ``% 16`` recovers the shard); both rings are CONSTANT arrays —
+    128/144 entries, data-independent — so assignment is an in-row
+    ``array_min(filter(ring, p ≥ 16·h))`` successor probe with wraparound
+    coalesce: zero shuffle except the final per-shard rollup. A ring-point
+    hash collision would merge two vnodes IDENTICALLY in every engine
+    (the packed longs still order the same way), so the oracle cannot
+    split.
+
+    ``n_reassigned_existing`` is the STRUCTURAL WITNESS: consistent
+    hashing guarantees a resize moves documents only TO the new shard
+    (new points only ever capture arcs from their predecessors), so the
+    column is identically 0 — computed independently by both engines and
+    asserted in tests, not assumed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ring8 = F.array(*[F.lit(p) for p in _ring(_SHARDS)])
+    ring9 = F.array(*[F.lit(p) for p in _ring(_SHARDS + 1)])
+    h16 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("doc|"), F.col("doc_id").cast("string"))), 1, 11
+            ),
+            16,
+            10,
+        ).cast("long")
+        * 16
+    )
+
+    def assign(ring: F.Column, h: F.Column) -> F.Column:
+        succ = F.coalesce(
+            F.array_min(F.filter(ring, lambda p: p >= h)), F.array_min(ring)
+        )
+        return succ % 16
+
+    assigned = d.select(
+        assign(ring8, h16).alias("shard_before"),
+        assign(ring9, h16).alias("shard_after"),
+    )
+    return assigned.groupBy(F.col("shard_before").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("shard_after") == _SHARDS, 1).otherwise(0)
+        ).alias("n_moved_to_new"),
+        F.sum(
+            F.when(
+                (F.col("shard_after") != F.col("shard_before"))
+                & (F.col("shard_after") != _SHARDS),
+                1,
+            ).otherwise(0)
+        ).alias("n_reassigned_existing"),
+    )
+
+
 @query(
     "q_kfold_assignment",
     oracle="""

@@ -276,6 +276,8 @@ _HOISTED = (
     # (extended session) clone-class collapse fingerprint flip — the
     # MinHash tier now groups identical gram sets before banding/verify
     "q_dedup_minhash_lsh",
+    # (extended session) consistent-hash sharding with resize-delta witness
+    "q_consistent_shard_assignment",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",

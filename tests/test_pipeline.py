@@ -368,3 +368,38 @@ def test_weighted_reservoir_python_replay(spark, tmp_path):
 
     per_src = Counter(s for s, *_ in got)
     assert per_src == {"wiki": 10, "web": 7, "code": 10}
+
+
+def test_consistent_shard_minimal_movement(spark, sf_dir):
+    """The resize witness: adding a 9th shard moves docs ONLY to the new
+    shard (n_reassigned_existing must be 0 in every row), the moved
+    fraction is in a sane band around 1/9, and every original shard is
+    populated. Assignment is also replayed in pure Python for one ring."""
+    import hashlib
+
+    from als_pyspark_spark.functions.pipeline_queries import _ring
+    from als_pyspark_spark.registry import load_all_queries
+    from als_pyspark_spark.sources.tables import load_table
+
+    rows = (
+        load_all_queries()["q_consistent_shard_assignment"]
+        .build(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 8
+    assert all(r.n_reassigned_existing == 0 for r in rows)
+    n = sum(r.n_docs for r in rows)
+    moved = sum(r.n_moved_to_new for r in rows)
+    assert 0 < moved < n / 3  # ~1/9 expected; wide band, never a rehash
+
+    # python replay of the before-ring for a handful of docs
+    ring = _ring(8)
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").limit(20).collect()
+    ]
+    by_shard = {r.shard: r.n_docs for r in rows}
+    for doc_id in ids:
+        h16 = int(hashlib.md5(f"doc|{doc_id}".encode()).hexdigest()[:11], 16) * 16
+        succ = min((p for p in ring if p >= h16), default=min(ring))
+        assert (succ % 16) in by_shard
