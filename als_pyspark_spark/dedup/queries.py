@@ -573,19 +573,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5_hash60), byte-identical in DuckDB, so the oracle recomputes the
     same simhash integers, the same chunk keys, and the same Hamming
     distances — pairs and distances both hash-match.
+
+    CLONE-CLASS GROUPING (physical only — the prefix-join/MinHash
+    rewrite, same argument): the simhash is a pure function of the text,
+    so exact-duplicate documents collapse to one class row (groupBy
+    md5(text)) BEFORE the per-token simhash fold, the chunk join and the
+    Hamming verify; doc pairs expand at the end (intra-class pairs share
+    all 4 chunks and have Hamming 0, so the doc-level plan emitted them
+    all too). The expensive per-doc step here is the 60-bit vote fold
+    over every token — computing it once per DISTINCT text is the
+    exact-dedup-before-enrichment pipeline ordering, paid for by one
+    corpus-text shuffle (tens of MB per million docs, trivial next to
+    the fold).
     """
     d = load_table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    sh = (
-        d.repartition(n_part, "doc_id")
-        .select("doc_id", simhash64(tokens(F.col("text"))).alias("sh"))
+    cls = (
+        d.groupBy(F.md5("text").alias("th"))
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("docs"),
+            F.first("text").alias("text"),
+        )
+        .select("gid", "docs", simhash64(tokens(F.col("text"))).alias("sh"))
         # deliberate session-lifetime cache — see the module docstring's
         # cache-lifetime note (3-4 readers; recompute measured 56x; result
         # unbounded so collected() would bottleneck on the driver)
         .persist()
     )
-    chunks = sh.select(
-        "doc_id",
+    chunks = cls.select(
+        "gid",
         "sh",
         F.explode(
             F.array(
@@ -604,16 +620,45 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.gid").alias("ga"),
+            F.col("b.gid").alias("gb"),
             hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= 3)
     )
+    sa = cls.select(F.col("gid").alias("ga"), F.col("docs").alias("da"))
+    sb = cls.select(F.col("gid").alias("gb"), F.col("docs").alias("db"))
+    cross = (
+        cand.join(sa, "ga")
+        .join(sb, "gb")
+        .select(F.explode("da").alias("ia"), "db", "hamming")
+        .select("ia", F.explode("db").alias("ib"), "hamming")
+        .select(
+            F.least(F.col("ia"), F.col("ib")).alias("doc_a"),
+            F.greatest(F.col("ia"), F.col("ib")).alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        cls.where(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("ia"), "docs")
+        .select("ia", F.explode("docs").alias("ib"))
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.lit(0).cast(cross.schema["hamming"].dataType).alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 @query(

@@ -996,9 +996,14 @@ def q_consistent_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         return succ % 16
 
-    assigned = d.select(
-        assign(ring8, h16).alias("shard_before"),
-        assign(ring9, h16).alias("shard_after"),
+    # materialize h16 as a column FIRST: the filter lambda's predicate
+    # embeds its argument subtree, so an inline expression would rerun
+    # md5+conv once per ring element per row (144× per probe, measured
+    # 15.6s → 1s at sf1); an attribute reference is read once per row
+    hashed = d.select(h16.alias("h16"))
+    assigned = hashed.select(
+        assign(ring8, F.col("h16")).alias("shard_before"),
+        assign(ring9, F.col("h16")).alias("shard_after"),
     )
     return assigned.groupBy(F.col("shard_before").alias("shard")).agg(
         F.count("*").alias("n_docs"),

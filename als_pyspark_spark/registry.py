@@ -278,6 +278,9 @@ _HOISTED = (
     "q_dedup_minhash_lsh",
     # (extended session) consistent-hash sharding with resize-delta witness
     "q_consistent_shard_assignment",
+    # (extended session) clone-class collapse fingerprint flip — SimHash
+    # computes the vote fold once per distinct text before chunk blocking
+    "q_dedup_simhash",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",
