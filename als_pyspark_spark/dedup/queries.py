@@ -1608,3 +1608,102 @@ def q_dedup_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned"),
     )
+
+
+def _tier_recall_oracle() -> str:
+    """Compose the tier-recall oracle from the three tiers' own oracle
+    strings (DuckDB allows WITH inside a CTE body), so the audit's ground
+    truth and probes can never drift from the queries they audit."""
+    from als_pyspark_spark.registry import QUERIES
+
+    truth = QUERIES["q_dedup_jaccard_prefix_join"].oracle
+    mh = QUERIES["q_dedup_minhash_lsh"].oracle
+    wn = QUERIES["q_dedup_ngram_jaccard"].oracle
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({truth})),
+mh AS (SELECT doc_a, doc_b FROM ({mh})),
+wn AS (SELECT doc_a, doc_b FROM ({wn})),
+tiers AS (
+    SELECT 'minhash_lsh' AS tier, doc_a, doc_b FROM mh
+    UNION ALL
+    SELECT 'winnow_fingerprint' AS tier, doc_a, doc_b FROM wn
+), tn AS (
+    SELECT COUNT(*) AS n_truth FROM truth
+), j AS (
+    SELECT t.tier,
+           CASE WHEN tr.doc_a IS NULL THEN 0 ELSE 1 END AS in_truth
+    FROM tiers t LEFT JOIN truth tr
+      ON t.doc_a = tr.doc_a AND t.doc_b = tr.doc_b
+)
+SELECT tier,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(in_truth) AS BIGINT) AS n_true,
+       CAST(n_truth - SUM(in_truth) AS BIGINT) AS n_missed,
+       CAST(COUNT(*) - SUM(in_truth) AS BIGINT) AS n_extra,
+       CAST(SUM(in_truth) AS DOUBLE) / n_truth AS recall
+FROM j, tn GROUP BY tier, n_truth
+"""
+
+
+@query(
+    "q_dedup_tier_recall",
+    oracle=_tier_recall_oracle(),
+    tags=("dedup", "audit", "recall", "meta"),
+)
+def q_dedup_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier dedup QUALITY AUDIT: recall of the probabilistic
+    (MinHash-LSH) and cheap (winnowing-fingerprint) Jaccard tiers against
+    the exact-complete prefix-join ground truth at the shared τ = 0.5 —
+    the measurement a pipeline owner runs before trusting a cheaper tier
+    on a new corpus, promoted from a test assertion
+    (tests/test_dedup.py's winnow ⊆ prefix check) to a first-class,
+    driver-audited operator.
+
+    ``n_extra`` is a STRUCTURAL WITNESS, not a measurement: both audited
+    tiers verify exact Jaccard ≥ τ on their candidates and the prefix
+    tier is provably complete at τ, so tier∖truth is empty — each engine
+    derives the 0 independently, so a nonzero value would expose a
+    completeness bug in the ground truth itself (the failure mode a
+    recall audit is most blind to). ``recall`` divides two exact BIGINT
+    counts — one IEEE division, bit-identical both sides.
+
+    Composition: the three tiers' registered builders run as
+    subplans (sharing their session-lifetime signature caches — the
+    audit costs ONE extra pair-set join, not three recomputed tiers),
+    one left join onto the truth pair set, one per-tier rollup, and a
+    broadcast single-row truth count. The oracle string is COMPOSED from
+    the three tiers' own oracle SQL at import time, so audit and audited
+    can never drift.
+    """
+    truth = q_dedup_jaccard_prefix_join(spark, sf_dir).select("doc_a", "doc_b")
+    tiers = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select(F.lit("minhash_lsh").alias("tier"), "doc_a", "doc_b")
+        .unionByName(
+            q_dedup_ngram_jaccard(spark, sf_dir).select(
+                F.lit("winnow_fingerprint").alias("tier"), "doc_a", "doc_b"
+            )
+        )
+    )
+    tn = truth.agg(F.count("*").alias("n_truth"))
+    j = tiers.join(
+        truth.withColumn("in_truth", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select("tier", F.coalesce("in_truth", F.lit(0)).alias("in_truth"))
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("in_truth").alias("n_true"),
+        )
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "tier",
+            "n_truth",
+            "n_pairs",
+            "n_true",
+            (F.col("n_truth") - F.col("n_true")).alias("n_missed"),
+            (F.col("n_pairs") - F.col("n_true")).alias("n_extra"),
+            (F.col("n_true").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )

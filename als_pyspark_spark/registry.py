@@ -281,6 +281,9 @@ _HOISTED = (
     # (extended session) clone-class collapse fingerprint flip — SimHash
     # computes the vote fold once per distinct text before chunk blocking
     "q_dedup_simhash",
+    # (extended session) cross-tier recall audit (winnow/minhash vs the
+    # exact-complete prefix join), oracle composed from the tiers' own SQL
+    "q_dedup_tier_recall",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",
