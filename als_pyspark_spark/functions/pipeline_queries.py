@@ -1239,3 +1239,121 @@ def q_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("verdict"),
     )
+
+
+def _contrastive_oracle() -> str:
+    """Composed from the MinHash tier's own oracle (the operational
+    near-dup set) so the positive definition cannot drift from the dedup
+    stack it samples from."""
+    from als_pyspark_spark.registry import QUERIES
+
+    mh = QUERIES["q_dedup_minhash_lsh"].oracle
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b, jaccard FROM ({mh})),
+pos AS (
+    SELECT doc_a AS anchor, doc_b AS positive, jaccard
+    FROM mh WHERE jaccard < 1.0
+), idx AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS pos
+    FROM documents
+), n AS (SELECT COUNT(*) AS n FROM documents),
+cand AS (
+    SELECT p.anchor, p.positive, p.jaccard, js.j,
+           1 + ('0x' || substr(md5('neg|' || CAST(p.anchor AS VARCHAR) || '|'
+                || CAST(p.positive AS VARCHAR) || '|'
+                || CAST(js.j AS VARCHAR)), 1, 15))::BIGINT % n.n AS target
+    FROM pos p, (SELECT UNNEST(generate_series(1, 2)) AS j) js, n
+), withneg AS (
+    SELECT c.anchor, c.positive, c.jaccard, c.j AS neg_j, i.doc_id AS negative
+    FROM cand c JOIN idx i ON i.pos = c.target
+    WHERE i.doc_id <> c.anchor AND i.doc_id <> c.positive
+)
+SELECT w.anchor, w.positive, CAST(w.neg_j AS BIGINT) AS neg_j,
+       w.negative, w.jaccard
+FROM withneg w
+LEFT JOIN mh d ON d.doc_a = LEAST(w.anchor, w.negative)
+              AND d.doc_b = GREATEST(w.anchor, w.negative)
+WHERE d.doc_a IS NULL
+"""
+
+
+@query(
+    "q_contrastive_pairs",
+    oracle=_contrastive_oracle(),
+    tags=("pipeline", "contrastive", "sampling", "training-pairs"),
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for embedding-model training:
+    positives are the dedup stack's OWN near-dup pairs (MinHash tier,
+    0.5 ≤ J < 1 — informative near-duplicates, exact clones excluded as
+    trivial), and each pair draws 2 deterministic hash negatives from the
+    whole corpus, rejecting (without resampling, so the construction
+    stays pure relational algebra) any draw that hits the anchor, the
+    positive, or a known near-dup of the anchor.
+
+    Negative addressing composes two existing primitives: the seeded
+    md5 draw (u mod N) and q_shuffle_order's scalable zipWithIndex rank
+    (bucketed local ranks + broadcast offsets — no global window), which
+    provides the deterministic bijection position → doc_id that both
+    engines replay exactly. The rejection anti-join runs against the
+    same MinHash pair set the positives came from, and the oracle SQL is
+    COMPOSED from that query's oracle at import time — positives,
+    negatives and rejections cannot drift from the audited dedup stack.
+
+    100 TB shape: pair volume is bounded by the near-dup set (never
+    corpus²); the index join is keyed on the draw target; the corpus
+    shuffles once for the index build. All arithmetic integer/md5 →
+    exact oracle.
+    """
+    from als_pyspark_spark.dedup.queries import q_dedup_minhash_lsh
+    from als_pyspark_spark.functions.hashing import md5_hash60
+
+    mh = q_dedup_minhash_lsh(spark, sf_dir)
+    pos = mh.where(F.col("jaccard") < 1.0).select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        "jaccard",
+    )
+    idx = q_shuffle_order(spark, sf_dir).select(
+        F.col("doc_id").alias("negative"), F.col("shuffle_pos").alias("pos")
+    )
+    nrow = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n"))
+    cand = (
+        pos.select(
+            "*", F.explode(F.array(F.lit(1), F.lit(2))).alias("neg_j")
+        )
+        .crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "target",
+            1
+            + md5_hash60(
+                F.concat(
+                    F.lit("neg|"),
+                    F.col("anchor").cast("string"),
+                    F.lit("|"),
+                    F.col("positive").cast("string"),
+                    F.lit("|"),
+                    F.col("neg_j").cast("string"),
+                )
+            )
+            % F.col("n"),
+        )
+    )
+    withneg = (
+        cand.join(idx, F.col("pos") == F.col("target"))
+        .where(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+        .select("anchor", "positive", F.col("neg_j").cast("long").alias("neg_j"),
+                "negative", "jaccard")
+    )
+    rejected = mh.select("doc_a", "doc_b")
+    return withneg.join(
+        rejected,
+        (F.least(F.col("anchor"), F.col("negative")) == F.col("doc_a"))
+        & (F.greatest(F.col("anchor"), F.col("negative")) == F.col("doc_b")),
+        "left_anti",
+    )

@@ -284,6 +284,9 @@ _HOISTED = (
     # (extended session) cross-tier recall audit (winnow/minhash vs the
     # exact-complete prefix join), oracle composed from the tiers' own SQL
     "q_dedup_tier_recall",
+    # (extended session) contrastive training-pair mining (near-dup
+    # positives + seeded hash negatives addressed via the shuffle index)
+    "q_contrastive_pairs",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",

@@ -403,3 +403,29 @@ def test_consistent_shard_minimal_movement(spark, sf_dir):
         h16 = int(hashlib.md5(f"doc|{doc_id}".encode()).hexdigest()[:11], 16) * 16
         succ = min((p for p in ring if p >= h16), default=min(ring))
         assert (succ % 16) in by_shard
+
+
+def test_contrastive_pairs_construction_invariants(spark, sf_dir):
+    """Structural invariants of the mined training pairs: positives are
+    genuine near-dups (0.5 <= J < 1), negatives never equal the anchor or
+    positive and never form a known near-dup pair with the anchor, and
+    each (anchor, positive) contributes at most 2 negatives."""
+    from collections import Counter
+
+    from als_pyspark_spark.registry import load_all_queries
+
+    q = load_all_queries()
+    rows = q["q_contrastive_pairs"].build(spark, sf_dir).collect()
+    assert rows
+    dup_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in q["q_dedup_minhash_lsh"].build(spark, sf_dir).collect()
+    }
+    per_pair = Counter((r.anchor, r.positive) for r in rows)
+    for r in rows:
+        assert 0.5 <= r.jaccard < 1.0
+        assert r.negative not in (r.anchor, r.positive)
+        key = (min(r.anchor, r.negative), max(r.anchor, r.negative))
+        assert key not in dup_pairs
+        assert (r.anchor, r.positive) in dup_pairs
+    assert all(v <= 2 for v in per_pair.values())
