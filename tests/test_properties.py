@@ -883,3 +883,75 @@ def test_prefix_filter_candidate_rule_is_complete(sets):
                 f"complete-rule violation: J={jac:.3f} pair {sorted(a)} / "
                 f"{sorted(b)} has no surviving prefix meeting"
             )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=25), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    clones=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=12),
+)
+def test_clone_class_expansion_equals_doc_level(base, clones):
+    """The clone-class rewrite of the pairwise dedup tiers, modeled end to
+    end in pure Python: group identical shingle sets, run the prefix
+    candidate rule + tau-verify over DISTINCT sets only, expand class
+    pairs + intra-class pairs — the result must equal the doc-level
+    brute force over every corpus hypothesis can build, including
+    all-clone corpora, singleton classes and cross-class near-dups."""
+    import itertools
+    import math
+
+    tau = 0.5
+    # corpus: each doc is a clone of one base set (forced clone classes)
+    docs = {i: base[c % len(base)] for i, c in enumerate(clones)}
+
+    # brute-force doc-level truth
+    want = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        j = len(docs[a] & docs[b]) / len(docs[a] | docs[b])
+        if j >= tau:
+            want[(a, b)] = j
+
+    # clone-class pipeline model
+    classes: dict[frozenset, list[int]] = {}
+    for i, s in docs.items():
+        classes.setdefault(s, []).append(i)
+    sets = list(classes)
+    df: dict[int, int] = {}
+    for s in sets:
+        for x in s:
+            df[x] = df.get(x, 0) + 1
+    order = {x: i for i, x in enumerate(sorted(df, key=lambda x: (df[x], x)))}
+
+    def prefix_pos(s):
+        ranked = sorted(s, key=lambda x: order[x])
+        ell = len(s) - math.ceil(tau * len(s)) + 1
+        return {x: i + 1 for i, x in enumerate(ranked[:ell])}
+
+    pres = {s: prefix_pos(s) for s in sets}
+    got = {}
+    for sa, sb in itertools.combinations(sets, 2):
+        na, nb = len(sa), len(sb)
+        alpha = (na + nb + 2) // 3
+        meet = [
+            x
+            for x in (pres[sa].keys() & pres[sb].keys())
+            if tau * nb <= na and tau * na <= nb
+            and 1 + min(na - pres[sa][x], nb - pres[sb][x]) >= alpha
+        ]
+        if not meet:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j < tau:
+            continue
+        for ia in classes[sa]:
+            for ib in classes[sb]:
+                got[(min(ia, ib), max(ia, ib))] = j
+    for members in classes.values():
+        for ia, ib in itertools.combinations(sorted(members), 2):
+            got[(ia, ib)] = 1.0
+
+    assert got == want
