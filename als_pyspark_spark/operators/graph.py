@@ -806,3 +806,102 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     pairs.unpersist()
     edges.unpersist()
     return labels.select("node", "label")
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+@query(
+    "q_kcore_peeling",
+    oracle=f"""
+WITH li AS (
+    SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+    FROM lineitem
+), e0 AS (
+    SELECT src AS u, dst AS v FROM li UNION ALL SELECT dst, src FROM li
+), k1 AS (
+    SELECT u FROM (SELECT u, COUNT(*) AS c FROM e0 GROUP BY u) WHERE c >= {_KCORE_K}
+), e1 AS (
+    SELECT u, v FROM e0
+    WHERE u IN (SELECT u FROM k1) AND v IN (SELECT u FROM k1)
+), k2 AS (
+    SELECT u FROM (SELECT u, COUNT(*) AS c FROM e1 GROUP BY u) WHERE c >= {_KCORE_K}
+), e2 AS (
+    SELECT u, v FROM e1
+    WHERE u IN (SELECT u FROM k2) AND v IN (SELECT u FROM k2)
+), k3 AS (
+    SELECT u FROM (SELECT u, COUNT(*) AS c FROM e2 GROUP BY u) WHERE c >= {_KCORE_K}
+), e3 AS (
+    SELECT u, v FROM e2
+    WHERE u IN (SELECT u FROM k3) AND v IN (SELECT u FROM k3)
+)
+SELECT CAST(1 AS BIGINT) AS peel_round,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_directed_edges FROM e1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(DISTINCT u) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT) FROM e2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(COUNT(DISTINCT u) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT) FROM e3
+""",
+    tags=("graph", "kcore", "iterative", "peeling"),
+)
+def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling (k = 3, 3 synchronous rounds) over the
+    parity-packed supplier↔part co-purchase graph: per round, drop every
+    node whose remaining degree is < k, then drop edges touching dropped
+    nodes — the densest-subgraph / graph-degeneracy primitive that
+    complements the other iterative shapes (PageRank's score
+    propagation, BFS's frontier expansion, CC's min-label fixpoint,
+    LPA's frequency vote) with the fourth one: ITERATIVE SUBGRAPH
+    SHRINKING, where the working set gets monotonically smaller each
+    round. At 100 TB that monotonicity is the point — unlike the other
+    loops, round r's cost is bounded by round r−1's survivors.
+
+    Per round: one degree aggregate + two left-semi joins (both keyed on
+    a node id), each round's edge table persisted (the round plan embeds
+    its predecessor twice — degree subtree + semi-join subtree — the
+    same doubling BFS documents; bounded at 3 rounds, a
+    run-to-convergence peel must checkpoint per round exactly as
+    ``min_label_components`` does). Output is the 3-row per-round
+    (nodes, directed edges) shrinkage curve — integer counts, exact
+    unrolled DuckDB oracle; ``collected`` frees the per-round caches.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    cur = (
+        li.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(li.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .persist()
+    )
+    caches = [cur]
+    per_round = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = cur.groupBy("u").agg(F.count("*").alias("c"))
+        keep = deg.where(F.col("c") >= _KCORE_K).select("u")
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .persist()
+        )
+        caches.append(cur)
+        per_round.append(
+            cur.agg(
+                F.lit(r).cast("long").alias("peel_round"),
+                F.countDistinct("u").alias("n_nodes"),
+                F.count("*").alias("n_directed_edges"),
+            )
+        )
+    out = per_round[0]
+    for p in per_round[1:]:
+        out = out.unionByName(p)
+    return collected(spark, out, *caches)

@@ -287,6 +287,9 @@ _HOISTED = (
     # (extended session) contrastive training-pair mining (near-dup
     # positives + seeded hash negatives addressed via the shuffle index)
     "q_contrastive_pairs",
+    # (extended session) k-core peeling — the iterative subgraph-shrinking
+    # shape (monotone working set), 3 unrolled rounds, exact oracle
+    "q_kcore_peeling",
     # 2. the full remaining r5-vintage block — closes the r5 debt
     "q_constraint_checks",
     "q_corr_covar_exact",
@@ -321,11 +324,19 @@ _HOISTED = (
     "q_target_encoding_loo",
     "q_upsert_snapshot",
     "q_weighted_sampling",
+    # --- 50-entry sweep-prefix boundary. The extended session added 8
+    # mandatory window entries (6 never-verified new ops + the 3
+    # clone-class perf rewrites, one overlapping), which displaces the
+    # LAST TWO r5-vintage rows below. Both are code-unchanged since r5
+    # and formerly green, the lowest-risk deferral class (every other
+    # hoisted entry is either never-verified or changed-since-its-last-
+    # driver-row — deferring those would create stale evidence instead
+    # of aged evidence). They sit immediately past the boundary so they
+    # LEAD the round-12 window; carryover does not apply (it is reserved
+    # for never-verified queries). Conscious decision, recorded also in
+    # SURVEY.md's build log.
     "q_winsorize_prices",
     "q_zscore_outlier_orders",
-    # --- ~50-entry sweep-prefix boundary: the ~10 remaining slots fill
-    # from _MODULE_ORDER (graph/warehouse heads, all previously green) and
-    # absorb any queries added later this round ---
 )
 
 def load_all_queries() -> dict[str, Query]:
