@@ -406,3 +406,39 @@ def test_label_propagation_python_replay(spark, tmp_path):
     assert got == want
     # the two cliques resolve to separate communities
     assert len(got) >= 2
+
+
+def test_kcore_peeling_python_replay(spark, tmp_path):
+    """K-core peel on a 3x3 biclique (stable 3-core) plus a 2x3 biclique
+    (parts have degree 2 < 3, so round 1 dissolves it entirely) must
+    match a pure-Python synchronous replay round for round."""
+    from als_pyspark_spark.operators.graph import _KCORE_K, _KCORE_ROUNDS
+    from als_pyspark_spark.registry import load_all_queries
+
+    li = [(sk, pk) for sk in (1, 2, 3) for pk in (1, 2, 3)]
+    li += [(10, pk) for pk in (11, 12, 13)]
+    li += [(11, pk) for pk in (11, 12, 13)]
+    spark.createDataFrame(
+        li, "l_suppkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r.peel_round: (r.n_nodes, r.n_directed_edges)
+        for r in load_all_queries()["q_kcore_peeling"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+
+    edges = {(2 * sk, 2 * pk + 1) for sk, pk in li}
+    cur = edges | {(b, a) for a, b in edges}
+    want = {}
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg: dict[int, int] = {}
+        for u, _ in cur:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, c in deg.items() if c >= _KCORE_K}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+        want[r] = (len({u for u, _ in cur}), len(cur))
+    assert got == want
+    # the 3x3 biclique survives (6 nodes), the 2x3 one dissolves
+    assert got[_KCORE_ROUNDS] == (6, 18)
