@@ -650,6 +650,13 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     Output is the bounded top-25 histogram, so ``collected`` frees the
     edge cache.
     """
+    top, caches = _lpa_plan(spark, sf_dir)
+    return collected(spark, top, *caches)
+
+
+def _lpa_plan(spark: SparkSession, sf_dir: str):
+    """Lazy top-25 LPA plan + persisted intermediates (plan tests and the
+    explain audit inspect the DataFrame without materializing)."""
     n_part = spark.sparkContext.defaultParallelism
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -698,7 +705,7 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(25)
     )
-    return collected(spark, top, e)
+    return top, [e]
 
 
 def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -861,14 +868,24 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops, round r's cost is bounded by round r−1's survivors.
 
     Per round: one degree aggregate + two left-semi joins (both keyed on
-    a node id), each round's edge table persisted (the round plan embeds
-    its predecessor twice — degree subtree + semi-join subtree — the
-    same doubling BFS documents; bounded at 3 rounds, a
-    run-to-convergence peel must checkpoint per round exactly as
-    ``min_label_components`` does). Output is the 3-row per-round
-    (nodes, directed edges) shrinkage curve — integer counts, exact
-    unrolled DuckDB oracle; ``collected`` frees the per-round caches.
+    a node id), each round's edge table CHECKPOINTED eagerly — round r's
+    plan references round r−1 THREE times (degree subtree + both
+    semi-join filter subtrees), so unrolled lineage grows 3^rounds (the
+    first audit measured 120 exchanges at 3 rounds); the reliable
+    checkpoint truncates each round to a leaf scan, exactly the
+    ``min_label_components`` discipline, and makes run-to-convergence
+    peeling safe, not just the fixed 3 rounds. Output is the 3-row
+    per-round (nodes, directed edges) shrinkage curve — integer counts,
+    exact unrolled DuckDB oracle; ``collected`` frees the base edge
+    cache.
     """
+    out, caches = _kcore_plan(spark, sf_dir)
+    return collected(spark, out, *caches)
+
+
+def _kcore_plan(spark: SparkSession, sf_dir: str):
+    """Lazy k-core shrinkage-curve plan + the per-round persisted edge
+    tables (plan tests and the explain audit inspect without running)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -877,6 +894,9 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from als_pyspark_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
     cur = (
         li.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionByName(li.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -887,13 +907,14 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = cur.groupBy("u").agg(F.count("*").alias("c"))
         keep = deg.where(F.col("c") >= _KCORE_K).select("u")
+        # eager reliable checkpoint: round r references round r−1 three
+        # times, so lineage would grow 3^rounds without truncation
         cur = (
             cur.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
-            .persist()
+            .checkpoint(eager=True)
         )
-        caches.append(cur)
         per_round.append(
             cur.agg(
                 F.lit(r).cast("long").alias("peel_round"),
@@ -904,4 +925,4 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_round[0]
     for p in per_round[1:]:
         out = out.unionByName(p)
-    return collected(spark, out, *caches)
+    return out, caches

@@ -43,6 +43,11 @@ _LAZY_PLANS = {
         "als_pyspark_spark.functions.curation_queries",
         "_boilerplate_plan",
     ),
+    "q_label_propagation_communities": (
+        "als_pyspark_spark.operators.graph",
+        "_lpa_plan",
+    ),
+    "q_kcore_peeling": ("als_pyspark_spark.operators.graph", "_kcore_plan"),
 }
 
 

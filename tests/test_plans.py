@@ -826,33 +826,32 @@ def test_label_propagation_keyed_joins_no_window(spark, sf_dir):
     """LPA rounds are keyed hash operations over the persisted edge
     relation: no cartesian product, no window (the argmax is a packed
     max AGGREGATE), and the bounded top-25 is TakeOrderedAndProject.
-    (The registered query materializes via caching.collected, so build
-    the plan inline from the same module constants.)"""
-    from als_pyspark_spark.operators.graph import _LPA_ROUNDS  # noqa: F401
+    (The registered query materializes via caching.collected, so inspect
+    the lazy helper, as the pagerank/BFS tests do.)"""
+    from als_pyspark_spark.operators.graph import _lpa_plan
 
-    # the registered builder collects; re-derive its lazy plan shape via
-    # the pre-collection DataFrame by intercepting collected()
-    import als_pyspark_spark.caching as caching
-
-    captured = {}
-    orig = caching.collected
-
-    def spy(spark_, result, *caches):
-        captured["plan"] = plan_of(result)
-        return orig(spark_, result, *caches)
-
-    caching.collected = spy
-    # graph module imported `collected` by name; patch there too
-    import als_pyspark_spark.operators.graph as graph_mod
-
-    orig_graph = graph_mod.collected
-    graph_mod.collected = spy
-    try:
-        QUERIES["q_label_propagation_communities"].build(spark, sf_dir)
-    finally:
-        caching.collected = orig
-        graph_mod.collected = orig_graph
-    plan = captured["plan"]
+    top, caches = _lpa_plan(spark, sf_dir)
+    plan = plan_of(top)
+    for c in caches:
+        c.unpersist()
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kcore_checkpoint_bounds_lineage(spark, sf_dir):
+    """K-core's round plan references its predecessor THREE times (degree
+    + both semi-join filters), so unrolled lineage grows 3^rounds — 120
+    exchanges measured at 3 rounds before the fix. The per-round eager
+    checkpoint must truncate each round to a leaf scan: the final plan is
+    three small aggregates over checkpoint RDD scans — bounded exchange
+    count, no window, no cartesian."""
+    from als_pyspark_spark.operators.graph import _kcore_plan
+
+    out, caches = _kcore_plan(spark, sf_dir)
+    plan = plan_of(out)
+    for c in caches:
+        c.unpersist()
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 12, plan
