@@ -615,7 +615,9 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     reported as the 25 largest communities — the community-detection
     primitive a curation pipeline uses to group related products/topics
     (where connected components is too coarse: one giant component ≠ one
-    community).
+    community). Same per-round keyed join + aggregate shape as the
+    reference's training loop (reference ALS.py:137-156 /
+    compute_factors ALS.py:421-560), with a frequency-vote combiner.
 
     LPA is normally nondeterministic (random tie-breaks, random update
     order); this variant is made EXACTLY reproducible — and therefore
@@ -864,8 +866,10 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation, BFS's frontier expansion, CC's min-label fixpoint,
     LPA's frequency vote) with the fourth one: ITERATIVE SUBGRAPH
     SHRINKING, where the working set gets monotonically smaller each
-    round. At 100 TB that monotonicity is the point — unlike the other
-    loops, round r's cost is bounded by round r−1's survivors.
+    round (per-round keyed join + aggregate, the reference's loop shape —
+    reference ALS.py:137-156 — with a filter instead of a solver). At
+    100 TB that monotonicity is the point — unlike the other loops,
+    round r's cost is bounded by round r−1's survivors.
 
     Per round: one degree aggregate + two left-semi joins (both keyed on
     a node id), each round's edge table CHECKPOINTED eagerly — round r's
