@@ -824,24 +824,24 @@ _KCORE_ROUNDS = 3
 @query(
     "q_kcore_peeling",
     oracle=f"""
-WITH li AS (
+WITH li AS MATERIALIZED (
     SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
     FROM lineitem
-), e0 AS (
+), e0 AS MATERIALIZED (
     SELECT src AS u, dst AS v FROM li UNION ALL SELECT dst, src FROM li
-), k1 AS (
+), k1 AS MATERIALIZED (
     SELECT u FROM (SELECT u, COUNT(*) AS c FROM e0 GROUP BY u) WHERE c >= {_KCORE_K}
-), e1 AS (
+), e1 AS MATERIALIZED (
     SELECT u, v FROM e0
     WHERE u IN (SELECT u FROM k1) AND v IN (SELECT u FROM k1)
-), k2 AS (
+), k2 AS MATERIALIZED (
     SELECT u FROM (SELECT u, COUNT(*) AS c FROM e1 GROUP BY u) WHERE c >= {_KCORE_K}
-), e2 AS (
+), e2 AS MATERIALIZED (
     SELECT u, v FROM e1
     WHERE u IN (SELECT u FROM k2) AND v IN (SELECT u FROM k2)
-), k3 AS (
+), k3 AS MATERIALIZED (
     SELECT u FROM (SELECT u, COUNT(*) AS c FROM e2 GROUP BY u) WHERE c >= {_KCORE_K}
-), e3 AS (
+), e3 AS MATERIALIZED (
     SELECT u, v FROM e2
     WHERE u IN (SELECT u FROM k3) AND v IN (SELECT u FROM k3)
 )
