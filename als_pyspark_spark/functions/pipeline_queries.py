@@ -1245,6 +1245,13 @@ def _contrastive_oracle() -> str:
     """Composed from the MinHash tier's own oracle (the operational
     near-dup set) so the positive definition cannot drift from the dedup
     stack it samples from."""
+    # Side-effect registration: the MinHash tier registers on import of
+    # its home module. Without this, importing pipeline_queries standalone
+    # (targeted test runs, tools) raised KeyError because only the driver
+    # path's _MODULE_ORDER happened to import dedup.queries first
+    # (round-12 ADVICE) — the module must be self-sufficiently importable.
+    import als_pyspark_spark.dedup.queries  # noqa: F401
+
     from als_pyspark_spark.registry import QUERIES
 
     mh = QUERIES["q_dedup_minhash_lsh"].oracle

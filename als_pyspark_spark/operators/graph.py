@@ -883,13 +883,22 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact unrolled DuckDB oracle; ``collected`` frees the base edge
     cache.
     """
-    out, caches = _kcore_plan(spark, sf_dir)
+    out, caches = _kcore_plan(spark, sf_dir, eager=True)
     return collected(spark, out, *caches)
 
 
-def _kcore_plan(spark: SparkSession, sf_dir: str):
-    """Lazy k-core shrinkage-curve plan + the per-round persisted edge
-    tables (plan tests and the explain audit inspect without running)."""
+def _kcore_plan(spark: SparkSession, sf_dir: str, eager: bool = False):
+    """K-core shrinkage-curve plan + the per-round persisted edge tables.
+
+    ``eager`` controls checkpoint materialization, not plan shape — both
+    modes wrap each round in a ``LogicalRDD`` leaf, so the plan is
+    constant-size at any round count either way. The query body passes
+    ``eager=True`` (per-round materialization: each round's checkpoint is
+    written before the next round's 3 references read it, bounding
+    recompute at 2× per round instead of 3^rounds inside one final job).
+    Plan tests and the explain audit use the default ``eager=False``,
+    which plans each round but runs NO jobs and writes no checkpoint
+    files (round-12 ADVICE: the audit path must stay genuinely lazy)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -917,7 +926,7 @@ def _kcore_plan(spark: SparkSession, sf_dir: str):
             cur.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
-            .checkpoint(eager=True)
+            .checkpoint(eager=eager)
         )
         per_round.append(
             cur.agg(

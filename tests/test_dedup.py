@@ -442,3 +442,49 @@ def test_kcore_peeling_python_replay(spark, tmp_path):
     assert got == want
     # the 3x3 biclique survives (6 nodes), the 2x3 one dissolves
     assert got[_KCORE_ROUNDS] == (6, 18)
+
+
+def test_adaptive_collapse_paths_identical(spark, sf_dir):
+    """Round-12 adaptive clone-class collapse: the class-level and
+    doc-level plans are two PHYSICAL strategies for the same operator —
+    their outputs must be row-for-row identical (pairs AND verify
+    values) on the same fixture, for all three pairwise tiers."""
+    from als_pyspark_spark.dedup.queries import (
+        _minhash_plan,
+        _prefix_join_plan,
+        _simhash_plan,
+    )
+
+    for plan, val in (
+        (_prefix_join_plan, "jaccard"),
+        (_minhash_plan, "jaccard"),
+        (_simhash_plan, "hamming"),
+    ):
+        a = {
+            (r.doc_a, r.doc_b): r[val]
+            for r in plan(spark, sf_dir, True).collect()
+        }
+        b = {
+            (r.doc_a, r.doc_b): r[val]
+            for r in plan(spark, sf_dir, False).collect()
+        }
+        assert a == b, (plan.__name__, set(a) ^ set(b))
+
+
+def test_adaptive_collapse_decision(spark, tmp_path):
+    """The decision statistic: clone-dense fixture → collapse; the
+    memo is per-fixture-dir and survives repeat calls."""
+    from als_pyspark_spark.dedup import queries as dq
+
+    rows = [(i, f"doc body number {i % 4} repeated text") for i in range(40)]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    dq._CLONE_RATIO.pop(str(tmp_path), None)
+    assert dq._collapse_clones(spark, str(tmp_path))  # 4/40 distinct
+    assert str(tmp_path) in dq._CLONE_RATIO
+    # clone-free standard fixture decides doc-level
+    dq._CLONE_RATIO.pop("/root/testdata/sf0.001", None)
+    assert not dq._collapse_clones(spark, "/root/testdata/sf0.001")
