@@ -48,6 +48,7 @@ _LAZY_PLANS = {
         "_lpa_plan",
     ),
     "q_kcore_peeling": ("als_pyspark_spark.operators.graph", "_kcore_plan"),
+    "q_pagerank_converged": ("als_pyspark_spark.operators.graph", "_prc_plan"),
 }
 
 

@@ -855,3 +855,22 @@ def test_kcore_checkpoint_bounds_lineage(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("Exchange") <= 12, plan
+
+
+def test_pagerank_converged_constant_plan_across_rounds(spark, sf_dir):
+    """The convergence-driven PageRank's whole scaling claim: with a
+    reliable checkpoint every 3 rounds, the round plan is rooted at most
+    3 rounds above a leaf at ANY iteration count. Pin it by building the
+    lazy chain to rounds 4, 7, and 10 (one past each checkpoint
+    boundary): identical exchange counts and identical operator mix —
+    the plan does not grow with the round number."""
+    from als_pyspark_spark.operators.graph import _prc_chain
+    from als_pyspark_spark.plans.inspect import exchange_count, join_kinds
+
+    shapes = []
+    for n in (4, 7, 10):
+        df, caches = _prc_chain(spark, sf_dir, n)
+        shapes.append((exchange_count(df), tuple(sorted(join_kinds(df)))))
+        for c in caches:
+            c.unpersist()
+    assert shapes[0] == shapes[1] == shapes[2], shapes
