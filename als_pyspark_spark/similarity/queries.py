@@ -572,12 +572,34 @@ _PQ_ITERS = 6
 # shortlist — not the probe count — was the binding recall constraint at
 # sf1 (sim recall@10 0.82→0.92 at L=256→1024; real witness 0.66→0.76 at
 # sf1 / 0.86 at sf0.1, runtime unchanged), and the refine stage's cost is
-# L·|q| bounded rows, so the bump is ~free. The residual sf1 misses are
-# COVERAGE (true neighbors in unprobed cells): at nprobe/K = 1/2 on an
-# isotropic corpus, recall is scan-fraction-bound regardless of K — more
-# coarse cells buy nothing at fixed scan, and pushing nprobe to 12/16
-# (scan 0.75) would defeat the pruning that makes IVF worth running.
+# L·|q| bounded rows, so the bump is ~free.
 _PQ_SHORTLIST = 1024
+# Probe count for the PQ tier — its own knob since round 12, ADJUDICATED
+# BY DECOMPOSITION (PERF.md round-12): instrumenting recall@10 at sf1 as
+# coverage (truth ∩ probed cells) × shortlist survival (truth surviving
+# the ADC cut, GIVEN covered) showed survival = 1.00 and coverage = the
+# entire loss (0.72-0.92 across 8 fit-sample seeds at nprobe 8/16). So
+# the round-11 hypothesis "quantization error binds" is measured FALSE —
+# and every codebook-side candidate was a measured no-op at fixed scan:
+# per-list residual codebooks, 5-10× larger PQ fit samples, 2× Lloyd
+# iterations, best-of-5 restarts, spherical k-means routing, and 2-way
+# multi-assignment all moved mean recall < ±0.02 (OPQ rotation is a
+# no-op a fortiori: nothing downstream of a rotation can raise a
+# survival rate already at 1.0). On an ISOTROPIC corpus coverage is
+# scan-fraction-bound — there is no cluster structure to rescue — so the
+# recall target must BUY scan: nprobe 12/16 (expected scan 0.75) gives
+# coverage mean 0.94-0.96, min 0.90 over 8 seeds × 3 tiers, clearing the
+# 0.85 witness floor with ≥0.05 margin. The 100 TB reading: this high a
+# scan fraction is a property of structureless random data, not of the
+# architecture — a real embedding corpus clusters, K scales to
+# thousands of cells, and nprobe/K falls back to percent-level scan at
+# the same recall; the knob is per-corpus and this fixture's honest
+# operating point prices the no-structure worst case explicitly.
+_PQ_NPROBE = 12
+# In-row witness floor (within_bound): raised 0.5 → 0.85 with the
+# nprobe-12 operating point (round-12 VERDICT item 4). Margin ≥ 0.05 at
+# the measured min-over-seeds coverage of 0.90.
+_PQ_RECALL_FLOOR = 0.85
 
 
 def _fit_pq_codebooks(
@@ -687,8 +709,14 @@ def q_ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation-specific), with the same fused in-row recall witness
     as IVF: recall@10 per query against the exact brute-force ranking
     computed in the same corpus pass, and a within_bound flag (mean
-    recall ≥ 0.5 — PQ8x8 residual coding is accurate enough on this
-    corpus; the local test pins the same floor). The registered,
+    recall ≥ ``_PQ_RECALL_FLOOR`` = 0.85; the local test pins the same
+    floor). The floor sits at 0.85 since round 12 because the recall
+    loss was DECOMPOSED, not guessed: ADC-shortlist survival of covered
+    true neighbors measured 1.00, so the entire loss was coarse-cell
+    coverage, fixed by the tier's own probe knob ``_PQ_NPROBE`` = 12 —
+    see that constant's adjudication comment for the measurements that
+    ruled out every codebook-side alternative (OPQ/per-list/bigger
+    fits/restarts/spherical/multi-assign). The registered,
     witnessed form pays full witness scoring once BY DESIGN; the
     witness-free production form scores only probed clusters via the
     LUTs.
@@ -733,7 +761,7 @@ def _ivfpq_plan(spark: SparkSession, sf_dir: str):
         u = v / norm if norm > 0 else v
         q_units.append(u)
         d2 = ((cents - u) ** 2).sum(axis=1)
-        for c in np.argsort(d2, kind="stable")[: min(_IVF_NPROBE, len(cents))]:
+        for c in np.argsort(d2, kind="stable")[: min(_PQ_NPROBE, len(cents))]:
             # carry q·c (ADC's coarse term) and the query's index into the
             # fused witness-score array (the refine stage reads it)
             probe_rows.append((int(r.vec_id), qi, int(c), float(u @ cents[c])))
@@ -832,7 +860,7 @@ def _ivfpq_plan(spark: SparkSession, sf_dir: str):
     witnessed = hits.select(
         "query_id",
         "recall10",
-        (F.avg("recall10").over(all_q) >= 0.5).alias("within_bound"),
+        (F.avg("recall10").over(all_q) >= _PQ_RECALL_FLOOR).alias("within_bound"),
     )
     top = pq_top.join(F.broadcast(witnessed), "query_id").select(
         "query_id", "neighbor_id", "adc_rounded", "recall10", "within_bound"

@@ -34,6 +34,7 @@ from als_pyspark_spark.similarity.queries import (  # noqa: E402
     _PQ_ITERS,
     _PQ_KSUB,
     _PQ_M,
+    _PQ_NPROBE,
     _TOP_K,
     _fit_coarse_quantizer,
     _fit_pq_codebooks,
@@ -137,8 +138,8 @@ if __name__ == "__main__":
     grid = [
         (16, 8, 256),   # shipping config
         (16, 12, 256),
-        (16, 8, 1024),
-        (16, 12, 1024),
+        (16, 8, 1024),   # round-11 shipping
+        (16, 12, 1024),  # shipping since round 12 (_PQ_NPROBE)
         (32, 8, 256),
         (32, 12, 256),
         (32, 16, 256),

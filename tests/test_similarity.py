@@ -75,7 +75,10 @@ def test_ivfpq_recall_vs_bruteforce_and_witness(spark, sf_dir):
         assert r.query_id != r.neighbor_id
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     avg_recall = sum(recalls) / len(recalls)
-    assert avg_recall >= 0.5, f"IVF-PQ avg recall {avg_recall:.2f} ({recalls})"
+    # floor raised 0.5 → 0.85 with the nprobe-12 operating point
+    # (round-12 coverage decomposition; margin ≥ 0.05 at the measured
+    # min-over-seeds coverage of 0.90 across sf0.01/0.1/1)
+    assert avg_recall >= 0.85, f"IVF-PQ avg recall {avg_recall:.2f} ({recalls})"
     # the fused witness measures recall against the same exact ranking the
     # brute-force query computes — the two must agree per query
     for q in truth:
