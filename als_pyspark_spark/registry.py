@@ -231,18 +231,31 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 11 agenda (VERDICT r10 "Next round" items 2-4 + the ADVICE lows):
-#   1. fingerprint flips from this round's fixes, all previously green,
-#      re-verify: the decontaminate gram-cache deferred release, the IVF /
-#      IVF-PQ embedding-batch guards (+ any recall-floor retune), and the
-#      two connected-components queries via the session-helper heartbeat
-#      gate (transitive fingerprint through ensure_checkpoint_dir);
-#   2. the full remaining 35-row r5-vintage block — landing these closes
-#      the r5 vintage entirely: no query's newest driver row predates r6.
-# Family canaries (streaming/sinks/pandas_udfs/text/dedup/similarity) are
-# all inside blocks 1-2 this round (q_stream_* x4, q_sink_sorted_layout,
-# q_pandas_grouped_agg_trimmed, q_source_vocab_overlap, q_dedup_clusters +
-# q_fuzzy_part_match, and the ANN trio).
+# Round 12 agenda (VERDICT r11 "Next round" items 1, 3-5 + the ADVICE
+# fixes), composed up front per the standing ritual:
+#   1. the two aged r5 rows LEAD (judge item 1) — code-unchanged since
+#      r5, displaced from the r11 window by the extended-session hoists;
+#   2. the round's never-verified new operator: convergence-driven
+#      PageRank (checkpoint-every-3, data-dependent round count);
+#   3. all fingerprint flips from this round's changes, every one
+#      previously green, re-verify: the three adaptive clone-class
+#      tiers (prefix join / MinHash / SimHash now branch on the
+#      distinct-text ratio) + the two composed-oracle dependents
+#      (tier recall, contrastive pairs), the IVF-PQ probe retune
+#      (nprobe 12, witness floor 0.85), k-core (lazy audit-path flag),
+#      and q_pagerank_copurchase (shared edge-base refactor);
+#   4. 38 of the 42-query r6 vintage block + the pandas_udfs family
+#      canary (q_pandas_udf_doc_stats, green r8). The four deferred —
+#      q_zorder_layout_sink (displaced by the canary),
+#      q_sink_json_roundtrip / q_sink_orc_roundtrip (the sink family
+#      keeps its parquet-partitioned + XML canaries in-window) and
+#      q_stream_left_outer_join (the stream-stream join family keeps
+#      full-outer, which subsumes the left-outer machinery) — are
+#      code-unchanged-formerly-green, sit immediately past the
+#      boundary, and LEAD round 13.
+# Family canaries in-window this round: streaming ×7, sinks ×2,
+# multimodal, python-datasource ×2, dedup ×5, similarity ×2, ml
+# (als_mse), text, graph ×3, sketch ×3.
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -250,93 +263,71 @@ _MODULE_ORDER = (
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. fingerprint flips (deferred gram-cache release; embedding batch
-    # guards on both mapInArrow corpus passes; checkpoint-heartbeat
-    # session helper reachable from both CC queries)
-    "q_decontaminate",
-    "q_ann_ivf_top10",
-    "q_ann_ivfpq_top10",
-    "q_semantic_dedup_clusters",
-    "q_dedup_clusters",
-    # (added mid-round) the exact-substring tier's two-phase dup count —
-    # the salting caveat closed structurally — flips both span queries
-    "q_dedup_substring_spans",
-    "q_dedup_scrub_spans",
-    # NEW round-11 operators — first-window green required: the
-    # exact-complete prefix-filtered set-similarity join (PPJoin tier)
-    # and distributed PCA (one-pass Gramian moments + driver eig +
-    # distributed projection, spectral-identity self-witness)
-    "q_dedup_jaccard_prefix_join",
-    "q_embedding_pca_project",
-    # NEW round-11 extended-session operators — first-window green
-    # required: exact weighted reservoir sampling (A-ES via the
-    # max-of-w-draws identity) and synchronous label propagation
-    "q_sample_weighted_reservoir",
-    "q_label_propagation_communities",
-    # (extended session) clone-class collapse fingerprint flip — the
-    # MinHash tier now groups identical gram sets before banding/verify
-    "q_dedup_minhash_lsh",
-    # (extended session) consistent-hash sharding with resize-delta witness
-    "q_consistent_shard_assignment",
-    # (extended session) clone-class collapse fingerprint flip — SimHash
-    # computes the vote fold once per distinct text before chunk blocking
-    "q_dedup_simhash",
-    # (extended session) cross-tier recall audit (winnow/minhash vs the
-    # exact-complete prefix join), oracle composed from the tiers' own SQL
-    "q_dedup_tier_recall",
-    # (extended session) contrastive training-pair mining (near-dup
-    # positives + seeded hash negatives addressed via the shuffle index)
-    "q_contrastive_pairs",
-    # (extended session) k-core peeling — the iterative subgraph-shrinking
-    # shape (monotone working set), 3 unrolled rounds, exact oracle
-    "q_kcore_peeling",
-    # 2. the full remaining r5-vintage block — closes the r5 debt
-    "q_constraint_checks",
-    "q_corr_covar_exact",
-    "q_cumulative_distinct_users",
-    "q_event_transition_matrix",
-    "q_fuzzy_part_match",
-    "q_gapfill_locf_daily",
-    "q_incremental_agg_merge",
-    "q_latency_percentile_bands",
-    "q_leakage_safe_split",
-    "q_market_basket_pairs",
-    "q_multitouch_attribution",
-    "q_ohlc_hourly_bars",
-    "q_pandas_grouped_agg_trimmed",
-    "q_pareto_abc_parts",
-    "q_profile_orders",
-    "q_recency_weighted_engagement",
-    "q_recursive_referral_depth",
-    "q_relational_division",
-    "q_revenue_trend_ols",
-    "q_scd2_customer_history",
-    "q_scd2_point_in_time",
-    "q_sink_sorted_layout",
-    "q_skew_diagnostics",
-    "q_snapshot_diff",
-    "q_source_vocab_overlap",
-    "q_stream_apws_user_max",
-    "q_stream_dedup_count",
-    "q_stream_dedup_within_watermark",
-    "q_stream_ohlc_hourly",
-    "q_table_checksum",
-    "q_target_encoding_loo",
-    "q_upsert_snapshot",
-    "q_weighted_sampling",
-    # --- 50-entry sweep-prefix boundary. The extended session added 8
-    # mandatory window entries (6 never-verified new ops + the 3
-    # clone-class perf rewrites, one overlapping), which displaces the
-    # LAST TWO r5-vintage rows below. Both are code-unchanged since r5
-    # and formerly green, the lowest-risk deferral class (every other
-    # hoisted entry is either never-verified or changed-since-its-last-
-    # driver-row — deferring those would create stale evidence instead
-    # of aged evidence). They sit immediately past the boundary so they
-    # LEAD the round-12 window; carryover does not apply (it is reserved
-    # for never-verified queries). Conscious decision, recorded also in
-    # SURVEY.md's build log.
+    # 1. the aged r5 rows (newest green rows six rounds old) lead
     "q_winsorize_prices",
     "q_zscore_outlier_orders",
+    # 2. never-verified new operator
+    "q_pagerank_converged",
+    # 3. fingerprint flips (adaptive clone-class collapse + composed
+    # oracles; IVF-PQ probe retune; k-core audit-path flag; PageRank
+    # edge-base refactor)
+    "q_dedup_jaccard_prefix_join",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_tier_recall",
+    "q_contrastive_pairs",
+    "q_ann_ivfpq_top10",
+    "q_kcore_peeling",
+    "q_pagerank_copurchase",
+    # 4. the r6 vintage rotation (39 of 42)
+    "als_mse",
+    "q10_returned_revenue",
+    "q3_top_orders",
+    "q5_nation_volume",
+    "q_approx_distinct_users",
+    "q_approx_percentile_sketch",
+    "q_asof_sort_based",
+    "q_broadcast_nation_rollup",
+    "q_compact_small_files",
+    "q_embedding_quantize_int8",
+    "q_equidepth_deciles",
+    "q_feature_hashing",
+    "q_filter_project",
+    "q_hll_sketch_union",
+    "q_incremental_join_maintenance",
+    "q_inverted_index_tokens",
+    "q_json_corrupt_records",
+    "q_kfold_assignment",
+    "q_maxby_top_order_per_customer",
+    "q_multimodal_audio_windows",
+    "q_percentiles_totalprice",
+    "q_python_datasource_write",
+    "q_python_stream_datasource_sink",
+    "q_rolling_7d_distinct_users",
+    "q_schema_evolution_read",
+    "q_sink_partitioned_parquet",
+    "q_sink_xml_roundtrip",
+    "q_stream_checkpoint_recovery",
+    "q_stream_foreachbatch_sink",
+    "q_stream_full_outer_join",
+    "q_stream_join_then_window",
+    "q_stream_late_data_drop",
+    "q_stream_static_left_enrich",
+    "q_stream_update_mode_totals",
+    # family canary (test_window_keeps_family_canaries): the r6 block has
+    # no pandas_udfs query, so the family's cheapest green row rides along
+    "q_pandas_udf_doc_stats",
+    "q_tablesample_stats",
+    "q_text_top_tokens",
+    "q_triangle_count_parts",
+    "q_window_topk_orders_per_customer",
+    "q_zorder_layout_sink",
+    # --- 50-entry sweep-prefix boundary. The four deferred r6 rows sit
+    # immediately past it and lead round 13 (see agenda note above;
+    # q_zorder_layout_sink was displaced by the pandas_udfs canary).
+    "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_stream_left_outer_join",
 )
 
 def load_all_queries() -> dict[str, Query]:
