@@ -153,6 +153,31 @@ def _collect_reachable(obj, seen: set[str], out: dict[str, str]) -> None:
             v = ns.get(name)
             if v is not None:
                 _collect_reachable(v, seen, out)
+            # Round-12 upgrade: module-level scalar CONSTANTS enter the
+            # fingerprint too. A tuning-knob edit (_PQ_NPROBE = 8 -> 12,
+            # _PQ_SHORTLIST = 256 -> 1024) changes a query's OUTPUT
+            # without changing any function's source text, so the
+            # source-only hash silently kept stale driver evidence alive
+            # (the r11 shortlist retune was hoisted by hand; this makes
+            # it mechanical). Simple immutables only — their repr is
+            # deterministic — and only from package modules.
+            if _is_const(v) and ns.get("__name__", "").startswith(_PKG_PREFIX):
+                out[f"{ns['__name__']}::{name}"] = repr(v)
+
+
+def _is_const(v) -> bool:
+    """True for values whose repr is a stable fingerprint component.
+    None is excluded on purpose: ``ns.get(name)`` returns None for every
+    co_name ABSENT from a namespace (attribute names, builtins), and
+    recording those would bloat the fingerprint with no-information
+    entries."""
+    if isinstance(v, bool):
+        return True
+    if isinstance(v, (int, float, str, bytes)):
+        return True
+    if isinstance(v, tuple):
+        return v != () and all(_is_const(x) for x in v)
+    return False
 
 
 def reachable_sources(fn) -> dict[str, str]:

@@ -17,6 +17,14 @@ imports alike) — see registry.query_fingerprint. A helper-only rewrite
 flips the fingerprint of every query that reaches the helper, so the
 freshness invariant is mechanical, not a manual hoist decision.
 
+Round-12 upgrade: module-level scalar CONSTANTS referenced by reachable
+code enter the fingerprint too (repr of package-module ints/floats/strs/
+tuples). A tuning-knob retune (_PQ_NPROBE = 8 → 12) changes query output
+without touching any function's source, so the source-only hash silently
+kept stale driver evidence alive — the r11 shortlist retune was hoisted
+by hand; test_constant_knob_edit_flips_fingerprint pins the mechanical
+form.
+
 Usage: python scripts/snapshot_query_sources.py
 """
 

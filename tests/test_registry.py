@@ -405,3 +405,28 @@ def test_every_persist_site_is_released_or_documented():
         "persist() without release, caller-release convention, or the "
         f"documented-cache marker: {offenders}"
     )
+
+
+def test_constant_knob_edit_flips_fingerprint():
+    """Round-12 fingerprint upgrade: module-level scalar tuning knobs
+    (_PQ_NPROBE-style) are output-determining but live outside any
+    function's source, so the source-only hash silently kept stale
+    driver evidence alive across retunes. A knob value change must flip
+    the fingerprint of every query that reads the knob — and the r11
+    shortlist retune's manual hoist becomes mechanical."""
+    import als_pyspark_spark.similarity.queries as sq
+    from als_pyspark_spark.registry import query_fingerprint, reachable_sources
+
+    q = load_all_queries()["q_ann_ivfpq_top10"]
+    srcs = reachable_sources(q.build)
+    key = "als_pyspark_spark.similarity.queries::_PQ_NPROBE"
+    assert key in srcs and srcs[key] == repr(sq._PQ_NPROBE)
+
+    base = query_fingerprint(q)
+    old = sq._PQ_NPROBE
+    try:
+        sq._PQ_NPROBE = old + 1
+        assert query_fingerprint(q) != base
+    finally:
+        sq._PQ_NPROBE = old
+    assert query_fingerprint(q) == base
