@@ -296,12 +296,16 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     caches = [eo, nodes, prev]
     curve: list[tuple[int, int, int, bool]] = []
     for rnd in range(1, _PRC_CAP + 1):
-        new = _pr_round(eo, nodes, prev)
+        new = _pr_round(eo, nodes, prev).persist()
+        caches.append(new)
         if rnd % _PRC_CHECKPOINT_EVERY == 0:
-            new = new.checkpoint(eager=True)
-        else:
-            new = new.persist()
-            caches.append(new)
+            # persist-THEN-lazy-checkpoint (the standard pairing): the
+            # residual action below materializes the cache and, being the
+            # first job over the checkpoint-marked RDD, triggers the
+            # reliable write — which then READS the cache instead of
+            # recomputing the round (eager=True paid compute twice:
+            # count() + a full recompute for the write)
+            new = new.checkpoint(eager=False)
         row = (
             new.join(prev.withColumnRenamed("r", "r_prev"), "node")
             .agg(
