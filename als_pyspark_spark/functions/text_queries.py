@@ -557,3 +557,273 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE tokenizer TRAINING (round 13): N convergent merge rounds,
+# not just the first round's pair statistics (q_bpe_pair_counts).
+#
+# Word representation shared by BOTH engines: a word's symbol sequence is
+# the concatenation of '\x1f<sym>\x1f' units ('\x1f' = ASCII unit
+# separator, never present in corpus text; tokens containing it are
+# filtered symmetrically). Under this encoding the greedy left-to-right
+# non-overlapping merge of pair (l, r) — exactly Sennrich BPE's merge —
+# IS plain string replace('\x1f l \x1f\x1f r \x1f' -> '\x1f lr \x1f'),
+# because replace() scans left to right over non-overlapping matches and
+# adjacent symbol units share no characters. Both Spark's `replace` and
+# DuckDB's `replace` implement that contract, so the two engines apply
+# bit-identical merges.
+_BPE_SEP = "\x1f"
+_BPE_SEP2 = _BPE_SEP * 2
+_BPE_MERGES = 18  # vocab budget: max merge rounds (real trainers use ~32k)
+_BPE_CHECKPOINT_EVERY = 3  # reliable-checkpoint cadence (graph-family rule)
+_BPE_MIN_PAIR = 2  # stop early when the best pair is unrepeated
+
+
+def _bpe_words0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial BPE word table: (w = unit-encoded char sequence, wc = corpus
+    frequency). The ONLY corpus-sized shuffle of the whole training loop —
+    every later round runs over this (Zipf-truncated) distinct-word table."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where((F.length("tok") >= 2) & (~F.col("tok").contains(_BPE_SEP)))
+        .groupBy("tok")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            F.regexp_replace("tok", "(.)", _BPE_SEP + "$1" + _BPE_SEP).alias("w"),
+            "wc",
+        )
+    )
+
+
+def _bpe_apply(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one learned merge to every word — a narrow per-row replace
+    (no shuffle; lineage grows by one Project per round until the
+    checkpoint cadence truncates it)."""
+    return words.select(
+        F.replace(
+            F.col("w"),
+            F.lit(_BPE_SEP + left + _BPE_SEP2 + right + _BPE_SEP),
+            F.lit(_BPE_SEP + left + right + _BPE_SEP),
+        ).alias("w"),
+        "wc",
+    )
+
+
+def _bpe_round_probe(words: DataFrame) -> DataFrame:
+    """The per-round driver action, as ONE single-row plan: the argmax
+    merge candidate (count desc, then lexicographic pair — the
+    deterministic tie-break both engines share) LEFT-joined onto the word
+    table's vocab/occurrence stats, so each training round costs exactly
+    one job and the driver sees one bounded row (the Pregel-aggregator
+    shape — never a collect of the word table)."""
+    syms = F.split(
+        F.col("w").substr(F.lit(2), F.length("w") - 2), _BPE_SEP2
+    )
+    cur = words.select(syms.alias("s"), "wc")
+    pairs = (
+        cur.where(F.size("s") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("s", 1, F.size("s") - 1),
+                    F.slice("s", 2, F.size("s") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "wc",
+        )
+    )
+    top = (
+        pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+        .limit(1)
+    )
+    stats = cur.select(F.explode("s").alias("sym"), "wc").agg(
+        F.countDistinct("sym").alias("vocab"), F.sum("wc").alias("toks")
+    )
+    return stats.join(top, F.lit(True), "left")
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str, n_rounds: int) -> DataFrame:
+    """Lazy n-round training chain for plan tests and the explain audit:
+    the production per-round plan (probe over the merged word table) with
+    LAZY checkpoints at the production cadence — plans every round, runs
+    NO jobs, writes no files (the k-core audit-path discipline). Merge
+    pairs are fixed literals: the plan shape is independent of WHICH pair
+    merges, so the pinned shape is the production shape."""
+    from als_pyspark_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    words = _bpe_words0(spark, sf_dir)
+    for i in range(1, n_rounds + 1):
+        words = _bpe_apply(words, "e", "r")
+        if i % _BPE_CHECKPOINT_EVERY == 0:
+            words = words.checkpoint(eager=False)
+    return _bpe_round_probe(words)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-CTE DuckDB replay of the exact training loop: per round,
+    pair counts -> deterministic argmax -> replace-based merge, words
+    MATERIALIZED per round (three downstream readers each). The stopping
+    rule (best count < _BPE_MIN_PAIR) prunes a suffix because top counts
+    are monotone non-increasing: a merge's induced pairs occur at most
+    pair_count times and every other count can only shrink."""
+    s, s2 = _BPE_SEP, _BPE_SEP2
+
+    def syms(src: str) -> str:
+        return f"string_split(substr({src}.w, 2, length({src}.w) - 2), '{s2}')"
+
+    parts = [
+        f"""w0 AS MATERIALIZED (
+    SELECT regexp_replace(tok, '(.)', '{s}\\1{s}', 'g') AS w,
+           CAST(COUNT(*) AS BIGINT) AS wc
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    WHERE len(tok) >= 2 AND strpos(tok, '{s}') = 0
+    GROUP BY tok
+)"""
+    ]
+    for r in range(1, _BPE_MERGES + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (
+    SELECT s[i] AS l, s[i + 1] AS r2, SUM(wc) AS n
+    FROM (SELECT {syms(f"w{p}")} AS s, wc FROM w{p} AS w{p}) q,
+         UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+    GROUP BY 1, 2
+),
+t{r} AS (SELECT l, r2, n FROM p{r} ORDER BY n DESC, l ASC, r2 ASC LIMIT 1),
+w{r} AS MATERIALIZED (
+    SELECT CASE WHEN t.n >= {_BPE_MIN_PAIR}
+                THEN replace(x.w, '{s}' || t.l || '{s2}' || t.r2 || '{s}',
+                             '{s}' || t.l || t.r2 || '{s}')
+                ELSE x.w END AS w,
+           x.wc AS wc
+    FROM w{p} x LEFT JOIN t{r} t ON TRUE
+),
+s{r} AS (
+    SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_after,
+           CAST(SUM(wc) AS BIGINT) AS toks_after
+    FROM (SELECT UNNEST({syms(f"w{r}")}) AS sym, wc FROM w{r} AS w{r})
+)"""
+        )
+    merges = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, l, r2, n FROM t{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    stats = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, vocab_after, toks_after FROM s{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+merges AS ({merges}),
+stats AS ({stats})
+SELECT CAST(m.round AS BIGINT) AS round,
+       m.l AS left_sym,
+       m.r2 AS right_sym,
+       m.l || m.r2 AS merged,
+       CAST(m.n AS BIGINT) AS pair_count,
+       st.vocab_after,
+       st.toks_after AS corpus_tokens_after
+FROM merges m JOIN stats st USING (round)
+WHERE m.n >= {_BPE_MIN_PAIR}
+"""
+
+
+@query(
+    "q_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "tokenizer", "iterative", "convergence"),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL iterative BPE tokenizer training (Sennrich): up to
+    ``_BPE_MERGES`` convergent rounds of highest-frequency-pair -> greedy
+    merge -> recount, stopping early when the best pair's corpus count
+    drops below ``_BPE_MIN_PAIR``. Output is the learned merge table with
+    per-round vocab stats: (round, left_sym, right_sym, merged,
+    pair_count, vocab_after, corpus_tokens_after) — all integers/strings,
+    so the DuckDB replay hash-matches exactly. The second genuine member
+    of the convergence-driven iterative family after q_pagerank_converged:
+    the round count is DATA-DEPENDENT (the merge sequence itself differs
+    between sf tiers) and the tie-break (count desc, then lexicographic)
+    is pinned so both engines learn the identical merge list.
+
+    Execution shape (the 100 TB story): the corpus collapses ONCE to the
+    distinct-word frequency table (the standard BPE-training reduction —
+    the only corpus-sized shuffle); every round then runs ONE job over that
+    (vastly smaller, Zipf-truncated) table returning ONE bounded row to
+    the driver — argmax pair + vocab/occurrence stats in a single
+    stats ⟕ top-1 plan (``_bpe_round_probe``), never a collect of the
+    table. Merges apply as narrow per-row replaces; each round persists
+    and the superseded round unpersists right after the next action (C1-C3
+    per-iteration discipline, reference ALS.py:137-156), with a reliable
+    checkpoint every ``_BPE_CHECKPOINT_EVERY`` rounds (persist-then-lazy-
+    checkpoint: the next probe materializes the cache and the write reads
+    the cache) so lineage is rooted ≤3 rounds above a leaf at ANY round
+    count — tests/test_plans.py pins plan-size equality at rounds 4/7/10.
+    A production 32k-merge trainer batches non-interacting merges per
+    round to cut driver round-trips; the per-round plan is unchanged.
+
+    Stats are measured one action LATE by design: round r's probe returns
+    the argmax of words_{r-1} AND the vocab/token stats of words_{r-1}
+    (= after-stats of merge r-1) in the same single row, so training
+    costs exactly one job per round plus one final stats job.
+    """
+    from als_pyspark_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    words = _bpe_words0(spark, sf_dir).persist()
+    cur_cache: DataFrame | None = words
+    stale: list[DataFrame] = []  # superseded once the next action completes
+    merges: list[tuple[int, str, str, int]] = []
+    afters: list[tuple[int, int]] = []  # (vocab, toks) after merge i, lagged
+    stats_pending = False
+    for rnd in range(1, _BPE_MERGES + 1):
+        row = _bpe_round_probe(words).collect()[0]
+        # that action materialized `words` (and, on checkpoint rounds,
+        # completed the reliable write) — release superseded caches NOW
+        while stale:
+            stale.pop().unpersist()
+        if merges:
+            afters.append((int(row["vocab"]), int(row["toks"])))
+            stats_pending = False
+        if row["n"] is None or int(row["n"]) < _BPE_MIN_PAIR:
+            break
+        left, right, n = row["l"], row["r"], int(row["n"])
+        merges.append((rnd, left, right, n))
+        new_cached = _bpe_apply(words, left, right).persist()
+        if cur_cache is not None:
+            stale.append(cur_cache)
+        if len(merges) % _BPE_CHECKPOINT_EVERY == 0:
+            # subsequent reads come from the checkpoint files, so the
+            # pre-checkpoint cache is superseded as soon as the write
+            # (triggered by the next probe) completes
+            words = new_cached.checkpoint(eager=False)
+            stale.append(new_cached)
+            cur_cache = None
+        else:
+            words = new_cached
+            cur_cache = new_cached
+        stats_pending = True
+    if stats_pending:
+        # the cap-terminated path: the last merge's after-stats were never
+        # probed — one final bounded stats job
+        row = _bpe_round_probe(words).collect()[0]
+        afters.append((int(row["vocab"]), int(row["toks"])))
+    for c in [*stale, cur_cache]:
+        if c is not None:
+            c.unpersist()
+    out = [
+        (rnd, left, right, left + right, n, v, t)
+        for (rnd, left, right, n), (v, t) in zip(merges, afters)
+    ]
+    return spark.createDataFrame(
+        out,
+        "round long, left_sym string, right_sym string, merged string, "
+        "pair_count long, vocab_after long, corpus_tokens_after long",
+    )

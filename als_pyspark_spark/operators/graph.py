@@ -293,11 +293,11 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_checkpoint_dir(spark)
     eo, nodes = _copurchase_rank_base(spark, sf_dir)
     prev = nodes.select("node", F.lit(1000000).cast("long").alias("r")).persist()
-    caches = [eo, nodes, prev]
+    prev_cache = prev  # the persisted DF backing prev, released per round
     curve: list[tuple[int, int, int, bool]] = []
     for rnd in range(1, _PRC_CAP + 1):
-        new = _pr_round(eo, nodes, prev).persist()
-        caches.append(new)
+        new_cached = _pr_round(eo, nodes, prev).persist()
+        new = new_cached
         if rnd % _PRC_CHECKPOINT_EVERY == 0:
             # persist-THEN-lazy-checkpoint (the standard pairing): the
             # residual action below materializes the cache and, being the
@@ -305,7 +305,7 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             # reliable write — which then READS the cache instead of
             # recomputing the round (eager=True paid compute twice:
             # count() + a full recompute for the write)
-            new = new.checkpoint(eager=False)
+            new = new_cached.checkpoint(eager=False)
         row = (
             new.join(prev.withColumnRenamed("r", "r_prev"), "node")
             .agg(
@@ -314,14 +314,33 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()[0]
         )
-        l1, mass = int(row["l1"]), int(row["mass"])
+        # SUM over zero rows is NULL: an empty node set must end the loop
+        # with an empty curve, not a TypeError (round-13 ADVICE)
+        l1, mass = int(row["l1"] or 0), int(row["mass"] or 0)
+        # the residual action above materialized this round (and, on
+        # checkpoint rounds, completed the reliable write) — the
+        # superseded caches release NOW, so executor cache footprint is
+        # ≤2 rank vectors at any round count (round-13 ADVICE; the
+        # reference's per-iteration C3 unpersist, ALS.py:153-156)
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        if new is not new_cached:
+            # checkpoint round: subsequent reads come from the checkpoint
+            # files, so the pre-checkpoint cache is superseded too
+            new_cached.unpersist()
+            prev_cache = None
+        else:
+            prev_cache = new_cached
+        if mass == 0:
+            break
         converged = 2 * l1 <= mass
         curve.append((rnd, l1, mass, converged))
         prev = new
         if converged:
             break
-    for c in caches:
-        c.unpersist()
+    for c in (eo, nodes, prev_cache):
+        if c is not None:
+            c.unpersist()
     return spark.createDataFrame(
         curve, "round long, l1_delta long, total_mass long, converged boolean"
     )

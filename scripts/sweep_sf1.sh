@@ -24,7 +24,7 @@ i=0
 while [ $i -lt ${#todo[@]} ]; do
   chunk=("${todo[@]:$i:$CHUNK}")
   timeout 2400 python scripts/check_correctness.py /root/repo/.scale/sf1 "${chunk[@]}" 2>/dev/null \
-    | grep -aoE "(OK|FAIL|ok\(rows-only\))[^\r]*" >> "$LOG"
+    | grep -aoE "(OK|FAIL|ok\(rows-only\)).*" >> "$LOG"
   i=$((i+CHUNK))
 done
 echo "# $(date +%T) sweep loop done" >> "$LOG"

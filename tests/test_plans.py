@@ -874,3 +874,20 @@ def test_pagerank_converged_constant_plan_across_rounds(spark, sf_dir):
         for c in caches:
             c.unpersist()
     assert shapes[0] == shapes[1] == shapes[2], shapes
+
+
+def test_bpe_train_constant_plan_across_rounds(spark, sf_dir):
+    """The BPE trainer's scaling claim, pinned the same way as
+    q_pagerank_converged: with a reliable checkpoint every 3 merge rounds,
+    the per-round probe plan is rooted at most 3 narrow replaces above a
+    leaf at ANY round count. Build the lazy chain to rounds 4, 7, and 10
+    (one past each checkpoint boundary): identical exchange counts and
+    operator mix — the plan does not grow with the merge number."""
+    from als_pyspark_spark.functions.text_queries import _bpe_chain
+    from als_pyspark_spark.plans.inspect import exchange_count, join_kinds
+
+    shapes = []
+    for n in (4, 7, 10):
+        df = _bpe_chain(spark, sf_dir, n)
+        shapes.append((exchange_count(df), tuple(sorted(join_kinds(df)))))
+    assert shapes[0] == shapes[1] == shapes[2], shapes
