@@ -242,23 +242,31 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     production filter takes, because "what fraction did each rule drop" is
     the first question asked of any curation run. First failing rule wins
     (fixed priority), so the output is deterministic and the reasons
-    partition the corpus."""
+    partition the corpus. The reason chain itself lives in
+    :func:`gate_reason` so the composed pipeline (q_pipeline_e2e) applies
+    the IDENTICAL gate and the two can never drift."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    reason = gate_reason(tokens(F.col("text")))
+    return d.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )
+
+
+def gate_reason(toks: F.Column) -> F.Column:
+    """The quality gate's first-failing-rule reason chain over a token
+    array ('ok' = keep) — shared by q_quality_gate and the end-to-end
+    pipeline composition."""
     n = F.size(toks)
     stop_ratio = stopword_count(toks).cast("double") / n
     mtl = mean_token_len(toks)
     top_frac = _top_token_run(toks).cast("double") / n
-    reason = (
+    return (
         F.when(n < _GATE_MIN_TOKS, F.lit("too_short"))
         .when(n > _GATE_MAX_TOKS, F.lit("too_long"))
         .when(stop_ratio < _GATE_MIN_STOP, F.lit("low_stopword"))
         .when((mtl < _GATE_TOKLEN_LO) | (mtl > _GATE_TOKLEN_HI), F.lit("token_length"))
         .when(top_frac > _GATE_MAX_TOP_FRAC, F.lit("repetitive"))
         .otherwise(F.lit("ok"))
-    )
-    return d.select(
-        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
     )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from als_pyspark_spark.caching import deferred
+from als_pyspark_spark.caching import collected, deferred
 from als_pyspark_spark.functions.text import STOPWORDS, tokens, word_ngrams
 from als_pyspark_spark.registry import query
 from als_pyspark_spark.sources.tables import load_table
@@ -1364,3 +1364,303 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.greatest(F.col("anchor"), F.col("negative")) == F.col("doc_b")),
         "left_anti",
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end composed pipeline (round 13): every stage above is verified
+# alone; this verifies them COMPOSED as one DataFrame DAG.
+
+
+def _e2e_oracle() -> str:
+    """Compose the end-to-end oracle from the stage queries' own oracle
+    SQL where a stage reads the raw corpus (quality gate verbatim; the
+    near-dup pair stage re-pointed at the exact-dedup survivors via a
+    single asserted FROM-substitution — the q_dedup_tier_recall
+    composition discipline), and from the same module constants
+    (_DECONTAM_N, _CHUNK, _STRIDE, _PACK_BUDGET) everywhere else, so the
+    composition cannot drift from the stages it composes."""
+    # registration side effects: this module stays standalone-importable
+    # (round-12 ADVICE), so pull in the stage modules explicitly rather
+    # than assuming registry load order
+    import als_pyspark_spark.dedup.queries  # noqa: F401
+    import als_pyspark_spark.functions.curation_queries  # noqa: F401
+    from als_pyspark_spark.registry import QUERIES
+
+    gate = QUERIES["q_quality_gate"].oracle
+    jac = QUERIES["q_dedup_ngram_jaccard"].oracle
+    assert jac.count("FROM documents") == 1, "near-dup oracle shape changed"
+    jac_kept = jac.replace("FROM documents", "FROM kept_e")
+    g5 = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{j}]" if j else "string_split(text, ' ')[i]"
+        for j in range(_DECONTAM_N)
+    )
+    grams5 = f"""list_distinct(list_transform(
+        generate_series(1, GREATEST(len(string_split(text, ' ')) - {_DECONTAM_N - 1}, 0)),
+        i -> {g5}))"""
+    return f"""
+WITH gate AS MATERIALIZED ({gate}),
+base AS MATERIALIZED (SELECT doc_id, source, text FROM documents),
+kept_g AS (SELECT b.* FROM base b JOIN gate g USING (doc_id) WHERE g.keep),
+kept_e AS MATERIALIZED (
+    SELECT MIN(doc_id) AS doc_id, ARG_MIN(source, doc_id) AS source,
+           text, COUNT(*) AS nc
+    FROM kept_g GROUP BY text
+),
+pairs AS ({jac_kept}),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+kept_n AS MATERIALIZED (
+    SELECT e.doc_id, e.source, e.text FROM kept_e e
+    LEFT JOIN drops d USING (doc_id) WHERE d.doc_id IS NULL
+),
+bench AS (
+    SELECT DISTINCT UNNEST({grams5}) AS g FROM base WHERE doc_id % 97 = 0
+),
+contam AS (
+    SELECT DISTINCT t.doc_id
+    FROM (SELECT doc_id, UNNEST({grams5}) AS g
+          FROM kept_n WHERE doc_id % 97 <> 0) t
+    JOIN bench b ON t.g = b.g
+),
+kept_c AS MATERIALIZED (
+    SELECT n.doc_id, n.source, len(string_split(n.text, ' ')) AS m
+    FROM kept_n n LEFT JOIN contam c USING (doc_id)
+    WHERE n.doc_id % 97 <> 0 AND c.doc_id IS NULL
+),
+chunks AS MATERIALIZED (
+    SELECT doc_id, source, k AS chunk_id,
+           LEAST({_CHUNK}, m - k * {_STRIDE}) AS n_tok
+    FROM kept_c,
+         UNNEST(generate_series(0,
+             CAST((GREATEST(m - {_CHUNK}, 0) + {_STRIDE - 1}) // {_STRIDE} AS BIGINT))) AS g(k)
+),
+packed AS (
+    SELECT source, shard, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source, shard
+                            ORDER BY h, doc_id, chunk_id) AS cum
+    FROM (SELECT source, doc_id, chunk_id, n_tok,
+                 md5(CAST(doc_id AS VARCHAR)) AS h,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard
+          FROM chunks)
+),
+s_in AS (SELECT source, COUNT(*) AS docs_in FROM base GROUP BY source),
+s_g AS (SELECT source, SUM(nc) AS kept_gate, COUNT(*) AS kept_exact
+        FROM kept_e GROUP BY source),
+s_n AS (SELECT source, COUNT(*) AS kept_near FROM kept_n GROUP BY source),
+s_c AS (SELECT source, COUNT(*) AS kept_clean FROM kept_c GROUP BY source),
+s_ch AS (SELECT source, COUNT(*) AS n_chunks, SUM(n_tok) AS n_tokens
+         FROM chunks GROUP BY source),
+s_b AS (SELECT source,
+               COUNT(DISTINCT shard || ':' ||
+                     CAST((cum - n_tok) // {_PACK_BUDGET} AS VARCHAR)) AS n_bins
+        FROM packed GROUP BY source),
+tot AS (SELECT SUM(n_tok) AS total_tokens FROM chunks)
+SELECT i.source,
+       CAST(i.docs_in AS BIGINT) AS docs_in,
+       CAST(COALESCE(g.kept_gate, 0) AS BIGINT) AS kept_gate,
+       CAST(COALESCE(g.kept_exact, 0) AS BIGINT) AS kept_exact,
+       CAST(COALESCE(n.kept_near, 0) AS BIGINT) AS kept_near,
+       CAST(COALESCE(c.kept_clean, 0) AS BIGINT) AS kept_clean,
+       CAST(COALESCE(ch.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(ch.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(b.n_bins, 0) AS BIGINT) AS n_bins,
+       CASE WHEN t.total_tokens > 0
+            THEN CAST(COALESCE(ch.n_tokens, 0) AS DOUBLE) / t.total_tokens
+            ELSE 0.0 END AS token_share
+FROM s_in i
+LEFT JOIN s_g g USING (source)
+LEFT JOIN s_n n USING (source)
+LEFT JOIN s_c c USING (source)
+LEFT JOIN s_ch ch USING (source)
+LEFT JOIN s_b b USING (source),
+tot t
+"""
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle=_e2e_oracle(),
+    tags=("pipeline", "e2e", "composition", "dedup", "quality"),
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as ONE composed DataFrame DAG:
+    quality gate -> exact dedup -> near dedup (winnow-fp-blocked exact
+    Jaccard >= 0.5, drop the larger doc of each pair) -> benchmark
+    decontamination (any shared distinct word 5-gram with the doc_id%97
+    held-out suite, which is itself excluded from training) -> sliding-
+    window chunking -> per-(source, shard) sequence packing -> per-source
+    mixture report: stage-by-stage survivor counts, chunk/token totals,
+    started-bin counts and the final token share. Every stage reuses the
+    corresponding standalone query's expressions (gate_reason, fingerprint,
+    word_ngrams, _doc_hash) and constants, and the oracle is COMPOSED from
+    the stage oracles' SQL (_e2e_oracle), so composed and standalone
+    semantics cannot drift.
+
+    Scale shape / stage fusion: the corpus projection is persisted ONCE
+    and read three times (gate chain, benchmark grams, input counts) —
+    not one scan per stage; the gate + exact-dedup collapse is a single
+    groupBy(text); the near-dup self-join reads one persisted shingle
+    table on both sides (exactly q_dedup_ngram_jaccard's shape); the
+    decontamination benchmark side is tiny and broadcast; chunk stats and
+    packing need only token COUNTS, so chunk sizes are derived
+    arithmetically (least(CHUNK, m - k*STRIDE)) without materializing
+    chunk text, and the packing window runs per (source, shard) — ~256
+    independent cumsums per source, never a global sort. Gate survivor
+    counts ride the dedup aggregate (sum of per-text copy counts), not a
+    second corpus pass. The report is |sources| rows; every persisted
+    intermediate is released by ``collected``. At 100 TB the same DAG
+    stages survivors to parquet between super-stages instead of caching
+    text twice, but the operator composition is unchanged.
+    """
+    out, caches = _e2e_plan(spark, sf_dir)
+    return collected(spark, out, *caches)
+
+
+def _e2e_plan(spark: SparkSession, sf_dir: str):
+    """Lazy end-to-end pipeline plan + its persisted intermediates (plan
+    tests and the explain audit inspect the DataFrame without running
+    the composed job)."""
+    from als_pyspark_spark.dedup.queries import _SHINGLE_N
+    from als_pyspark_spark.functions.curation_queries import gate_reason
+    from als_pyspark_spark.functions.text import fingerprint, word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    base = (
+        d.repartition(n_part, "doc_id").select("doc_id", "source", "text").persist()
+    )
+    # stage 1+2 fused: gate filter, then exact-dedup collapse in one agg;
+    # the per-text copy count carries the gate-survivor total along
+    kept_e = (
+        base.where(gate_reason(tokens(F.col("text"))) == "ok")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.count("*").alias("nc"),
+        )
+    )
+    toks = tokens(F.col("text"))
+    shingled = kept_e.select(
+        "doc_id",
+        "source",
+        "text",
+        "nc",
+        F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
+        fingerprint(toks, _SHINGLE_N).alias("fp"),
+    ).persist()
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    # integer form of jaccard >= 0.5: 2·|∩| >= |a|+|b|-|∩| (exactly
+    # equivalent to the stage oracle's float division at tau = 0.5)
+    drops = (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            2 * inter >= F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    kept_n = shingled.select("doc_id", "source", "text").join(
+        drops, "doc_id", "anti"
+    ).persist()
+    bench = (
+        base.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col("text")), _DECONTAM_N))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    contam = (
+        kept_n.where(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col("text")), _DECONTAM_N))
+            ).alias("g"),
+        )
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    kept_c = (
+        kept_n.where(F.col("doc_id") % 97 != 0)
+        .join(contam, "doc_id", "anti")
+        .select("doc_id", "source", F.size(tokens(F.col("text"))).alias("m"))
+    )
+    m = F.col("m")
+    last_chunk = F.floor(
+        (F.greatest(m - F.lit(_CHUNK), F.lit(0)) + F.lit(_STRIDE - 1)) / F.lit(_STRIDE)
+    ).cast("int")
+    chunks = kept_c.select(
+        "doc_id",
+        "source",
+        "m",
+        F.posexplode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id", "k"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.lit(_CHUNK), m - F.col("k") * _STRIDE).cast("long").alias("n_tok"),
+    ).persist()
+    h = _doc_hash()
+    packed = chunks.select(
+        "source", "doc_id", "chunk_id", "n_tok", h.alias("h")
+    ).withColumn("shard", F.substring("h", 1, 2))
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc(), F.col("chunk_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bins = (
+        packed.withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "source",
+            F.concat_ws(
+                ":",
+                "shard",
+                F.expr(f"CAST((cum - n_tok) div {_PACK_BUDGET} AS BIGINT)"),
+            ).alias("bin_key"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("bin_key").alias("n_bins"))
+    )
+    s_in = base.groupBy("source").agg(F.count("*").alias("docs_in"))
+    s_g = shingled.groupBy("source").agg(
+        F.sum("nc").alias("kept_gate"), F.count("*").alias("kept_exact")
+    )
+    s_n = kept_n.groupBy("source").agg(F.count("*").alias("kept_near"))
+    s_c = chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("kept_clean"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = chunks.agg(F.sum("n_tok").alias("total_tokens"))
+    out = (
+        s_in.join(s_g, "source", "left")
+        .join(s_n, "source", "left")
+        .join(s_c, "source", "left")
+        .join(bins, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("kept_gate", F.lit(0)).alias("kept_gate"),
+            F.coalesce("kept_exact", F.lit(0)).alias("kept_exact"),
+            F.coalesce("kept_near", F.lit(0)).alias("kept_near"),
+            F.coalesce("kept_clean", F.lit(0)).alias("kept_clean"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.coalesce("n_tokens", F.lit(0)).cast("double")
+                / F.col("total_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("token_share"),
+        )
+    )
+    return out, [base, shingled, kept_n, chunks]

