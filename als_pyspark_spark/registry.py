@@ -261,21 +261,24 @@ _MODULE_ORDER = (
 #   1. the four r6-vintage rows LEAD (judge item 1) — code-unchanged
 #      formerly-green, deferred past the round-12 boundary;
 #   2. the round's never-verified new operators: iterative BPE tokenizer
-#      training (judge item 3) and the end-to-end composed pipeline
-#      (judge item 4);
+#      training (judge item 3), the end-to-end composed pipeline
+#      (judge item 4), and the streaming throughput/batch-stability
+#      probe (judge item 7);
 #   3. the fingerprint flips from this round's changes, both previously
 #      green: q_pagerank_converged (per-round cache release + empty-graph
 #      guard, the r13 ADVICE) and q_quality_gate (reason chain factored
 #      into gate_reason so the composed pipeline shares it verbatim);
-#   4. 42 of the 49-query r7 vintage block (the scalar-funcs / set-ops /
-#      window / subquery rotation). The seven deferred — q_bit_aggs and
-#      q_map_funcs (the scalar-funcs family keeps array/math/string/
-#      struct/date canaries in-window), q_except_all_repeat_custkeys and
-#      q_intersect_all_statuses (set-ops keeps except/intersect/union),
-#      and q_window_distribution / q_window_lag_gap_days /
-#      q_window_moving_avg (windows keeps rank-parts and running-spend)
-#      — are code-unchanged-formerly-green, sit immediately past the
-#      boundary, and LEAD round 14 (finishing the r7 drain).
+#   4. 41 of the 49-query r7 vintage block (the scalar-funcs / set-ops /
+#      window / subquery rotation). The eight deferred — q_value_histogram
+#      (displaced by the throughput probe; aggregates keep stats/distinct
+#      canaries), q_bit_aggs and q_map_funcs (the scalar-funcs family
+#      keeps array/math/string/struct/date canaries in-window),
+#      q_except_all_repeat_custkeys and q_intersect_all_statuses (set-ops
+#      keeps except/intersect/union), and q_window_distribution /
+#      q_window_lag_gap_days / q_window_moving_avg (windows keeps
+#      rank-parts and running-spend) — are code-unchanged-formerly-green,
+#      sit immediately past the boundary, and LEAD round 14 (finishing
+#      the r7 drain).
 # Family canaries in-window this round: streaming ×2 (stream-stream +
 # left-outer), sinks ×3 (zorder/json/orc), pandas_udfs (udtf), dedup
 # (canonical + the e2e composition), similarity ×2 (bruteforce ANN,
@@ -296,6 +299,7 @@ _HOISTED = (
     # 2. never-verified new operators
     "q_bpe_train_merges",
     "q_pipeline_e2e",
+    "q_stream_throughput_probe",
     # 3. fingerprint flips (PageRank per-round cache release; gate_reason
     # factoring)
     "q_pagerank_converged",
@@ -339,12 +343,12 @@ _HOISTED = (
     "q_triangle_count_doulion",
     "q_udtf_char_ngrams",
     "q_union_all_keys",
-    "q_value_histogram",
     "q_variant_json_extract",
     "q_window_rank_parts_by_size",
     "q_window_running_spend",
-    # --- 50-entry sweep-prefix boundary. The seven deferred r7 rows sit
+    # --- 50-entry sweep-prefix boundary. The eight deferred r7 rows sit
     # immediately past it and lead round 14 (see agenda note above).
+    "q_value_histogram",
     "q_bit_aggs",
     "q_map_funcs",
     "q_except_all_repeat_custkeys",

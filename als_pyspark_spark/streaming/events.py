@@ -559,3 +559,30 @@ def read_staged_stream(spark: SparkSession, staged: str, schema) -> DataFrame:
         .option("latestFirst", "false")
         .load(staged)
     )
+
+
+def stage_events_modulo(spark: SparkSession, sf_dir: str, name: str, k: int):
+    """Re-stage events.parquet as ``k`` parquet files — file i holding
+    exactly the rows with ``event_id % k == i`` — inside an app-scoped
+    scratch dir, so a file source with ``maxFilesPerTrigger=1`` drains in
+    exactly ``k`` micro-batches whose CONTENT is a deterministic function
+    of the data. Unlike :func:`stage_events_two_batches`, no mtime
+    ordering is enforced: callers that identify each batch by the bucket
+    value it carries (not by epoch id) are replay-order independent.
+
+    Returns ``(staged_path, schema)``."""
+    from als_pyspark_spark.sources.sinks import app_scratch
+    from als_pyspark_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    staged = app_scratch(spark, name)
+    events.where(F.col("event_id") % k == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    for i in range(1, k):
+        events.where(F.col("event_id") % k == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+    return staged, events.schema
