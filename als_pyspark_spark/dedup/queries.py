@@ -1148,6 +1148,199 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-DUP dedup (round 14): a new crawl batch probed against
+# the historical corpus at the MinHash tier — the incremental twin of
+# q_bloom_incremental_dedup, which covers only EXACT dedup (the Bloom
+# filter's byte-identity can't see the %5==1 "page changed since last
+# crawl" docs; the MinHash tier catches them as near-dups of their own
+# previous crawl).
+
+_INCR_TAU = 0.5  # same verify threshold as the batch-mode MinHash tier
+
+
+@query(
+    "q_dedup_minhash_incremental",
+    oracle=f"""
+WITH new_docs AS ({_NEW_BATCH_SQL}),
+htk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), hsh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, GREATEST(len(t) - {_SHINGLE_N - 1}, 0)),
+               i -> {_GRAM_CONCAT})) AS grams
+    FROM htk
+), hsig AS (
+    SELECT doc_id, grams,
+           list_transform(generate_series(0, {_NUM_HASHES - 1}),
+               i -> COALESCE(list_min(list_transform(grams,
+                        s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                             + i * ('0x' || substr(md5(s), 9, 8))::BIGINT)),
+                    9223372036854775807)) AS sig
+    FROM hsh WHERE len(grams) > 0
+), hband AS (
+    SELECT doc_id,
+           bs.b::VARCHAR || ':' ||
+             md5(array_to_string(list_slice(sig,
+                 bs.b * {_ROWS_PER_BAND} + 1,
+                 bs.b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), ',')) AS band
+    FROM hsig, (SELECT UNNEST(generate_series(0, {_BANDS - 1})) AS b) bs
+), btk AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM new_docs
+), bsh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, GREATEST(len(t) - {_SHINGLE_N - 1}, 0)),
+               i -> {_GRAM_CONCAT})) AS grams
+    FROM btk
+), bsig AS (
+    SELECT doc_id, grams,
+           list_transform(generate_series(0, {_NUM_HASHES - 1}),
+               i -> COALESCE(list_min(list_transform(grams,
+                        s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                             + i * ('0x' || substr(md5(s), 9, 8))::BIGINT)),
+                    9223372036854775807)) AS sig
+    FROM bsh WHERE len(grams) > 0
+), bband AS (
+    SELECT doc_id,
+           bs.b::VARCHAR || ':' ||
+             md5(array_to_string(list_slice(sig,
+                 bs.b * {_ROWS_PER_BAND} + 1,
+                 bs.b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), ',')) AS band
+    FROM bsig, (SELECT UNNEST(generate_series(0, {_BANDS - 1})) AS b) bs
+), cand AS (
+    SELECT DISTINCT b.doc_id AS bdoc, h.doc_id AS hdoc
+    FROM bband b JOIN hband h ON b.band = h.band
+), ver AS (
+    SELECT c.bdoc,
+           CAST(len(list_filter(sb.grams, g -> list_contains(sh.grams, g)))
+                AS DOUBLE)
+             / (len(sb.grams) + len(sh.grams)
+                - len(list_filter(sb.grams, g -> list_contains(sh.grams, g))))
+               AS j
+    FROM cand c
+    JOIN bsig sb ON sb.doc_id = c.bdoc
+    JOIN hsig sh ON sh.doc_id = c.hdoc
+), m AS (
+    SELECT bdoc,
+           CAST(COUNT(*) AS BIGINT) AS n_hist_matches,
+           MAX(j) AS best_jaccard
+    FROM ver WHERE j >= {_INCR_TAU} GROUP BY bdoc
+)
+SELECT n.doc_id, n.source,
+       CAST(COALESCE(m.n_hist_matches, 0) AS BIGINT) AS n_hist_matches,
+       COALESCE(m.best_jaccard, 0.0) AS best_jaccard
+FROM new_docs n LEFT JOIN m ON m.bdoc = n.doc_id
+""",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dedup: the re-crawl batch (same model as
+    q_bloom_incremental_dedup — %5==0 pages byte-identical, %5==1 pages
+    changed since last crawl) probes the HISTORICAL corpus's LSH band
+    index; every batch document gets (n_hist_matches, best_jaccard) over
+    Jaccard-verified historical matches at tau = 0.5. The byte-identical
+    recrawls surface with best_jaccard = 1.0; the changed pages surface as
+    near-dups of their own previous crawl (the docs the exact/Bloom tier
+    structurally keeps) — together the two queries complete the
+    incremental family across both dedup grains.
+
+    NO BATCH-INTERNAL PAIR is ever counted, by construction rather than by
+    filter: candidates come from joining batch bands to HISTORICAL bands
+    only, so both the count and the max range over historical documents
+    alone — the within-batch near-dup question belongs to the batch-mode
+    tiers (q_dedup_minhash_lsh) run over the merged corpus afterwards.
+    tests/test_dedup.py additionally witnesses the recrawl rows' exact
+    self-match and the count's distinct-historical grain.
+
+    Scale shape (100 TB): the historical signature/band index is the
+    persisted epoch artifact (computed once per ingestion epoch, here in
+    the same job); per batch the work is an equi-join of the batch's
+    n_docs x n_bands band keys against the index — hash-partitioned on
+    the band key, broadcastable by AQE when the batch is small — plus
+    Jaccard verification of the (bounded) candidate set. The historical
+    side collapses identical shingle sets to clone CLASSES first (gid +
+    class size), so a batch doc hitting a boilerplate clone family
+    verifies ONCE and counts the family by its stored size; the oracle
+    stays the doc-level replay, so the hash-match also certifies the
+    collapse (the q_dedup_minhash_lsh argument). Band payloads are ids
+    and 32-hex band hashes, never shingle arrays.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    toks = tokens(F.col("text"))
+    grams = F.array_distinct(word_ngrams(toks, _SHINGLE_N))
+
+    # historical index: clone-class collapse (sorted gram set as the class
+    # key), signature, bands — the per-epoch artifact
+    hcls = (
+        d.repartition(n_part, "doc_id")
+        .select("doc_id", F.sort_array(grams).alias("grams"))
+        .where(F.size("grams") > 0)
+        .groupBy("grams")
+        .agg(F.min("doc_id").alias("gid"), F.count("*").alias("n_docs"))
+    )
+    hsig = hcls.withColumn(
+        "sig", minhash_signature(F.col("grams"), _NUM_HASHES)
+    ).persist()  # session-lifetime: module docstring's cache-lifetime note
+    hband = hsig.select(
+        "gid",
+        F.explode(lsh_bands(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("band"),
+    )
+
+    # the incoming batch: doc-level (each row needs its own verdict)
+    nb = _new_batch(d)
+    bsig = (
+        nb.repartition(n_part, "doc_id")
+        .select("doc_id", "source", grams.alias("grams"))
+        .where(F.size("grams") > 0)
+        .withColumn("sig", minhash_signature(F.col("grams"), _NUM_HASHES))
+        .persist()
+    )
+    bband = bsig.select(
+        "doc_id",
+        F.explode(lsh_bands(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("band"),
+    )
+
+    cand = (
+        bband.join(hband, "band")
+        .select("doc_id", "gid")
+        .distinct()  # a pair can collide in several bands
+    )
+    inter = F.size(F.array_intersect("bg", "hg"))
+    union = F.size("bg") + F.size("hg") - inter
+    ver = (
+        cand.join(bsig.select("doc_id", F.col("grams").alias("bg")), "doc_id")
+        .join(
+            hsig.select("gid", F.col("grams").alias("hg"), "n_docs"), "gid"
+        )
+        .select(
+            "doc_id",
+            "n_docs",
+            (inter.cast("double") / union).alias("j"),
+        )
+        .where(F.col("j") >= _INCR_TAU)
+    )
+    agg = ver.groupBy("doc_id").agg(
+        F.sum("n_docs").alias("n_hist_matches"),
+        F.max("j").alias("best_jaccard"),
+    )
+    return (
+        nb.select("doc_id", "source")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_hist_matches", F.lit(0)).cast("long").alias(
+                "n_hist_matches"
+            ),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fuzzy entity matching: edit-distance join with blocking — the entity-
 # resolution primitive (same product/supplier/customer under slightly

@@ -560,8 +560,9 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Iterative BPE tokenizer TRAINING (round 13): N convergent merge rounds,
-# not just the first round's pair statistics (q_bpe_pair_counts).
+# Iterative BPE tokenizer TRAINING (round 13; merge resolution moved
+# in-plan in round 14): N convergent merge rounds, not just the first
+# round's pair statistics (q_bpe_pair_counts).
 #
 # Word representation shared by BOTH engines: a word's symbol sequence is
 # the concatenation of '\x1f<sym>\x1f' units ('\x1f' = ASCII unit
@@ -578,6 +579,19 @@ _BPE_SEP2 = _BPE_SEP * 2
 _BPE_MERGES = 18  # vocab budget: max merge rounds (real trainers use ~32k)
 _BPE_CHECKPOINT_EVERY = 3  # reliable-checkpoint cadence (graph-family rule)
 _BPE_MIN_PAIR = 2  # stop early when the best pair is unrepeated
+# Merges resolved IN-PLAN per driver job (round 14). Production trainers
+# batch non-interacting merges per round to cut driver round-trips; a
+# declarative engine can do strictly better — make the merge DEPENDENCE
+# part of the plan. Measured first (PERF.md round 14): the sound
+# non-interacting batch rule (accept ranked symbol-disjoint pairs whose
+# counts strictly majorize the first interacting pair's count) reproduces
+# the sequential sequence exactly on all three fixture tiers but batch
+# sizes collapse to 1 after ~6 merges (19 -> 12-14 actions, short of 2x).
+# The in-plan chain has no such data dependence: each level's argmax is a
+# one-row subplan LEFT-joined into the next level's conditional replace —
+# the oracle's w{r} CTE structure verbatim — so one job resolves a whole
+# chunk of merges with exact sequential semantics, 19 -> 7 actions.
+_BPE_CHUNK = _BPE_CHECKPOINT_EVERY  # in-plan merge levels per driver job
 
 
 def _bpe_words0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,87 +611,141 @@ def _bpe_words0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply(words: DataFrame, left: str, right: str) -> DataFrame:
-    """Apply one learned merge to every word — a narrow per-row replace
-    (no shuffle; lineage grows by one Project per round until the
-    checkpoint cadence truncates it)."""
-    return words.select(
-        F.replace(
-            F.col("w"),
-            F.lit(_BPE_SEP + left + _BPE_SEP2 + right + _BPE_SEP),
-            F.lit(_BPE_SEP + left + right + _BPE_SEP),
-        ).alias("w"),
+def _bpe_syms(col: str = "w"):
+    """Symbol array of a unit-encoded word."""
+    return F.split(F.col(col).substr(F.lit(2), F.length(col) - 2), _BPE_SEP2)
+
+
+def _bpe_top1(words: DataFrame) -> DataFrame:
+    """One-row argmax merge candidate over a word table: (l, r, n) by
+    count desc, then lexicographic pair — the deterministic tie-break both
+    engines share (the oracle's t{r} CTE)."""
+    cur = words.select(_bpe_syms().alias("s"), F.col("wc"))
+    pairs = cur.where(F.size("s") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("s", 1, F.size("s") - 1),
+                F.slice("s", 2, F.size("s") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p"),
         "wc",
     )
-
-
-def _bpe_round_probe(words: DataFrame) -> DataFrame:
-    """The per-round driver action, as ONE single-row plan: the argmax
-    merge candidate (count desc, then lexicographic pair — the
-    deterministic tie-break both engines share) LEFT-joined onto the word
-    table's vocab/occurrence stats, so each training round costs exactly
-    one job and the driver sees one bounded row (the Pregel-aggregator
-    shape — never a collect of the word table)."""
-    syms = F.split(
-        F.col("w").substr(F.lit(2), F.length("w") - 2), _BPE_SEP2
-    )
-    cur = words.select(syms.alias("s"), "wc")
-    pairs = (
-        cur.where(F.size("s") >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice("s", 1, F.size("s") - 1),
-                    F.slice("s", 2, F.size("s") - 1),
-                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                )
-            ).alias("p"),
-            "wc",
-        )
-    )
-    top = (
+    return (
         pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.sum("wc").alias("n"))
         .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
         .limit(1)
     )
-    stats = cur.select(F.explode("s").alias("sym"), "wc").agg(
-        F.countDistinct("sym").alias("vocab"), F.sum("wc").alias("toks")
+
+
+def _bpe_merge_level(words: DataFrame, top1: DataFrame) -> DataFrame:
+    """One in-plan merge level: LEFT-join the one-row argmax (broadcast
+    nested loop over a single row) and apply its merge as a narrow per-row
+    replace, CONDITIONALLY on n >= _BPE_MIN_PAIR — the oracle's w{r} CTE
+    verbatim (below threshold, or when no pair exists and l/r/n are null,
+    the word table passes through unchanged, so post-termination levels
+    are harmless no-ops the driver discards). The level CARRIES its merge
+    metadata (l, r, n) as constant columns so the argmax subplan is
+    evaluated exactly ONCE per level — the probe row reads the metadata
+    back out of the cached level instead of re-joining the argmax (the
+    cache boundary defeats ReuseExchange, so a second reference would
+    recompute the whole pair aggregation; measured 1.7x on the trainer)."""
+    pat = F.concat(
+        F.lit(_BPE_SEP), F.col("l"), F.lit(_BPE_SEP2), F.col("r"), F.lit(_BPE_SEP)
     )
-    return stats.join(top, F.lit(True), "left")
+    rep = F.concat(F.lit(_BPE_SEP), F.col("l"), F.col("r"), F.lit(_BPE_SEP))
+    return words.select("w", "wc").join(top1, F.lit(True), "left").select(
+        F.when(F.col("n") >= _BPE_MIN_PAIR, F.replace(F.col("w"), pat, rep))
+        .otherwise(F.col("w"))
+        .alias("w"),
+        "wc",
+        "l",
+        "r",
+        "n",
+    )
+
+
+def _bpe_level_row(level: DataFrame, rnd: int) -> DataFrame:
+    """One bounded row off a merge level: the level's own merge metadata
+    (constant columns, read via first()) plus the post-merge vocab/token
+    stats (the oracle's t{r} ⋈ s{r} row) — a single aggregation over the
+    cached level, no re-join of the argmax subplan."""
+    return (
+        level.select(F.explode(_bpe_syms()).alias("sym"), "wc", "l", "r", "n")
+        .agg(
+            F.first("l").alias("l"),
+            F.first("r").alias("r"),
+            F.first("n").alias("n"),
+            F.countDistinct("sym").alias("vocab"),
+            F.sum("wc").alias("toks"),
+        )
+        .select(F.lit(rnd).alias("round"), "l", "r", "n", "vocab", "toks")
+    )
+
+
+def _bpe_chunk(
+    words: DataFrame, n_levels: int, first_round: int, persist: bool = True
+):
+    """Build ``n_levels`` in-plan merge levels over ``words``. Returns
+    (words_end, probe, caches): ``probe`` unions ONE bounded row per level
+    — (round, l, r, n, vocab, toks) with the level's argmax merge and the
+    post-merge vocab/occurrence stats — so collecting it resolves the whole
+    chunk's merges in a single driver action. Each level's word table is
+    persisted (``persist=True``) so the probe's sibling branches and the
+    next level share one materialization instead of recomputing the
+    argmax-subplan chain per branch."""
+    outs = []
+    caches: list[DataFrame] = []
+    cur = words
+    for j in range(n_levels):
+        top1 = _bpe_top1(cur)
+        cur = _bpe_merge_level(cur, top1)
+        if persist:
+            cur = cur.persist()
+            caches.append(cur)
+        outs.append(_bpe_level_row(cur, first_round + j))
+    probe = outs[0]
+    for o in outs[1:]:
+        probe = probe.unionByName(o)
+    return cur, probe, caches
 
 
 def _bpe_chain(spark: SparkSession, sf_dir: str, n_rounds: int) -> DataFrame:
     """Lazy n-round training chain for plan tests and the explain audit:
-    the production per-round plan (probe over the merged word table) with
-    LAZY checkpoints at the production cadence — plans every round, runs
-    NO jobs, writes no files (the k-core audit-path discipline). Merge
-    pairs are fixed literals: the plan shape is independent of WHICH pair
-    merges, so the pinned shape is the production shape."""
+    the production per-chunk plan (in-plan merge levels + probe) with LAZY
+    checkpoints at the production chunk cadence — plans every level, runs
+    NO jobs, writes no files, persists nothing (the k-core audit-path
+    discipline)."""
     from als_pyspark_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
     words = _bpe_words0(spark, sf_dir)
-    for i in range(1, n_rounds + 1):
-        words = _bpe_apply(words, "e", "r")
-        if i % _BPE_CHECKPOINT_EVERY == 0:
-            words = words.checkpoint(eager=False)
-    return _bpe_round_probe(words)
+    done = 0
+    while n_rounds - done > _BPE_CHUNK:
+        words, _, _ = _bpe_chunk(words, _BPE_CHUNK, done + 1, persist=False)
+        words = words.checkpoint(eager=False)
+        done += _BPE_CHUNK
+    _, probe, _ = _bpe_chunk(words, n_rounds - done, done + 1, persist=False)
+    return probe
 
 
 def _bpe_plan(spark: SparkSession, sf_dir: str):
-    """Steady-state audit plan: one merge round past a checkpoint
+    """Steady-state audit plan: one merge level past a checkpoint
     boundary (the q_pagerank_converged _prc_plan convention)."""
-    return _bpe_chain(spark, sf_dir, _BPE_CHECKPOINT_EVERY + 1), ()
+    return _bpe_chain(spark, sf_dir, _BPE_CHUNK + 1), ()
 
 
-def _bpe_oracle() -> str:
-    """Unrolled-CTE DuckDB replay of the exact training loop: per round,
-    pair counts -> deterministic argmax -> replace-based merge, words
-    MATERIALIZED per round (three downstream readers each). The stopping
-    rule (best count < _BPE_MIN_PAIR) prunes a suffix because top counts
-    are monotone non-increasing: a merge's induced pairs occur at most
-    pair_count times and every other count can only shrink."""
+def _bpe_train_ctes() -> str:
+    """The WITH-body of the DuckDB training replay — shared VERBATIM by the
+    train oracle and the encode oracle (the q_pipeline_e2e composition
+    discipline: one source string, two readers, so the two oracles cannot
+    drift; tests/test_text.py asserts the containment). Per round: pair
+    counts -> deterministic argmax -> replace-based merge, words
+    MATERIALIZED per round (three downstream readers each). w{r} carries
+    the ORIGINAL token alongside its (progressively merged) unit-encoded
+    form so the final table doubles as the tok -> encoding map the encode
+    oracle joins against; the train oracle ignores the column."""
     s, s2 = _BPE_SEP, _BPE_SEP2
 
     def syms(src: str) -> str:
@@ -685,7 +753,8 @@ def _bpe_oracle() -> str:
 
     parts = [
         f"""w0 AS MATERIALIZED (
-    SELECT regexp_replace(tok, '(.)', '{s}\\1{s}', 'g') AS w,
+    SELECT tok,
+           regexp_replace(tok, '(.)', '{s}\\1{s}', 'g') AS w,
            CAST(COUNT(*) AS BIGINT) AS wc
     FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
     WHERE len(tok) >= 2 AND strpos(tok, '{s}') = 0
@@ -703,7 +772,8 @@ def _bpe_oracle() -> str:
 ),
 t{r} AS (SELECT l, r2, n FROM p{r} ORDER BY n DESC, l ASC, r2 ASC LIMIT 1),
 w{r} AS MATERIALIZED (
-    SELECT CASE WHEN t.n >= {_BPE_MIN_PAIR}
+    SELECT x.tok AS tok,
+           CASE WHEN t.n >= {_BPE_MIN_PAIR}
                 THEN replace(x.w, '{s}' || t.l || '{s2}' || t.r2 || '{s}',
                              '{s}' || t.l || t.r2 || '{s}')
                 ELSE x.w END AS w,
@@ -716,6 +786,15 @@ s{r} AS (
     FROM (SELECT UNNEST({syms(f"w{r}")}) AS sym, wc FROM w{r} AS w{r})
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _bpe_oracle() -> str:
+    """Training-replay oracle: the shared CTE chain (_bpe_train_ctes) plus
+    the merge/stat assembly. The stopping rule (best count < _BPE_MIN_PAIR)
+    prunes a suffix because top counts are monotone non-increasing: a
+    merge's induced pairs occur at most pair_count times and every other
+    count can only shrink."""
     merges = "\nUNION ALL ".join(
         f"SELECT {r} AS round, l, r2, n FROM t{r}"
         for r in range(1, _BPE_MERGES + 1)
@@ -724,9 +803,8 @@ s{r} AS (
         f"SELECT {r} AS round, vocab_after, toks_after FROM s{r}"
         for r in range(1, _BPE_MERGES + 1)
     )
-    ctes = ",\n".join(parts)
     return f"""
-WITH {ctes},
+WITH {_bpe_train_ctes()},
 merges AS ({merges}),
 stats AS ({stats})
 SELECT CAST(m.round AS BIGINT) AS round,
@@ -739,6 +817,60 @@ SELECT CAST(m.round AS BIGINT) AS round,
 FROM merges m JOIN stats st USING (round)
 WHERE m.n >= {_BPE_MIN_PAIR}
 """
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the chunked training loop; returns the learned merge table as
+    driver-side rows (round, left, right, merged, pair_count, vocab_after,
+    corpus_tokens_after) — bounded by _BPE_MERGES, never corpus-sized.
+
+    One driver action per _BPE_CHUNK merges: the chunk probe unions one
+    bounded row per level, each level's argmax resolved in-plan (see
+    _bpe_merge_level). Caching follows the C1-C3 per-iteration discipline
+    (reference ALS.py:137-156): each level persists so sibling probe
+    branches share one materialization; a chunk's intermediates and its
+    base release right after its action completes; the chunk-end table is
+    lazily checkpointed (persist-then-checkpoint: the NEXT chunk's action
+    triggers the reliable write from cache) so lineage is rooted at most
+    _BPE_CHUNK levels above a leaf at ANY merge count — tests/test_plans.py
+    pins plan-shape equality at rounds 4/7/10."""
+    from als_pyspark_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    base = _bpe_words0(spark, sf_dir).persist()
+    base_cache: DataFrame | None = base
+    pending: list[DataFrame] = []  # superseded once the NEXT action completes
+    out: list[tuple] = []
+    stop = False
+    while not stop and len(out) < _BPE_MERGES:
+        k = min(_BPE_CHUNK, _BPE_MERGES - len(out))
+        end, probe, caches = _bpe_chunk(base, k, len(out) + 1)
+        ck = end.checkpoint(eager=False)
+        rows = sorted(probe.collect(), key=lambda r: r["round"])  # ONE action
+        # that action materialized every level's cache (and, on the
+        # previous chunk's boundary, completed the reliable write) —
+        # release everything it superseded NOW
+        while pending:
+            pending.pop().unpersist()
+        for c in caches[:-1]:
+            c.unpersist()
+        if base_cache is not None:
+            base_cache.unpersist()
+        for r in rows:
+            if r["n"] is None or int(r["n"]) < _BPE_MIN_PAIR:
+                stop = True
+                break
+            out.append(
+                (
+                    int(r["round"]), r["l"], r["r"], r["l"] + r["r"],
+                    int(r["n"]), int(r["vocab"]), int(r["toks"]),
+                )
+            )
+        base, base_cache = ck, None
+        pending = [caches[-1]]
+    while pending:
+        pending.pop().unpersist()
+    return out
 
 
 @query(
@@ -761,75 +893,131 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution shape (the 100 TB story): the corpus collapses ONCE to the
     distinct-word frequency table (the standard BPE-training reduction —
-    the only corpus-sized shuffle); every round then runs ONE job over that
-    (vastly smaller, Zipf-truncated) table returning ONE bounded row to
-    the driver — argmax pair + vocab/occurrence stats in a single
-    stats ⟕ top-1 plan (``_bpe_round_probe``), never a collect of the
-    table. Merges apply as narrow per-row replaces; each round persists
-    and the superseded round unpersists right after the next action (C1-C3
-    per-iteration discipline, reference ALS.py:137-156), with a reliable
-    checkpoint every ``_BPE_CHECKPOINT_EVERY`` rounds (persist-then-lazy-
-    checkpoint: the next probe materializes the cache and the write reads
-    the cache) so lineage is rooted ≤3 rounds above a leaf at ANY round
-    count — tests/test_plans.py pins plan-size equality at rounds 4/7/10.
-    A production 32k-merge trainer batches non-interacting merges per
-    round to cut driver round-trips; the per-round plan is unchanged.
-
-    Stats are measured one action LATE by design: round r's probe returns
-    the argmax of words_{r-1} AND the vocab/token stats of words_{r-1}
-    (= after-stats of merge r-1) in the same single row, so training
-    costs exactly one job per round plus one final stats job.
+    the only corpus-sized shuffle); training then costs ONE bounded-row
+    job per ``_BPE_CHUNK`` merges, because merge dependence is resolved
+    IN-PLAN: each level's argmax is a one-row subplan left-joined into the
+    next level's conditional replace — exactly the oracle's w{r} CTE
+    dataflow — so the probe's k rows ARE k sequential Sennrich merges
+    (``_bpe_chunk``). That dominates the usual non-interacting-merge
+    batching (measured, PERF.md round 14: the sound disjointness rule's
+    batch sizes collapse to 1 after ~6 merges on every fixture tier
+    because learned symbols chain; 19 -> 12-14 actions vs 19 -> 7 here),
+    and needs no disjointness precondition at all. Merges apply as narrow
+    per-row replaces; each chunk persists its levels and releases its
+    predecessors right after the next action (C1-C3 per-iteration
+    discipline, reference ALS.py:137-156), with a reliable checkpoint at
+    every chunk boundary (persist-then-lazy-checkpoint: the next probe
+    materializes the cache and the write reads the cache) so lineage is
+    rooted <= _BPE_CHUNK levels above a leaf at ANY merge count —
+    tests/test_plans.py pins plan-shape equality at rounds 4/7/10.
     """
-    from als_pyspark_spark.session import ensure_checkpoint_dir
-
-    ensure_checkpoint_dir(spark)
-    words = _bpe_words0(spark, sf_dir).persist()
-    cur_cache: DataFrame | None = words
-    stale: list[DataFrame] = []  # superseded once the next action completes
-    merges: list[tuple[int, str, str, int]] = []
-    afters: list[tuple[int, int]] = []  # (vocab, toks) after merge i, lagged
-    stats_pending = False
-    for rnd in range(1, _BPE_MERGES + 1):
-        row = _bpe_round_probe(words).collect()[0]
-        # that action materialized `words` (and, on checkpoint rounds,
-        # completed the reliable write) — release superseded caches NOW
-        while stale:
-            stale.pop().unpersist()
-        if merges:
-            afters.append((int(row["vocab"]), int(row["toks"])))
-            stats_pending = False
-        if row["n"] is None or int(row["n"]) < _BPE_MIN_PAIR:
-            break
-        left, right, n = row["l"], row["r"], int(row["n"])
-        merges.append((rnd, left, right, n))
-        new_cached = _bpe_apply(words, left, right).persist()
-        if cur_cache is not None:
-            stale.append(cur_cache)
-        if len(merges) % _BPE_CHECKPOINT_EVERY == 0:
-            # subsequent reads come from the checkpoint files, so the
-            # pre-checkpoint cache is superseded as soon as the write
-            # (triggered by the next probe) completes
-            words = new_cached.checkpoint(eager=False)
-            stale.append(new_cached)
-            cur_cache = None
-        else:
-            words = new_cached
-            cur_cache = new_cached
-        stats_pending = True
-    if stats_pending:
-        # the cap-terminated path: the last merge's after-stats were never
-        # probed — one final bounded stats job
-        row = _bpe_round_probe(words).collect()[0]
-        afters.append((int(row["vocab"]), int(row["toks"])))
-    for c in [*stale, cur_cache]:
-        if c is not None:
-            c.unpersist()
-    out = [
-        (rnd, left, right, left + right, n, v, t)
-        for (rnd, left, right, n), (v, t) in zip(merges, afters)
-    ]
+    rows = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
-        out,
+        rows,
         "round long, left_sym string, right_sym string, merged string, "
         "pair_count long, vocab_after long, corpus_tokens_after long",
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """Encode-side oracle COMPOSED from the training replay: the shared
+    CTE chain's final word table w{_BPE_MERGES} IS the tok -> fully-merged-
+    encoding map (every corpus token of length >= 2 is a training word, and
+    the CASE-guarded w{r} chain applies exactly the learned merges), so the
+    per-document stats are one join away. Tokens outside the map (single
+    characters, or containing the separator sentinel) encode to one symbol
+    per character — COALESCE(n_sym, len(tok)) — matching the Spark side's
+    fallback rule."""
+    s2 = _BPE_SEP2
+    return f"""
+WITH {_bpe_train_ctes()},
+enc AS (
+    SELECT tok,
+           CAST(len(string_split(substr(w, 2, length(w) - 2), '{s2}'))
+                AS BIGINT) AS n_sym
+    FROM w{_BPE_MERGES}
+),
+tk AS (
+    SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+    FROM documents
+)
+SELECT t.doc_id,
+       t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(t.tok)) AS BIGINT) AS n_chars,
+       CAST(SUM(COALESCE(e.n_sym, len(t.tok))) AS BIGINT) AS n_bpe_tokens
+FROM tk t LEFT JOIN enc e USING (tok)
+WHERE len(t.tok) >= 1
+GROUP BY t.doc_id, t.source
+"""
+
+
+@query(
+    "q_bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "bpe", "tokenizer", "encode"),
+)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's production READ path: apply the LEARNED merge table
+    corpus-wide and emit per-document encoded-token stats (doc_id, source,
+    n_words, n_chars, n_bpe_tokens) — the apply side of
+    q_bpe_train_merges, exactly as q_dedup_scrub_spans is
+    q_dedup_substring_spans' apply side.
+
+    Execution shape (the 100 TB story): encoding is VOCABULARY-sized, not
+    corpus-sized — the corpus collapses to its distinct-token table, each
+    distinct token unit-encodes once and replays the <= _BPE_MERGES learned
+    merges as chained narrow replaces (pure whole-stage-codegen string
+    ops), and the resulting tok -> n_sym map BROADCASTS back onto the
+    exploded corpus for a map-side join + per-doc aggregation. A natural-
+    language vocabulary stays bounded (Heaps' law) while the corpus does
+    not, so per-token re-encoding — running 18 replaces on every token
+    OCCURRENCE — would do Zipf-fold duplicate work; the lookup-table shape
+    is how production tokenizers amortize it. Tokens the trainer never saw
+    as words (single characters; separator-sentinel carriers) fall back to
+    one symbol per character, mirrored by the oracle's COALESCE.
+
+    Oracle COMPOSITION (drift-proof): the oracle reuses _bpe_train_ctes()
+    VERBATIM — the train oracle's own CTE chain — and reads the final
+    w{_BPE_MERGES} table as the encoding map, so train and encode cannot
+    diverge: any change to training semantics rewrites both oracles and
+    both fingerprints (tests/test_text.py asserts the textual containment
+    and the tokenizer coupling).
+
+    Training itself runs first (bounded: one job per _BPE_CHUNK merges,
+    see _bpe_train) because the merge table is a model artifact; in a
+    production pipeline it would be read from the model store instead."""
+    merges = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    enc_w = F.regexp_replace("tok", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+    for _, left, right, *_rest in merges:
+        enc_w = F.replace(
+            enc_w,
+            F.lit(_BPE_SEP + left + _BPE_SEP2 + right + _BPE_SEP),
+            F.lit(_BPE_SEP + left + right + _BPE_SEP),
+        )
+    n_sym = F.size(F.split(enc_w.substr(F.lit(2), F.length(enc_w) - 2), _BPE_SEP2))
+    enc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .distinct()
+        .select(
+            "tok",
+            F.when(F.col("tok").contains(_BPE_SEP), F.length("tok"))
+            .otherwise(n_sym)
+            .cast("long")
+            .alias("n_sym"),
+        )
+    )
+    ex = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.length("tok") >= 1)
+    return (
+        ex.join(F.broadcast(enc), "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("tok")).cast("long").alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
     )

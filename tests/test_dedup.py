@@ -488,3 +488,86 @@ def test_adaptive_collapse_decision(spark, tmp_path):
     # clone-free standard fixture decides doc-level
     dq._CLONE_RATIO.pop("/root/testdata/sf0.001", None)
     assert not dq._collapse_clones(spark, "/root/testdata/sf0.001")
+
+
+def test_minhash_incremental_witnesses(spark, sf_dir):
+    """The incremental near-dup probe's two structural claims:
+
+    - recrawl docs (doc_id %5 == 0, byte-identical to their historical
+      self) must self-match exactly: n_hist_matches >= 1 and
+      best_jaccard == 1.0 for every recrawl row with enough tokens to
+      shingle;
+    - the count's grain is DISTINCT HISTORICAL documents — recomputed
+      doc-level (no clone-class collapse, count(distinct hist)) it must
+      equal the query's class-level sum, so no pair (and in particular
+      no batch-internal pair, which the doc-level recount structurally
+      cannot contain) is double-counted."""
+    from pyspark.sql import functions as F
+
+    from als_pyspark_spark.dedup.queries import (
+        _INCR_TAU,
+        _NUM_HASHES,
+        _SHINGLE_N,
+        _new_batch,
+        q_dedup_minhash_incremental,
+    )
+    from als_pyspark_spark.functions.text import tokens, word_ngrams
+    from als_pyspark_spark.sources.tables import load_table
+
+    out = q_dedup_minhash_incremental(spark, sf_dir)
+    out.persist()
+
+    # recrawl self-match: every %5==0 doc with >= _SHINGLE_N tokens
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.where(
+        (F.col("doc_id") % 5 == 0)
+        & (F.size(tokens(F.col("text"))) >= _SHINGLE_N)
+    ).select("doc_id")
+    bad = out.join(eligible, "doc_id").where(
+        (F.col("n_hist_matches") < 1) | (F.col("best_jaccard") != 1.0)
+    )
+    assert bad.isEmpty()
+
+    # doc-level recount through the SAME banding pipeline, but with NO
+    # clone-class collapse and counting DISTINCT historical doc ids —
+    # equality certifies both the collapse (class sizes sum to the doc
+    # count) and the no-double-counting grain (a pair colliding in
+    # several bands counts once; batch-internal pairs structurally cannot
+    # appear because the historical side is the documents table alone)
+    from als_pyspark_spark.dedup.queries import _BANDS, _ROWS_PER_BAND
+    from als_pyspark_spark.functions.hashing import lsh_bands, minhash_signature
+
+    grams = F.array_distinct(word_ngrams(tokens(F.col("text")), _SHINGLE_N))
+    hsig = (
+        d.select(F.col("doc_id").alias("hdoc"), grams.alias("hg"))
+        .where(F.size("hg") > 0)
+        .withColumn("sig", minhash_signature(F.col("hg"), _NUM_HASHES))
+    )
+    bsig = (
+        _new_batch(d)
+        .select("doc_id", grams.alias("bg"))
+        .where(F.size("bg") > 0)
+        .withColumn("sig", minhash_signature(F.col("bg"), _NUM_HASHES))
+    )
+    hband = hsig.select(
+        "hdoc", F.explode(lsh_bands(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("band")
+    )
+    bband = bsig.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("band")
+    )
+    cand = bband.join(hband, "band").select("doc_id", "hdoc").distinct()
+    inter = F.size(F.array_intersect("bg", "hg"))
+    union = F.size("bg") + F.size("hg") - inter
+    recount = (
+        cand.join(bsig.select("doc_id", "bg"), "doc_id")
+        .join(hsig.select("hdoc", "hg"), "hdoc")
+        .select("doc_id", "hdoc", (inter.cast("double") / union).alias("j"))
+        .where(F.col("j") >= _INCR_TAU)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("hdoc").alias("want"))
+    )
+    mism = out.join(recount, "doc_id", "left").where(
+        F.coalesce(F.col("want"), F.lit(0)) != F.col("n_hist_matches")
+    )
+    assert mism.isEmpty()
+    out.unpersist()
