@@ -1282,9 +1282,11 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grams")
         .agg(F.min("doc_id").alias("gid"), F.count("*").alias("n_docs"))
     )
+    # deliberate session-lifetime cache — the module docstring's
+    # cache-lifetime note (band + verify readers; the per-epoch index)
     hsig = hcls.withColumn(
         "sig", minhash_signature(F.col("grams"), _NUM_HASHES)
-    ).persist()  # session-lifetime: module docstring's cache-lifetime note
+    ).persist()
     hband = hsig.select(
         "gid",
         F.explode(lsh_bands(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("band"),
@@ -1292,6 +1294,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the incoming batch: doc-level (each row needs its own verdict)
     nb = _new_batch(d)
+    # deliberate session-lifetime cache — module note (batch band+verify readers)
     bsig = (
         nb.repartition(n_part, "doc_id")
         .select("doc_id", "source", grams.alias("grams"))
