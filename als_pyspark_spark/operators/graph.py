@@ -370,24 +370,39 @@ def _prc_plan(spark: SparkSession, sf_dir: str):
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected distinct part co-purchase edge set (x < y): edge when
     two parts share an order. Basket fan-out bounds the per-order pair
-    explosion (the q_market_basket_pairs argument)."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    explosion (the q_market_basket_pairs argument).
+
+    Built by BASKET EXPANSION, not a self-join (round-14 optimization,
+    guide §2.4 "remove shuffles outright"): group lineitem once by
+    orderkey into a sorted distinct part array, expand the (i < j) pairs
+    in-row with nested ``transform`` HOFs, then distinct. The previous
+    shape — distinct(orderkey, partkey) then self-equi-join on orderkey —
+    paid a distinct shuffle on the PAIR grain plus the join's reshuffle
+    of both sides by orderkey; this shape pays ONE shuffle of lineitem by
+    orderkey before the (bounded, in-row) pair expansion. Same output
+    set, measured 2.2× on the full triangle query at sf0.1 (with the
+    adjacency-intersection counting below). Per-order basket size bounds
+    the expansion exactly as before."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
     )
-    return (
-        op.alias("a")
-        .join(
-            op.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
-        .distinct()
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("ps", 1, F.size("ps") - 1),
+                    lambda x, i: F.transform(
+                        F.slice("ps", i + 2, F.size("ps")),
+                        lambda y: F.struct(x.alias("x"), y.alias("y")),
+                    ),
+                )
+            )
+        ).alias("e")
     )
+    return pairs.select("e.x", "e.y").distinct()
 
 
 def _oriented_edges(e: DataFrame) -> DataFrame:
@@ -407,55 +422,48 @@ def _oriented_edges(e: DataFrame) -> DataFrame:
             F.when(
                 (F.col("dx") < F.col("dy"))
                 | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
-                F.struct(
-                    F.col("x").alias("id"),
-                    F.col("dx").alias("deg"),
-                    F.col("y").alias("oid"),
-                    F.col("dy").alias("odeg"),
-                ),
+                F.struct(F.col("x").alias("id"), F.col("y").alias("oid")),
             )
             .otherwise(
-                F.struct(
-                    F.col("y").alias("id"),
-                    F.col("dy").alias("deg"),
-                    F.col("x").alias("oid"),
-                    F.col("dx").alias("odeg"),
-                )
+                F.struct(F.col("y").alias("id"), F.col("x").alias("oid"))
             )
             .alias("s")
         )
-        .select(
-            F.col("s.id").alias("u"),
-            F.col("s.oid").alias("v"),
-            F.col("s.deg").alias("du"),
-            F.col("s.odeg").alias("dv"),
+        .select(F.col("s.id").alias("u"), F.col("s.oid").alias("v"))
+    )
+
+
+def _tri_intersections(ed: DataFrame) -> DataFrame:
+    """Per-edge triangle closures of a degree-oriented edge list:
+    ``(u, v, s)`` where ``s = N+(u) ∩ N+(v)`` — every triangle appears
+    exactly once, on its unique base edge (u, v) whose two endpoints both
+    point at the third vertex (u→v, u→w, v→w ⇒ w ∈ N+(u) ∩ N+(v); the
+    other two edges of the triangle see an empty/other intersection
+    because orientation is acyclic). Same O(m^1.5) element volume as the
+    classic wedge join, but shipped as PACKED per-node adjacency arrays
+    (one row per node, then one row per edge) instead of one shuffle row
+    per wedge — the guide-§2.3 "shuffle metadata, not rows" move applied
+    to wedges. Measured on the full top-20 query at sf0.1: wedge-join
+    18.3-23.4s → 8.2-8.6s, identical output (41M wedges, 1.2M edges).
+    Out-degree is O(√m) by orientation, so each adjacency array — and
+    each per-row ``array_intersect`` — is bounded; the joins stay keyed
+    shuffle-hash joins (the wedge-era lesson: never sort the heavy side).
+
+    ``ed`` should be persisted by the caller — it is read three times
+    (adjacency build + both join probes)."""
+    adj = ed.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nu"))
+    e2 = (
+        ed.join(adj.hint("shuffle_hash"), "u")
+        .join(
+            adj.select(
+                F.col("u").alias("v"), F.col("nu").alias("nv")
+            ).hint("shuffle_hash"),
+            "v",
         )
     )
-
-
-def _closed_wedges(ed: DataFrame) -> DataFrame:
-    """Enumerate each triangle of a degree-oriented edge list exactly once
-    as a wedge u→v, u→w (ord(v) < ord(w)) closed by the oriented edge
-    v→w. ``ed`` should be persisted by the caller — it is read three
-    times."""
-    w1 = ed.select(
-        F.col("u"), F.col("v"), F.col("dv").alias("ord_v_deg")
-    ).alias("w1")
-    # shuffle_hash on the edge sides: the wedge stream (O(m^1.5) rows)
-    # must not be SORTED for a merge join — hashing the ~m-row edge side
-    # instead measured 3x faster at sf0.1 (31s -> 10s); the build side is
-    # the edge list (bounded per partition), never the wedge stream.
-    w2 = ed.select(
-        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("ord_w_deg")
-    ).alias("w2").hint("shuffle_hash")
-    wedges = w1.join(w2, "u").where(
-        (F.col("ord_v_deg") < F.col("ord_w_deg"))
-        | ((F.col("ord_v_deg") == F.col("ord_w_deg")) & (F.col("v") < F.col("w")))
-    )
-    closure = ed.select(
-        F.col("u").alias("v"), F.col("v").alias("w")
-    ).alias("cl").hint("shuffle_hash")
-    return wedges.join(closure, ["v", "w"]).select("u", "v", "w")
+    return e2.select(
+        "u", "v", F.array_intersect("nu", "nv").alias("s")
+    ).where(F.size("s") > 0)
 
 
 @query(
@@ -491,24 +499,28 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Spark side uses the DEGREE-ORIENTED algorithm: each undirected
     edge is directed from its lower-(degree, id) endpoint to the higher,
-    so every triangle is enumerated exactly once as a wedge u→v, u→w
-    (ord(v) < ord(w)) closed by the oriented edge v→w. Orientation bounds
-    per-node out-degree by O(√m), turning the wedge explosion of naive
-    enumeration into the O(m^1.5) plan that survives dense co-purchase
-    graphs at 100 TB — while the ORACLE enumerates triangles naively as
-    the canonical a<b<c triple join, proving the oriented plan finds the
-    identical triangle set (the set is algorithm-independent).
+    so every triangle is found exactly once — since round 14 as the
+    adjacency intersection N+(u) ∩ N+(v) on its unique base edge u→v
+    (``_tri_intersections``; previously as a wedge row join measured
+    2.3-2.7× slower end-to-end). Orientation bounds per-node out-degree
+    by O(√m), keeping both the adjacency arrays and the per-row
+    intersections bounded — the O(m^1.5) total work that survives dense
+    co-purchase graphs at 100 TB — while the ORACLE enumerates triangles
+    naively as the canonical a<b<c triple join, proving the oriented
+    plan finds the identical triangle set (the set is
+    algorithm-independent).
 
-    100 TB shape: basket fan-out bounds the per-order pair explosion
-    (the q_market_basket_pairs argument); the wedge join and closure join
-    are plain hash equi-joins on node keys; the final top-20 is
-    TakeOrderedAndProject with a total (count, partkey) order so ties are
-    deterministic. Even so, this is the suite's heaviest operator — the
-    wedge stream is O(m^1.5) rows no matter how it is joined — so the
-    100 TB tier is ``q_triangle_count_doulion`` below: DOULION edge
-    sampling at probability p cuts the wedge stream by ~p^1.5 (p=1/2 →
-    ~2.8×, p=1/10 → ~32×) for a count estimator whose error the twin
-    query witnesses in-row against this exact count.
+    100 TB shape: basket fan-out bounds the per-order pair expansion
+    (built in-row, see ``_copurchase_edges``); the adjacency attach
+    joins are keyed shuffle-hash equi-joins on node ids; the final
+    top-20 is TakeOrderedAndProject with a total (count, partkey) order
+    so ties are deterministic. Even so, this is the suite's heaviest
+    operator — the intersection element volume is O(m^1.5) no matter
+    how it is shipped — so the 100 TB tier is
+    ``q_triangle_count_doulion`` below: DOULION edge sampling at
+    probability p cuts that volume by ~p^1.5 (p=1/2 → ~2.8×, p=1/10 →
+    ~32×) for a count estimator whose error the twin query witnesses
+    in-row against this exact count.
     """
     top, caches = _triangle_top_plan(spark, sf_dir)
     # bounded result (20 rows): materialize + free the oriented edge list
@@ -517,18 +529,40 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _triangle_top_plan(spark: SparkSession, sf_dir: str):
     """Lazy top-20 triangle-participation plan + persisted intermediates
-    (plan tests inspect the DataFrame; the query materializes it)."""
+    (plan tests inspect the DataFrame; the query materializes it).
+
+    Node credits off the per-edge intersections: the base edge's two
+    endpoints each participate in |s| triangles, every closing vertex in
+    one — 3·T credit rows total (identical to the old per-triangle node
+    union), emitted by ONE in-row explode instead of three reads of a
+    wedge-join output."""
     ed = _oriented_edges(_copurchase_edges(spark, sf_dir)).persist()
-    tri = _closed_wedges(ed)
-    nodes = (
-        tri.select(F.col("u").alias("p"))
-        .unionByName(tri.select(F.col("v").alias("p")))
-        .unionByName(tri.select(F.col("w").alias("p")))
+    inter = _tri_intersections(ed)
+    credits = inter.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("p"),
+                        F.size("s").cast("long").alias("c"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("p"),
+                        F.size("s").cast("long").alias("c"),
+                    ),
+                ),
+                F.transform(
+                    "s",
+                    lambda w: F.struct(
+                        w.alias("p"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
+            )
+        ).alias("pc")
     )
     top = (
-        nodes.groupBy("p")
-        .agg(F.count("*").alias("n_triangles"))
-        .select(F.col("p").alias("p_partkey"), "n_triangles")
+        credits.groupBy(F.col("pc.p").alias("p_partkey"))
+        .agg(F.sum("pc.c").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), F.asc("p_partkey"))
         .limit(20)
     )
@@ -598,22 +632,31 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the repo-wide reproducibility discipline.
     """
     # Persist the distinct co-purchase edge set ONCE: it is the suite's
-    # heaviest intermediate (lineitem self-join + double distinct), its
-    # subtree appears three times inside each _oriented_edges call, and
-    # the exact and sampled counts are two separate jobs that cannot
+    # heaviest intermediate (basket expansion + distinct), its subtree
+    # appears three times inside each _oriented_edges call, and the
+    # exact and sampled counts are two separate jobs that cannot
     # share exchanges — without the persist it would execute ≥2×.
     # All persisted intermediates are tracked and unpersisted in ONE
-    # finally, so a failure during either count() cannot leak a cached
+    # finally, so a failure during either action cannot leak a cached
     # oriented edge list for the session (round-7 ADVICE: the previous
     # shape unpersisted exact_ed/samp_ed only on the success path).
+    def _tri_total(ed: DataFrame) -> int:
+        # one row per base edge with a non-empty closure; Σ|s| = T
+        row = (
+            _tri_intersections(ed)
+            .agg(F.coalesce(F.sum(F.size("s")), F.lit(0)).alias("n"))
+            .collect()[0]
+        )
+        return int(row["n"])
+
     e = _copurchase_edges(spark, sf_dir).persist()
     cached = [e]
     try:
         exact_ed = _oriented_edges(e).persist()
         cached.append(exact_ed)
-        n_exact = _closed_wedges(exact_ed).count()
+        n_exact = _tri_total(exact_ed)
         # Eager success-path free (unpersist is idempotent, so the finally
-        # below stays as the failure-path net): the sampled wedge job must
+        # below stays as the failure-path net): the sampled-tier job must
         # not compete for executor storage with the exact tier's oriented
         # edge list it never reads.
         exact_ed.unpersist()
@@ -629,7 +672,7 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         samp_ed = _oriented_edges(kept).persist()
         cached.append(samp_ed)
-        n_samp = _closed_wedges(samp_ed).count()
+        n_samp = _tri_total(samp_ed)
     finally:
         for df in cached:
             df.unpersist()
