@@ -1397,9 +1397,26 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade — and a still-skewed block is AQE skew-join territory.
     Character-level distance complements the token-set tiers: 'cold
     widget' vs 'bold widget' is invisible to 3-gram Jaccard (no shared
-    shingles at n=3 tokens) but distance 1 here."""
+    shingles at n=3 tokens) but distance 1 here.
+
+    NAME-CLASS COLLAPSE (round-14 optimization; output unchanged —
+    the module's exact-dedup-before-near-dup ordering applied to entity
+    matching): Levenshtein depends only on the STRING pair, and clone-
+    dense catalogs repeat names — this fixture family collapses 20,000
+    parts to 64 distinct names — so the pairwise join runs over DISTINCT
+    (block, name) groups and the per-block tallies are recovered
+    arithmetically: same-name groups of size c contribute c·(c−1)/2
+    distance-0 pairs; distinct-name qualifying pairs (distance ≥ 1 by
+    construction) contribute c_a·c_b near pairs. Two further prune-only
+    cuts on the candidate join, both exactness-preserving: a length
+    prefilter (|len(a)−len(b)| ≤ k is implied by dist ≤ k) drops pairs
+    before any distance work, and Spark's BOUNDED
+    ``levenshtein(a, b, k)`` (returns −1 past the threshold) replaces
+    the unbounded O(|a|·|b|) form with the O(k·|a|) banded computation.
+    Measured at sf0.1: 9.8-10.3s → 0.4-0.8s, identical rows; at clone-
+    dense web scale the collapse is the difference between comparing
+    every listing pair and comparing each distinct name pair once."""
     p = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
         "p_name",
         F.concat(
             F.element_at(F.split("p_name", " "), -1),
@@ -1407,21 +1424,41 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("p_name", 1, 1),
         ).alias("block_key"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    pairs = (
+    g = (
+        p.groupBy("block_key", "p_name")
+        .agg(F.count("*").alias("c"))
+        .withColumn("ln", F.length("p_name"))
+    )
+    exact = g.groupBy("block_key").agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_exact"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), _FUZZY_MAX_DIST)
+    near = (
         a.join(
             b,
             (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_name") < F.col("b.p_name"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= _FUZZY_MAX_DIST),
         )
-        .select(F.col("a.block_key").alias("block_key"), dist.alias("dist"))
-        .where(F.col("dist") <= _FUZZY_MAX_DIST)
+        .where(dist >= 0)
+        .groupBy(F.col("a.block_key").alias("block_key"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("n_near"))
     )
-    return pairs.groupBy("block_key").agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
-        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0)).cast("long").alias("n_near"),
+    return (
+        exact.join(near, "block_key", "full")
+        .select(
+            "block_key",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        )
+        .where((F.col("n_exact") + F.col("n_near")) > 0)
+        .select(
+            "block_key",
+            (F.col("n_exact") + F.col("n_near")).alias("n_pairs"),
+            "n_exact",
+            "n_near",
+        )
     )
 
 

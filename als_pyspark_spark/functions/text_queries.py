@@ -577,21 +577,14 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_SEP = "\x1f"
 _BPE_SEP2 = _BPE_SEP * 2
 _BPE_MERGES = 18  # vocab budget: max merge rounds (real trainers use ~32k)
-_BPE_CHECKPOINT_EVERY = 3  # reliable-checkpoint cadence (graph-family rule)
 _BPE_MIN_PAIR = 2  # stop early when the best pair is unrepeated
-# Merges resolved IN-PLAN per driver job (round 14). Production trainers
-# batch non-interacting merges per round to cut driver round-trips; a
-# declarative engine can do strictly better — make the merge DEPENDENCE
-# part of the plan. Measured first (PERF.md round 14): the sound
-# non-interacting batch rule (accept ranked symbol-disjoint pairs whose
-# counts strictly majorize the first interacting pair's count) reproduces
-# the sequential sequence exactly on all three fixture tiers but batch
-# sizes collapse to 1 after ~6 merges (19 -> 12-14 actions, short of 2x).
-# The in-plan chain has no such data dependence: each level's argmax is a
-# one-row subplan LEFT-joined into the next level's conditional replace —
-# the oracle's w{r} CTE structure verbatim — so one job resolves a whole
-# chunk of merges with exact sequential semantics, 19 -> 7 actions.
-_BPE_CHUNK = _BPE_CHECKPOINT_EVERY  # in-plan merge levels per driver job
+# Merge-resolution history (each step measured before shipping): r14 build
+# measured the non-interacting batch rule (batch sizes collapse to 1 after
+# ~6 merges; rejected) and shipped in-plan chunked resolution (19 -> 7
+# driver actions); the r14 OPTIMIZATION round moved resolution to the
+# driver outright — the word table is vocabulary-bounded at any corpus
+# scale, so the whole merge loop after the one corpus-collapse job is
+# plain Python (see _bpe_train). 7 actions -> 1, ~6x on the trainer.
 
 
 def _bpe_words0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,124 +609,13 @@ def _bpe_syms(col: str = "w"):
     return F.split(F.col(col).substr(F.lit(2), F.length(col) - 2), _BPE_SEP2)
 
 
-def _bpe_top1(words: DataFrame) -> DataFrame:
-    """One-row argmax merge candidate over a word table: (l, r, n) by
-    count desc, then lexicographic pair — the deterministic tie-break both
-    engines share (the oracle's t{r} CTE)."""
-    cur = words.select(_bpe_syms().alias("s"), F.col("wc"))
-    pairs = cur.where(F.size("s") >= 2).select(
-        F.explode(
-            F.zip_with(
-                F.slice("s", 1, F.size("s") - 1),
-                F.slice("s", 2, F.size("s") - 1),
-                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-            )
-        ).alias("p"),
-        "wc",
-    )
-    return (
-        pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .agg(F.sum("wc").alias("n"))
-        .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-        .limit(1)
-    )
-
-
-def _bpe_merge_level(words: DataFrame, top1: DataFrame) -> DataFrame:
-    """One in-plan merge level: LEFT-join the one-row argmax (broadcast
-    nested loop over a single row) and apply its merge as a narrow per-row
-    replace, CONDITIONALLY on n >= _BPE_MIN_PAIR — the oracle's w{r} CTE
-    verbatim (below threshold, or when no pair exists and l/r/n are null,
-    the word table passes through unchanged, so post-termination levels
-    are harmless no-ops the driver discards). The level CARRIES its merge
-    metadata (l, r, n) as constant columns so the argmax subplan is
-    evaluated exactly ONCE per level — the probe row reads the metadata
-    back out of the cached level instead of re-joining the argmax (the
-    cache boundary defeats ReuseExchange, so a second reference would
-    recompute the whole pair aggregation; measured 1.7x on the trainer)."""
-    pat = F.concat(
-        F.lit(_BPE_SEP), F.col("l"), F.lit(_BPE_SEP2), F.col("r"), F.lit(_BPE_SEP)
-    )
-    rep = F.concat(F.lit(_BPE_SEP), F.col("l"), F.col("r"), F.lit(_BPE_SEP))
-    return words.select("w", "wc").join(top1, F.lit(True), "left").select(
-        F.when(F.col("n") >= _BPE_MIN_PAIR, F.replace(F.col("w"), pat, rep))
-        .otherwise(F.col("w"))
-        .alias("w"),
-        "wc",
-        "l",
-        "r",
-        "n",
-    )
-
-
-def _bpe_level_row(level: DataFrame, rnd: int) -> DataFrame:
-    """One bounded row off a merge level: the level's own merge metadata
-    (constant columns, read via first()) plus the post-merge vocab/token
-    stats (the oracle's t{r} ⋈ s{r} row) — a single aggregation over the
-    cached level, no re-join of the argmax subplan."""
-    return (
-        level.select(F.explode(_bpe_syms()).alias("sym"), "wc", "l", "r", "n")
-        .agg(
-            F.first("l").alias("l"),
-            F.first("r").alias("r"),
-            F.first("n").alias("n"),
-            F.countDistinct("sym").alias("vocab"),
-            F.sum("wc").alias("toks"),
-        )
-        .select(F.lit(rnd).alias("round"), "l", "r", "n", "vocab", "toks")
-    )
-
-
-def _bpe_chunk(
-    words: DataFrame, n_levels: int, first_round: int, persist: bool = True
-):
-    """Build ``n_levels`` in-plan merge levels over ``words``. Returns
-    (words_end, probe, caches): ``probe`` unions ONE bounded row per level
-    — (round, l, r, n, vocab, toks) with the level's argmax merge and the
-    post-merge vocab/occurrence stats — so collecting it resolves the whole
-    chunk's merges in a single driver action. Each level's word table is
-    persisted (``persist=True``) so the probe's sibling branches and the
-    next level share one materialization instead of recomputing the
-    argmax-subplan chain per branch."""
-    outs = []
-    caches: list[DataFrame] = []
-    cur = words
-    for j in range(n_levels):
-        top1 = _bpe_top1(cur)
-        cur = _bpe_merge_level(cur, top1)
-        if persist:
-            cur = cur.persist()
-            caches.append(cur)
-        outs.append(_bpe_level_row(cur, first_round + j))
-    probe = outs[0]
-    for o in outs[1:]:
-        probe = probe.unionByName(o)
-    return cur, probe, caches
-
-
-def _bpe_chain(spark: SparkSession, sf_dir: str, n_rounds: int) -> DataFrame:
-    """Lazy n-round training chain for plan tests and the explain audit:
-    the production per-chunk plan (in-plan merge levels + probe) with LAZY
-    checkpoints at the production chunk cadence — plans every level, runs
-    NO jobs, writes no files, persists nothing (the k-core audit-path
-    discipline)."""
-    from als_pyspark_spark.session import ensure_checkpoint_dir
-
-    ensure_checkpoint_dir(spark)
-    words = _bpe_words0(spark, sf_dir)
-    done = 0
-    while n_rounds - done > _BPE_CHUNK:
-        words, _, _ = _bpe_chunk(words, _BPE_CHUNK, done + 1, persist=False)
-        words = words.checkpoint(eager=False)
-        done += _BPE_CHUNK
-    _, probe, _ = _bpe_chunk(words, n_rounds - done, done + 1, persist=False)
-    return probe
-
-
 def _bpe_plan(spark: SparkSession, sf_dir: str):
-    """Steady-state audit plan: one merge level past a checkpoint
-    boundary (the q_pagerank_converged _prc_plan convention)."""
-    return _bpe_chain(spark, sf_dir, _BPE_CHUNK + 1), ()
+    """Audit plan for the trainer's DISTRIBUTED portion: the one
+    corpus-sized job (explode -> partial+final count aggregate on the
+    distinct-word grain). Merge resolution itself is driver-side over the
+    vocabulary-bounded collect of this table (see _bpe_train), so this IS
+    the trainer's whole cluster footprint at any merge count."""
+    return _bpe_words0(spark, sf_dir), ()
 
 
 def _bpe_train_ctes() -> str:
@@ -820,56 +702,69 @@ WHERE m.n >= {_BPE_MIN_PAIR}
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    """Run the chunked training loop; returns the learned merge table as
-    driver-side rows (round, left, right, merged, pair_count, vocab_after,
+    """Run BPE training; returns the learned merge table as driver-side
+    rows (round, left, right, merged, pair_count, vocab_after,
     corpus_tokens_after) — bounded by _BPE_MERGES, never corpus-sized.
 
-    One driver action per _BPE_CHUNK merges: the chunk probe unions one
-    bounded row per level, each level's argmax resolved in-plan (see
-    _bpe_merge_level). Caching follows the C1-C3 per-iteration discipline
-    (reference ALS.py:137-156): each level persists so sibling probe
-    branches share one materialization; a chunk's intermediates and its
-    base release right after its action completes; the chunk-end table is
-    lazily checkpointed (persist-then-checkpoint: the NEXT chunk's action
-    triggers the reliable write from cache) so lineage is rooted at most
-    _BPE_CHUNK levels above a leaf at ANY merge count — tests/test_plans.py
-    pins plan-shape equality at rounds 4/7/10."""
-    from als_pyspark_spark.session import ensure_checkpoint_dir
+    ROUND-14 OPTIMIZATION — merge resolution moved to the DRIVER (guide
+    §1.2 step 1: fix the distributed algorithm before the per-task work).
+    The corpus-sized step is the ONE Spark job that collapses the corpus
+    to its distinct-word frequency table (``_bpe_words0``); everything
+    after operates on a VOCABULARY-bounded table (Heaps' law keeps a
+    natural-language vocabulary sub-linear in corpus size; this fixture
+    family collapses to ~30 words at every tier, a 100 TB web corpus to
+    the tens of millions of rows every production trainer — Sennrich's
+    reference code, HuggingFace tokenizers, SentencePiece — holds on one
+    machine by design). So the word table collects ONCE and the merge
+    loop runs as plain Python: exact pair counts, argmax by (count desc,
+    pair lex asc), greedy left-to-right non-overlapping merge — the
+    identical semantics the in-plan chunked variant resolved with one
+    Spark job per 3 merges (git history, round-14 build), at ~19 Spark
+    stages fewer. Measured at sf0.1: 9.3-15.7s → ~1.6s, byte-identical
+    merge table (the DuckDB oracle and the independent sequential
+    reference in tests/test_text.py both still gate it). The driver-side
+    fit follows the IVF coarse-quantizer precedent (similarity/queries.py:
+    bounded fit set ⇒ driver milliseconds beat a chain of bounded-row
+    Spark jobs); a corpus whose DISTINCT-WORD table outgrows the driver
+    is the signal to revive the in-plan chunked trainer."""
+    rows = _bpe_words0(spark, sf_dir).collect()  # vocabulary-bounded
+    words: list[tuple[tuple[str, ...], int]] = [
+        (tuple(r["w"][1:-1].split(_BPE_SEP2)), int(r["wc"])) for r in rows
+    ]
 
-    ensure_checkpoint_dir(spark)
-    base = _bpe_words0(spark, sf_dir).persist()
-    base_cache: DataFrame | None = base
-    pending: list[DataFrame] = []  # superseded once the NEXT action completes
+    def greedy(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+        # left-to-right non-overlapping merge — exactly what the
+        # engines' replace(SEP·l·SEP²·r·SEP → SEP·lr·SEP) does on the
+        # unit-encoded string (both scan forward and resume after the
+        # replacement), so the oracle's w{r} CTE chain reproduces it.
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
     out: list[tuple] = []
-    stop = False
-    while not stop and len(out) < _BPE_MERGES:
-        k = min(_BPE_CHUNK, _BPE_MERGES - len(out))
-        end, probe, caches = _bpe_chunk(base, k, len(out) + 1)
-        ck = end.checkpoint(eager=False)
-        rows = sorted(probe.collect(), key=lambda r: r["round"])  # ONE action
-        # that action materialized every level's cache (and, on the
-        # previous chunk's boundary, completed the reliable write) —
-        # release everything it superseded NOW
-        while pending:
-            pending.pop().unpersist()
-        for c in caches[:-1]:
-            c.unpersist()
-        if base_cache is not None:
-            base_cache.unpersist()
-        for r in rows:
-            if r["n"] is None or int(r["n"]) < _BPE_MIN_PAIR:
-                stop = True
-                break
-            out.append(
-                (
-                    int(r["round"]), r["l"], r["r"], r["l"] + r["r"],
-                    int(r["n"]), int(r["vocab"]), int(r["toks"]),
-                )
-            )
-        base, base_cache = ck, None
-        pending = [caches[-1]]
-    while pending:
-        pending.pop().unpersist()
+    for rnd in range(1, _BPE_MERGES + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, wc in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + wc
+        if not pair_counts:
+            break
+        (left, right), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < _BPE_MIN_PAIR:
+            break
+        words = [(greedy(s, left, right), c) for s, c in words]
+        vocab = len({sym for s, _ in words for sym in s})
+        toks = sum(len(s) * c for s, c in words)
+        out.append((rnd, left, right, left + right, n, vocab, toks))
     return out
 
 
@@ -893,23 +788,16 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution shape (the 100 TB story): the corpus collapses ONCE to the
     distinct-word frequency table (the standard BPE-training reduction —
-    the only corpus-sized shuffle); training then costs ONE bounded-row
-    job per ``_BPE_CHUNK`` merges, because merge dependence is resolved
-    IN-PLAN: each level's argmax is a one-row subplan left-joined into the
-    next level's conditional replace — exactly the oracle's w{r} CTE
-    dataflow — so the probe's k rows ARE k sequential Sennrich merges
-    (``_bpe_chunk``). That dominates the usual non-interacting-merge
-    batching (measured, PERF.md round 14: the sound disjointness rule's
-    batch sizes collapse to 1 after ~6 merges on every fixture tier
-    because learned symbols chain; 19 -> 12-14 actions vs 19 -> 7 here),
-    and needs no disjointness precondition at all. Merges apply as narrow
-    per-row replaces; each chunk persists its levels and releases its
-    predecessors right after the next action (C1-C3 per-iteration
-    discipline, reference ALS.py:137-156), with a reliable checkpoint at
-    every chunk boundary (persist-then-lazy-checkpoint: the next probe
-    materializes the cache and the write reads the cache) so lineage is
-    rooted <= _BPE_CHUNK levels above a leaf at ANY merge count —
-    tests/test_plans.py pins plan-shape equality at rounds 4/7/10.
+    the only corpus-sized job, and the trainer's whole cluster
+    footprint); that table is VOCABULARY-bounded (Heaps' law) at any
+    corpus scale, so it collects once and the merge loop runs driver-side
+    in plain Python — the Sennrich reference design every production
+    trainer (HuggingFace tokenizers, SentencePiece) uses, and this
+    repo's IVF-quantizer precedent for bounded fit sets (round-14
+    optimization; previously one Spark job per 3 in-plan merge levels,
+    measured ~6x slower end-to-end with an identical merge table). The
+    independent sequential reference in tests/test_text.py and the full
+    DuckDB replay both gate the loop's exactness.
     """
     rows = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
@@ -984,9 +872,10 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     both fingerprints (tests/test_text.py asserts the textual containment
     and the tokenizer coupling).
 
-    Training itself runs first (bounded: one job per _BPE_CHUNK merges,
-    see _bpe_train) because the merge table is a model artifact; in a
-    production pipeline it would be read from the model store instead."""
+    Training itself runs first (one corpus-collapse job + a driver-side
+    merge loop, see _bpe_train) because the merge table is a model
+    artifact; in a production pipeline it would be read from the model
+    store instead."""
     merges = _bpe_train(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     enc_w = F.regexp_replace("tok", "(.)", _BPE_SEP + "$1" + _BPE_SEP)

@@ -303,17 +303,24 @@ _HOISTED = (
     "q_window_distribution",
     "q_window_lag_gap_days",
     "q_window_moving_avg",
-    # 2. changed + new operators (the round's only fingerprint movement)
+    # 2. changed + new operators: the round-14 build additions, then the
+    #    round-14 OPTIMIZATION rewrites (fingerprints flip because the
+    #    physical plan changed; outputs proven oracle-identical in
+    #    OPTIMIZATION_r14.md — triangle family: adjacency-intersection
+    #    closure + basket pair expansion; fuzzy match: name-class
+    #    collapse + bounded levenshtein)
     "q_bpe_train_merges",
     "q_bpe_encode_corpus",
     "q_dedup_minhash_incremental",
-    # 3. the r8 vintage rotation (36 of 43)
+    "q_triangle_count_parts",
+    "q_triangle_count_doulion",
+    "q_fuzzy_part_match",
+    # 3. the r8 vintage rotation (33 of 43; q11/q15/q16 deferred past the
+    #    boundary to make room for the optimization hoists — TPC-H keeps
+    #    7 sibling rows in-window)
     "als_implicit_top3",
     "als_nonnegative_factor_bounds",
     "als_top3_recs_per_user",
-    "q11_important_part_values",
-    "q15_top_supplier_revenue",
-    "q16_supplier_counts_by_part",
     "q18_in_big_orders",
     "q19_disjunctive_revenue",
     "q22_wealthy_inactive_customers",
@@ -351,8 +358,12 @@ _HOISTED = (
     "q_sink_csv_roundtrip",
     "q_applyinpandas_top2_by_type",
     "q_semantic_cluster_assign",
-    # --- 50-entry sweep-prefix boundary. The five deferred r8 rows sit
-    # immediately past it and lead round 15 (see agenda note above).
+    # --- 50-entry sweep-prefix boundary. The deferred r8 rows sit
+    # immediately past it and lead round 15 (see agenda note above; q11/
+    # q15/q16 joined them when the round-14 optimization hoists landed).
+    "q11_important_part_values",
+    "q15_top_supplier_revenue",
+    "q16_supplier_counts_by_part",
     "q14_promo_revenue_pct",
     "als_predictions",
     "q_events_user_daily",

@@ -876,21 +876,21 @@ def test_pagerank_converged_constant_plan_across_rounds(spark, sf_dir):
     assert shapes[0] == shapes[1] == shapes[2], shapes
 
 
-def test_bpe_train_constant_plan_across_rounds(spark, sf_dir):
-    """The BPE trainer's scaling claim, pinned the same way as
-    q_pagerank_converged: with a reliable checkpoint every 3 merge rounds,
-    the per-round probe plan is rooted at most 3 narrow replaces above a
-    leaf at ANY round count. Build the lazy chain to rounds 4, 7, and 10
-    (one past each checkpoint boundary): identical exchange counts and
-    operator mix — the plan does not grow with the merge number."""
-    from als_pyspark_spark.functions.text_queries import _bpe_chain
+def test_bpe_train_cluster_footprint_is_one_aggregate(spark, sf_dir):
+    """The BPE trainer's scaling claim after the round-14 driver-side
+    rewrite: the trainer's WHOLE cluster footprint is the one corpus
+    collapse to the distinct-word table — a single partial+final count
+    aggregate (one exchange), no joins, no per-merge jobs. Merge
+    resolution is driver-side over that vocabulary-bounded table and
+    never touches the cluster again at any merge count."""
+    from als_pyspark_spark.functions.text_queries import _bpe_plan
     from als_pyspark_spark.plans.inspect import exchange_count, join_kinds
 
-    shapes = []
-    for n in (4, 7, 10):
-        df = _bpe_chain(spark, sf_dir, n)
-        shapes.append((exchange_count(df), tuple(sorted(join_kinds(df)))))
-    assert shapes[0] == shapes[1] == shapes[2], shapes
+    df, _ = _bpe_plan(spark, sf_dir)
+    plan = plan_of(df)
+    assert exchange_count(df) == 1, plan
+    assert join_kinds(df) == [], plan
+    assert plan.count("HashAggregate") == 2, plan
 
 
 def test_pipeline_e2e_single_documents_scan(spark, sf_dir):

@@ -100,10 +100,11 @@ def _sequential_bpe_reference(sf_dir: str, max_merges: int, min_pair: int):
     return merges
 
 
-def test_bpe_chunked_trainer_matches_sequential_reference(spark, sf_dir):
-    """The in-plan chunked trainer resolves _BPE_CHUNK merges per driver
-    action; its learned merge table must be IDENTICAL to the one-merge-
-    at-a-time Sennrich loop (rounds, pairs, counts, and after-stats)."""
+def test_bpe_trainer_matches_sequential_reference(spark, sf_dir):
+    """The trainer (Spark corpus collapse + driver-side merge loop since
+    round 14) must learn a merge table IDENTICAL to this file's
+    independent reference — a separate Sennrich loop whose word table
+    comes from DuckDB, not Spark (rounds, pairs, counts, after-stats)."""
     from als_pyspark_spark.functions.text_queries import (
         _BPE_MERGES,
         _BPE_MIN_PAIR,
