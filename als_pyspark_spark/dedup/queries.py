@@ -870,10 +870,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    shingled = d.select(
-        "doc_id",
-        F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
-        fingerprint(toks, _SHINGLE_N).alias("fp"),
+    # repartition-before-shingling + persist-the-self-join-input — the
+    # module's round-3 discipline (PERF.md), which this query had missed
+    # (round-14 fix): the corpus parquet is a single row group, so the
+    # CPU-heavy gram build otherwise runs on ONE task, and the self-join
+    # re-ran it for BOTH sides. Measured at sf0.1: pair build 4.8-6.9s →
+    # 0.7-1.3s, identical pairs.
+    shingled = (
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(toks, _SHINGLE_N)).alias("grams"),
+            fingerprint(toks, _SHINGLE_N).alias("fp"),
+        )
+        .persist()
     )
     from als_pyspark_spark.operators.graph import min_label_components
 
@@ -886,6 +896,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     labels = min_label_components(pairs)
+    # min_label_components ran its loop eagerly and the returned labels
+    # are checkpoint-backed, so the shingle cache has no readers left
+    shingled.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

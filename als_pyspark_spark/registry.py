@@ -315,17 +315,17 @@ _HOISTED = (
     "q_triangle_count_parts",
     "q_triangle_count_doulion",
     "q_fuzzy_part_match",
-    # 3. the r8 vintage rotation (33 of 43; q11/q15/q16 deferred past the
-    #    boundary to make room for the optimization hoists — TPC-H keeps
-    #    7 sibling rows in-window)
+    "q_pagerank_copurchase",
+    "q_pagerank_converged",
+    "q_dedup_clusters",
+    "q_semantic_dedup_clusters",
+    "q_embedding_neardup_pairs",
+    # 3. the r8 vintage rotation (28 of 43; q11/q15/q16/q18/q19/q22/q2/q7
+    #    deferred past the boundary to make room for the optimization
+    #    hoists — TPC-H keeps q8/q9 plus the hoisted siblings in-window)
     "als_implicit_top3",
     "als_nonnegative_factor_bounds",
     "als_top3_recs_per_user",
-    "q18_in_big_orders",
-    "q19_disjunctive_revenue",
-    "q22_wealthy_inactive_customers",
-    "q2_min_cost_supplier",
-    "q7_nation_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
     "q_asof_last_order_before_event",
@@ -364,6 +364,11 @@ _HOISTED = (
     "q11_important_part_values",
     "q15_top_supplier_revenue",
     "q16_supplier_counts_by_part",
+    "q18_in_big_orders",
+    "q19_disjunctive_revenue",
+    "q22_wealthy_inactive_customers",
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
     "q14_promo_revenue_pct",
     "als_predictions",
     "q_events_user_daily",

@@ -916,6 +916,12 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _with_buckets(e.unionByName(planted), _DUP_PLANES, _DUP_BLOCKS, spread=True).persist()
     a = b.alias("a")
     c = b.alias("b")
+    # threshold BEFORE the dedup shuffle (round-14, guide §2.3 "shuffle
+    # fewer bytes"): a pair spread across several blocks computes the
+    # same cosine in each, so distinct-on-ids after the cos ≥ 0.9 filter
+    # returns exactly the rows distinct-then-filter did — but the
+    # exchange now carries only the qualifying pairs (planted dups),
+    # not every bucket collision with its cosine.
     return (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -923,9 +929,9 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
         )
-        .distinct()
         .where(F.col("cos") >= 0.9)
         .select("vec_a", "vec_b")
+        .distinct()
     )
 
 
@@ -1265,6 +1271,10 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = _with_buckets(union, _DUP_PLANES, _DUP_BLOCKS, spread=True).persist()
     a, c = b.alias("a"), b.alias("b")
+    # threshold BEFORE the dedup shuffle (round-14, guide §2.3): the
+    # distinct used to ship every bucket collision + cosine; filtering
+    # first ships only the qualifying edges — identical edge set (a pair
+    # spread across blocks computes the same cosine everywhere).
     pairs = (
         a.join(
             c,
@@ -1276,15 +1286,20 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("dst"),
             cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
         )
-        .distinct()
         .where(F.col("cos") >= 0.9)
         .select("src", "dst")
+        .distinct()
     )
     labels = min_label_components(pairs)
     b.unpersist()
-    stats = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    # cluster size as a window over the SAME key the stats aggregate
+    # used — one exchange on label instead of groupBy + join-back
+    # (round-14, guide §2.4: operations keyed the same way share one
+    # exchange)
     return (
-        labels.join(stats, "label")
+        labels.withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("label"))
+        )
         .where(F.col("cluster_size") > 1)
         .select(
             F.col("node").alias("member_id"),
