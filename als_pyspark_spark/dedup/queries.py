@@ -379,10 +379,17 @@ def _prefix_join_plan(
         cls.select("gid", "docs", "hs", F.size("hs").alias("n")).persist()
     )
     tok = sets_.select("gid", "n", F.explode("hs").alias("h"))
-    dfq = tok.groupBy("h").agg(F.count("*").alias("df"))
+    # document frequency as a WINDOW COUNT over the gram key (round 15,
+    # guide §2.4): the previous shape aggregated a separate df table and
+    # sort-merge-joined it back onto the token stream — two exchanges +
+    # two sorts of the gram-grain stream, plus a second explode of the
+    # cached shingle table to feed the aggregate. One partitionBy(h)
+    # window computes the identical per-gram count in a single
+    # exchange+sort pass.
+    w_df = Window.partitionBy("h")
     w = Window.partitionBy("gid").orderBy(F.asc("df"), F.asc("h"))
     pre = (
-        tok.join(dfq, "h")
+        tok.withColumn("df", F.count("*").over(w_df))
         .withColumn("rn", F.row_number().over(w))
         .where(
             F.col("rn")
@@ -896,8 +903,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     labels = min_label_components(pairs)
-    # min_label_components ran its loop eagerly and the returned labels
-    # are checkpoint-backed, so the shingle cache has no readers left
+    # min_label_components ran its loop eagerly and the returned fixpoint
+    # is fully materialized (MEMORY_AND_DISK cache or checkpoint files),
+    # so the shingle cache has no readers left
     shingled.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

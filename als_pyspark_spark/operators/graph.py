@@ -109,64 +109,99 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collected(spark, top, *caches)
 
 
-def _copurchase_rank_base(spark: SparkSession, sf_dir: str):
-    """Persisted (out-degree-annotated edge table, node table) for the
-    supplier↔part PageRank family — shared by the fixed-3-iteration query
-    and the convergence-driven one. Caller owns the unpersists."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("l_partkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+_PR_R0 = 1_000_000  # initial rank mass per node (micro-units)
+
+
+def _copurchase_rank_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted out-degree-annotated edge table for the supplier↔part
+    PageRank family — shared by the fixed-3-iteration query and the
+    convergence-driven one. Caller owns the unpersist.
+
+    SINGLE-EXCHANGE build (round 15, guide §2.4): the previous shape paid
+    a distinct exchange on the (src, dst) grain, THEN a second full
+    repartition of the doubled list by src. Now the doubling happens
+    in-row (explode of both orientations — one lineitem scan instead of
+    the union's two), ONE exchange hash-partitions the raw doubled pairs
+    by src, and everything keyed on src rides it: the (src, dst) dedup
+    (hash(src) clusters equal (src, dst) rows, so the dropDuplicates
+    aggregate is partition-local) and the out-degree window count
+    (round-14 optimization). Plan: 2 exchanges + 2 lineitem scans → 1
+    exchange + 1 scan for the whole base build.
+
+    Persisting the edge list ALREADY hash-partitioned on the iteration
+    join key means every iteration join reuses the cached partitioning
+    and shuffles only the rank vector (one row per node), never the much
+    larger edge list — the shuffle-reuse pattern that matters most at
+    100 TB, where re-shuffling edges per iteration IS the job cost.
+    Skew note: a celebrity node's edges all land in one partition under
+    ANY src-keyed layout; AQE skew splitting does not apply inside a
+    cached window stage, so a pathological hub would need salted degree
+    pre-aggregation (none observed at any fixture tier)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") * 2).alias("s"),
+        (F.col("l_partkey") * 2 + 1).alias("p"),
     )
-    edges = li.unionByName(
-        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    # Persist the edge list ALREADY hash-partitioned on the iteration
-    # join key: every iteration join then reuses the cached partitioning
-    # and shuffles only the rank vector (one row per node), never the
-    # much larger edge list — the shuffle-reuse pattern that matters most
-    # at 100 TB, where re-shuffling edges per iteration IS the job cost.
-    # Out-degree rides the SAME exchange as a window count over the
-    # partitioning key (round-14 optimization, guide §2.4: two operations
-    # keyed the same way share one exchange) — the previous
-    # groupBy+join shape paid a second full pass and shuffle of the
-    # doubled edge list just to attach od (measured: cold 7.2→3.8s,
-    # warm 2.8→2.4s on the 3-iteration query at sf0.1, same rows).
+    edges = li.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+                F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     n_part = spark.sparkContext.defaultParallelism
-    eo = (
+    return (
         edges.repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
         .withColumn("od", F.count("*").over(Window.partitionBy("src")))
         .persist()
     )
-    # derive nodes from the PERSISTED edge table, not the raw `edges`
-    # lineage — the latter re-ran the full lineitem distinct + union a
-    # second time (measured 3.6s of the query's 12.6s at sf1); reading
-    # the cache costs one distinct over already-materialized rows.
-    nodes = eo.select(F.col("src").alias("node")).distinct().persist()
-    return eo, nodes
 
 
-def _pr_round(eo: DataFrame, nodes: DataFrame, ranks: DataFrame) -> DataFrame:
+def _pr_round(eo: DataFrame, ranks: DataFrame) -> DataFrame:
     """One PageRank iteration in exact fixed-point integer arithmetic:
     each node sends ``r DIV od`` along every out-edge and receives
     ``150000 + (85 · Σ inbound) DIV 100`` — the single-round plan both
-    PageRank queries repeat (one rank⋈edge hash join + one dst aggregate
-    + one node left join)."""
-    contrib = (
+    PageRank queries repeat (one rank⋈edge hash join + one dst aggregate).
+
+    The per-round ``nodes LEFT JOIN contrib`` of the oracle (and of the
+    pre-round-15 plan) is STRUCTURALLY a no-op here and is elided (guide
+    §2.4 "remove shuffles outright" — it cost a sort-merge join per
+    round): the doubled edge list is symmetric, so distinct(dst) =
+    distinct(src) = the node set, and by induction every round's rank
+    vector covers exactly that node set (r0 covers it by construction;
+    an inner join on src then keeps every edge, so the dst aggregate
+    emits every node again). COALESCE(c, 0) never fires for the same
+    reason. The DuckDB oracle keeps the generic left-join form and
+    hash-matches — the proof that the elision is output-identical."""
+    return (
         eo.join(ranks.withColumnRenamed("node", "src"), "src")
         .select("dst", F.expr("r DIV od").alias("share"))
         .groupBy("dst")
         .agg(F.sum("share").alias("c"))
-        .withColumnRenamed("dst", "node")
+        .select(
+            F.col("dst").alias("node"),
+            (F.lit(150000).cast("long") + F.expr("(85 * c) DIV 100")).alias("r"),
+        )
     )
-    return nodes.join(contrib, "node", "left").select(
-        "node",
-        (
-            F.lit(150000).cast("long") + F.expr("(85 * COALESCE(c, 0)) DIV 100")
-        ).alias("r"),
+
+
+def _pr_round1(eo: DataFrame) -> DataFrame:
+    """Round 1 in CLOSED FORM (round 15): r0 ≡ _PR_R0 for every node, so
+    the rank⋈edge join is the identity — each edge's share is the
+    constant ``_PR_R0 DIV od`` read straight off the persisted edge
+    table. Removes round 1's rank-vector shuffle + join AND the r0 node
+    table entirely (the same closed-form-first-round move as the LPA
+    min-neighbor round). Identical output to
+    ``_pr_round(eo, nodes-with-r0)`` by substitution."""
+    return (
+        eo.select("dst", F.expr(f"{_PR_R0} DIV od").alias("share"))
+        .groupBy("dst")
+        .agg(F.sum("share").alias("c"))
+        .select(
+            F.col("dst").alias("node"),
+            (F.lit(150000).cast("long") + F.expr("(85 * c) DIV 100")).alias("r"),
+        )
     )
 
 
@@ -174,10 +209,10 @@ def _pagerank_plan(spark: SparkSession, sf_dir: str):
     """Lazy top-25 PageRank plan + the persisted intermediates it reads
     (returned so the caller can unpersist after the final action; plan
     tests inspect the DataFrame without materializing)."""
-    eo, nodes = _copurchase_rank_base(spark, sf_dir)
-    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
-    for _ in range(_PR_ITERS):
-        ranks = _pr_round(eo, nodes, ranks)
+    eo = _copurchase_rank_base(spark, sf_dir)
+    ranks = _pr_round1(eo)
+    for _ in range(_PR_ITERS - 1):
+        ranks = _pr_round(eo, ranks)
     top = (
         ranks.select(
             F.when(F.col("node") % 2 == 0, "supplier")
@@ -191,7 +226,7 @@ def _pagerank_plan(spark: SparkSession, sf_dir: str):
         .limit(25)
         .drop("node")
     )
-    return top, [eo, nodes]
+    return top, [eo]
 
 
 # Convergence-driven PageRank (round-12 VERDICT item 5): run the SAME
@@ -301,12 +336,17 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from als_pyspark_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
-    eo, nodes = _copurchase_rank_base(spark, sf_dir)
-    prev = nodes.select("node", F.lit(1000000).cast("long").alias("r")).persist()
-    prev_cache = prev  # the persisted DF backing prev, released per round
+    eo = _copurchase_rank_base(spark, sf_dir)
+    # round 1 is closed-form (_pr_round1) and its residual needs no join:
+    # r0 ≡ _PR_R0 per node, so l1 = Σ|r1 − _PR_R0| and mass = Σ r1 come
+    # off the round-1 table alone — the r0 node table is gone entirely
+    prev: DataFrame | None = None
+    prev_cache: DataFrame | None = None
     curve: list[tuple[int, int, int, bool]] = []
     for rnd in range(1, _PRC_CAP + 1):
-        new_cached = _pr_round(eo, nodes, prev).persist()
+        new_cached = (
+            _pr_round1(eo) if rnd == 1 else _pr_round(eo, prev)
+        ).persist()
         new = new_cached
         if rnd % _PRC_CHECKPOINT_EVERY == 0:
             # persist-THEN-lazy-checkpoint (the standard pairing): the
@@ -316,14 +356,19 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             # recomputing the round (eager=True paid compute twice:
             # count() + a full recompute for the write)
             new = new_cached.checkpoint(eager=False)
-        row = (
-            new.join(prev.withColumnRenamed("r", "r_prev"), "node")
-            .agg(
+        if rnd == 1:
+            residual = new.agg(
+                F.sum(F.abs(F.col("r") - F.lit(_PR_R0))).alias("l1"),
+                F.sum("r").alias("mass"),
+            )
+        else:
+            residual = new.join(
+                prev.withColumnRenamed("r", "r_prev"), "node"
+            ).agg(
                 F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("l1"),
                 F.sum("r").alias("mass"),
             )
-            .collect()[0]
-        )
+        row = residual.collect()[0]
         # SUM over zero rows is NULL: an empty node set must end the loop
         # with an empty curve, not a TypeError (round-13 ADVICE)
         l1, mass = int(row["l1"] or 0), int(row["mass"] or 0)
@@ -348,7 +393,7 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = new
         if converged:
             break
-    for c in (eo, nodes, prev_cache):
+    for c in (eo, prev_cache):
         if c is not None:
             c.unpersist()
     return spark.createDataFrame(
@@ -363,13 +408,13 @@ def _prc_chain(spark: SparkSession, sf_dir: str, n_rounds: int):
     plans each round, runs NO jobs, writes no files — the k-core
     audit-path discipline), and no residual actions. Returns the final
     rank plan + the persisted base tables."""
-    eo, nodes = _copurchase_rank_base(spark, sf_dir)
-    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
-    for rnd in range(1, n_rounds + 1):
-        ranks = _pr_round(eo, nodes, ranks)
+    eo = _copurchase_rank_base(spark, sf_dir)
+    ranks = _pr_round1(eo)
+    for rnd in range(2, n_rounds + 1):
+        ranks = _pr_round(eo, ranks)
         if rnd % _PRC_CHECKPOINT_EVERY == 0:
             ranks = ranks.checkpoint(eager=False)
-    return ranks, [eo, nodes]
+    return ranks, [eo]
 
 
 def _prc_plan(spark: SparkSession, sf_dir: str):
@@ -456,20 +501,23 @@ def _tri_intersections(ed: DataFrame) -> DataFrame:
     to wedges. Measured on the full top-20 query at sf0.1: wedge-join
     18.3-23.4s → 8.2-8.6s, identical output (41M wedges, 1.2M edges).
     Out-degree is O(√m) by orientation, so each adjacency array — and
-    each per-row ``array_intersect`` — is bounded; the joins stay keyed
-    shuffle-hash joins (the wedge-era lesson: never sort the heavy side).
+    each per-row ``array_intersect`` — is bounded; the remaining join
+    stays a keyed shuffle-hash join (the wedge-era lesson: never sort
+    the heavy side).
 
-    ``ed`` should be persisted by the caller — it is read three times
-    (adjacency build + both join probes)."""
+    Round 15 (guide §2.4): the ``ed ⋈ adj`` edge-side attach is gone —
+    the (u, v, N+(u)) stream is EXPLODED in-row from the adjacency table
+    itself (v ∈ N+(u) enumerates every oriented edge exactly once, by
+    construction of adj), so the edge list is shuffled/hashed once (the
+    adjacency groupBy) instead of twice, and only the closing-side
+    attach joins. ``ed`` is consumed exactly once now (the adjacency
+    build)."""
     adj = ed.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nu"))
-    e2 = (
-        ed.join(adj.hint("shuffle_hash"), "u")
-        .join(
-            adj.select(
-                F.col("u").alias("v"), F.col("nu").alias("nv")
-            ).hint("shuffle_hash"),
-            "v",
-        )
+    e2 = adj.select("u", "nu", F.explode("nu").alias("v")).join(
+        adj.select(
+            F.col("u").alias("v"), F.col("nu").alias("nv")
+        ).hint("shuffle_hash"),
+        "v",
     )
     return e2.select(
         "u", "v", F.array_intersect("nu", "nv").alias("s")
@@ -545,9 +593,17 @@ def _triangle_top_plan(spark: SparkSession, sf_dir: str):
     endpoints each participate in |s| triangles, every closing vertex in
     one — 3·T credit rows total (identical to the old per-triangle node
     union), emitted by ONE in-row explode instead of three reads of a
-    wedge-join output."""
-    ed = _oriented_edges(_copurchase_edges(spark, sf_dir)).persist()
-    inter = _tri_intersections(ed)
+    wedge-join output.
+
+    The RAW edge set persists (round 15): its basket-expansion +
+    distinct subtree is read 5× inside ``_oriented_edges`` (the degree
+    union twice, each degree broadcast re-deriving deg over it, plus
+    the edge probe), and the r14 plan showed ZERO exchange reuse across
+    those reads — 20 lineitem scans for one query. One cache, one scan.
+    The oriented list itself no longer persists: since the in-row edge
+    explode (see ``_tri_intersections``), it is consumed exactly once."""
+    e = _copurchase_edges(spark, sf_dir).persist()
+    inter = _tri_intersections(_oriented_edges(e))
     credits = inter.select(
         F.explode(
             F.concat(
@@ -576,7 +632,7 @@ def _triangle_top_plan(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("n_triangles"), F.asc("p_partkey"))
         .limit(20)
     )
-    return top, [ed]
+    return top, [e]
 
 
 @query(
@@ -660,16 +716,13 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         return int(row["n"])
 
     e = _copurchase_edges(spark, sf_dir).persist()
-    cached = [e]
     try:
-        exact_ed = _oriented_edges(e).persist()
-        cached.append(exact_ed)
-        n_exact = _tri_total(exact_ed)
-        # Eager success-path free (unpersist is idempotent, so the finally
-        # below stays as the failure-path net): the sampled-tier job must
-        # not compete for executor storage with the exact tier's oriented
-        # edge list it never reads.
-        exact_ed.unpersist()
+        # the oriented lists no longer persist (round 15): since the
+        # in-row edge explode in _tri_intersections, each oriented list
+        # is consumed exactly once (the adjacency groupBy) — only the
+        # raw edge set has multiple readers (degree union + edge probe
+        # per tier, both tiers)
+        n_exact = _tri_total(_oriented_edges(e))
 
         p_den = 2  # keep-probability 1/p_den
         edge_key = F.concat_ws(
@@ -680,12 +733,9 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             % p_den
             == 0
         )
-        samp_ed = _oriented_edges(kept).persist()
-        cached.append(samp_ed)
-        n_samp = _tri_total(samp_ed)
+        n_samp = _tri_total(_oriented_edges(kept))
     finally:
-        for df in cached:
-            df.unpersist()
+        e.unpersist()
 
     n_est = n_samp * p_den**3
     rel_err = abs(n_est - n_exact) / n_exact if n_exact else 0.0
@@ -947,11 +997,19 @@ def _lpa_plan(spark: SparkSession, sf_dir: str):
         F.col("u").alias("node"), "lbl"
     )
     for _ in range(_LPA_ROUNDS - 1):
-        counts = (
+        # ONE exchange for the whole vote→count→argmax chain (round 15,
+        # guide §2.4): the vote rows repartition by u once — projected
+        # down to (u, lbl) first, §2.3 — and BOTH aggregates ride that
+        # partitioning (hash(u) satisfies the (u, lbl) clustering of the
+        # count and the (u) clustering of the packed argmax), replacing
+        # the previous two aggregate exchanges over the ~2|E|-row vote
+        # table with one.
+        votes = (
             e.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy("u", "lbl")
-            .agg(F.count("*").alias("c"))
+            .select("u", "lbl")
+            .repartition(n_part, "u")
         )
+        counts = votes.groupBy("u", "lbl").agg(F.count("*").alias("c"))
         packed = F.max(
             F.col("c") * F.lit(_LPA_LBL_SPACE)
             + (F.lit(_LPA_LBL_SPACE - 1) - F.col("lbl"))
@@ -971,6 +1029,20 @@ def _lpa_plan(spark: SparkSession, sf_dir: str):
     return top, [e]
 
 
+# Reliable-checkpoint cadence for the CC loop. Round 15 measured the
+# PRC-style every-3 cadence SLOWER here despite the self-loop linear
+# lineage (15.7s → 21.4s for the two CC queries at sf0.1): between
+# checkpoints every round re-ANALYZES the accumulated logical tree —
+# including the LSH/shingle self-join base lineage — and at these label
+# sizes driver-side planning dominates the round. Every-round
+# checkpointing keeps the plan rooted at a leaf; the persist-then-lazy
+# pairing (vs the old eager=True) still removes the old per-round double
+# compute (eager wrote by RECOMPUTING the round, then the probe re-read
+# the files; now the probe materializes the cache once and the write
+# reads it).
+_CC_CHECKPOINT_EVERY = 1
+
+
 def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected pair list ``(src, dst)`` — the shared core behind near-dup
@@ -983,99 +1055,136 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     stop at fixpoint. Rounds needed = component diameter (near-dup
     components are tiny cliques/chains, so 2-4).
 
-    Lineage discipline (round-8 plan audit): each round's label table is
-    CHECKPOINTED (reliable, to the session's configured checkpoint dir),
-    not merely persisted. Persist alone leaves the logical plan as the
-    full unrolled chain, and because round r's plan embeds round r−1's
-    tree TWICE (once under the neighbor join, once under the left join),
-    plan size grows 2^rounds — the audit measured a 3,133-exchange plan
-    for the semantic-cluster query after only ~4 rounds, and ~10 rounds
-    would stall Catalyst outright. The eager checkpoint truncates the
-    round's plan to a leaf scan, so every round re-plans against a
-    bounded tree (edge subtree + one scan) and eviction can never
-    trigger a cascading recompute. The input pair/edge lists stay
-    persisted (single subtree per round — the reference's C1-C3
-    persist/unpersist discipline, reference ALS.py:63-189); a cluster
-    deployment points the checkpoint dir at HDFS/S3 (session.py sets a
-    local scratch dir).
+    SELF-LOOP SINGLE-REFERENCE FORM (round 15). The pre-r15 round
+    referenced the previous label table TWICE (under the neighbor join
+    and again under the left join that folded the node's own label), so
+    the unrolled plan doubled per round (round-8 audit: 3,133 exchanges
+    after ~4 rounds) and every round HAD to eager-checkpoint — a full
+    recompute + reliable write + read-back per round. Now the edge list
+    carries one tagged SELF-LOOP per node: the node's own previous label
+    arrives through the same join + groupBy that folds neighbor labels
+    (``label = min over incoming``, ``old = min over the self rows``, and
+    the convergence flag is ``label < old`` — exactly the old
+    ``∃ neighbor label < own`` predicate), so each round references the
+    previous table ONCE, lineage grows LINEARLY, and the reliable
+    checkpoint drops to every ``_CC_CHECKPOINT_EVERY`` rounds with the
+    persist-then-lazy-checkpoint pairing the convergence-PageRank loop
+    proved (the probe action materializes the cache; the write reads it).
+    Round 1 is CLOSED-FORM: identity labels make the incoming label the
+    src id itself, so the first round is one aggregate over the edge
+    list — no join, no label table to build.
 
     Scale shape: one join + one groupBy per round, both keyed on node —
-    shuffle volume bounded by the EDGE list (never all-pairs). The
-    convergence probe costs no extra join: the improvement flag
-    (``nbr_label < label``) is computed inside the SAME select that
-    builds the round's labels, so detecting the fixpoint is a
-    ``where(changed).limit(1).count()`` over the already-checkpointed
-    round table (round-8 rewrite — the old probe re-joined new vs old
-    labels, a full extra keyed shuffle per round). Unconverged labels
-    are WRONG labels, so the bound raises instead of returning them.
+    shuffle volume bounded by the EDGE list (never all-pairs; the self
+    loops add |V| rows). The convergence probe stays a
+    ``where(improved).limit(1).count()`` over the round's cached table.
+    Unconverged labels are WRONG labels, so the bound raises instead of
+    returning them.
 
     Session self-sufficiency (round-9 fix for round 8's only red driver
     rows): ``Dataset.checkpoint`` requires ``SparkContext.setCheckpointDir``
     to have run, and the external driver — like any application embedding
     this package — builds its own bare SparkSession where no dir is set,
-    so the first checkpoint call threw on both CC queries. The loop now
+    so the first checkpoint call threw on both CC queries. The loop
     claims a scratch dir LAZILY on the input DataFrame's own session
     (session.ensure_checkpoint_dir — idempotent, respects a dir the
-    embedding application already configured, e.g. HDFS/S3 on a cluster),
-    mirroring the per-query UTC pin in sources/tables.py instead of
-    depending on the build_session factory.
+    embedding application already configured, e.g. HDFS/S3 on a cluster).
     """
     from als_pyspark_spark.session import ensure_checkpoint_dir
 
+    def _round_agg(incoming: DataFrame) -> DataFrame:
+        # label = min over ALL incoming labels (self row delivers the
+        # node's own); old = the self row's label; improved ⟺ a real
+        # neighbor beat it. Every node has exactly one self row, so
+        # `old` is never null and every node emits every round.
+        return (
+            incoming.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.min("lbl").alias("label"),
+                F.min(F.when(F.col("is_self"), F.col("lbl"))).alias("old"),
+            )
+            .select(
+                "node", "label", (F.col("label") < F.col("old")).alias("improved")
+            )
+        )
+
     ensure_checkpoint_dir(pairs.sparkSession)
     pairs = pairs.persist()
-    edges = pairs.unionAll(
+    nbr = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    ).withColumn("is_self", F.lit(False))
+    selfe = (
+        nbr.select(F.col("src").alias("s"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
+        .select(
+            F.col("s").alias("src"),
+            F.col("s").alias("dst"),
+            F.lit(True).alias("is_self"),
+        )
     )
+    edges = nbr.unionAll(selfe).persist()
 
+    labels: DataFrame | None = None
+    prev_cache: DataFrame | None = None
     converged = False
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = labels.join(
-            neighbor_min, labels.node == F.col("node2"), "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", "label")
-            ).alias("label"),
-            (F.coalesce("nbr_label", "label") < F.col("label")).alias(
-                "improved"
-            ),
-        )
-        # eager reliable checkpoint: materializes the round AND truncates
-        # its lineage to a leaf scan (see docstring — persist alone lets
-        # the plan double per round). unpersist() is the round-0 cache
-        # release; on later (checkpoint-backed) rounds it is a no-op.
-        new_labels = new_labels.checkpoint(eager=True)
-        changed = new_labels.where("improved").limit(1).count()
-        labels.unpersist()
-        labels = new_labels
+    for rnd in range(1, max_rounds + 1):
+        if rnd == 1:
+            # closed form: identity labels ⇒ incoming label = src id
+            incoming = edges.select("dst", F.col("src").alias("lbl"), "is_self")
+        else:
+            incoming = edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select("dst", F.col("label").alias("lbl"), "is_self")
+        new_cached = _round_agg(incoming).persist()
+        new = new_cached
+        if rnd % _CC_CHECKPOINT_EVERY == 0:
+            # persist-then-lazy-checkpoint (the PRC pairing): the probe
+            # below is the first job over the marked RDD — the reliable
+            # write runs at that job's end, reading the cache
+            new = new_cached.checkpoint(eager=False)
+        # FULL aggregate, not limit(1): one narrow pass over the
+        # node-sized round table fully materializes the cache (so the
+        # returned fixpoint is disk-safe MEMORY_AND_DISK data, not a
+        # partially-populated cache whose missing partitions would
+        # recompute through inputs the caller has already unpersisted),
+        # and on checkpoint rounds the reliable write reads that cache.
+        row = new.agg(
+            F.sum(F.col("improved").cast("int")).alias("n_improved")
+        ).collect()[0]
+        changed = int(row["n_improved"] or 0)
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        if new is not new_cached:
+            new_cached.unpersist()
+            prev_cache = None
+        else:
+            prev_cache = new_cached
+        labels = new.select("node", "label")
         if changed == 0:
             converged = True
             break
 
     if not converged:
+        if prev_cache is not None:
+            prev_cache.unpersist()
         pairs.unpersist()
         edges.unpersist()
         raise RuntimeError(
             "connected-components min-label propagation did not converge "
             f"within {max_rounds} rounds; raise the bound for this corpus"
         )
-    # The fixpoint is checkpoint-backed (eager), so freeing the cached
-    # inputs cannot trigger a lineage recompute of the returned labels.
+    # The fixpoint is fully materialized (cache or checkpoint files); the
+    # cached inputs can release now. A cache-backed fixpoint registers
+    # with caching.deferred so the harness frees it at its next
+    # between-queries checkpoint (the callers return LAZY results, so the
+    # cache must outlive this function but not the session).
+    if prev_cache is not None:
+        from als_pyspark_spark.caching import deferred
+
+        deferred(prev_cache)
     pairs.unpersist()
     edges.unpersist()
-    return labels.select("node", "label")
+    return labels
 
 
 _KCORE_K = 3

@@ -256,37 +256,35 @@ _MODULE_ORDER = (
 # their home module's slot. The external sweep verifies a ~50-entry prefix
 # per round, so the hoist list IS the round's driver-verification agenda.
 #
-# Round 14 agenda (VERDICT r13 "Next round" items 1, 2, 3, 7 + window rule
-# 8), composed up front per the standing ritual:
-#   1. the eight r7-vintage rows LEAD (judge item 1) — code-unchanged
-#      formerly-green, deferred past the round-13 boundary; after this
-#      round no query's newest driver evidence predates r8;
-#   2. the round's changed + never-verified operators: q_bpe_train_merges
-#      (judge item 7 — merge resolution moved in-plan, chunked probes;
-#      its oracle also threads the token column through for the encode
-#      composition, so the fingerprint flip is intentional and verified),
-#      q_bpe_encode_corpus (judge item 2 — the tokenizer's apply side,
-#      oracle composed from the train CTEs), and
-#      q_dedup_minhash_incremental (judge item 3 — the incremental
-#      near-dup tier). Fingerprint audit this round: exactly these three
-#      (one flip + two new), nothing else moved;
-#   3. 36 of the 43-query r8 vintage block (oldest evidence after the r7
-#      drain) plus three family canaries the window invariant requires:
-#      q_sink_csv_roundtrip (oldest sinks evidence, r10),
-#      q_applyinpandas_top2_by_type (oldest pandas-UDF evidence, r9) and
-#      q_semantic_cluster_assign (oldest similarity evidence, r9). The
-#      seven deferred r8 rows — q14_promo_revenue_pct,
-#      q13_customer_order_distribution and q12_late_shipment_priority
-#      (TPC-H keeps 10 sibling rows in-window),
-#      q_most_rated_items (ratings keeps stats + table),
-#      als_predictions (ALS keeps implicit_top3 /
-#      nonnegative_factor_bounds / top3_recs_per_user, and user_factors /
-#      mse carry r12-r13 evidence), q_events_user_daily (events keeps
-#      tumbling/max-concurrent/session/time-weighted canaries), and
-#      q_stream_sliding_halfhour (streaming keeps dynamic-gap / session /
-#      static-enrich plus the r13-verified rows) — are code-unchanged-
-#      formerly-green, sit immediately past the boundary, and lead
-#      round 15.
+# Round 15 agenda (optimization round 2 of 2), composed per the standing
+# ritual:
+#   1. the FIFTEEN rows deferred past the round-14 boundary LEAD, exactly
+#      as the round-14 agenda promised (code-unchanged formerly-green:
+#      the eight TPC-H siblings plus q14/q13/q12, als_predictions,
+#      q_events_user_daily, q_stream_sliding_halfhour*, q_most_rated_items
+#      — *sliding_halfhour is ALSO re-changed this round, see 2);
+#   2. every query whose fingerprint flipped this round — the round-15
+#      optimization rewrites (PageRank single-exchange base + closed
+#      round 1 + nodes-join elision; LPA one-exchange vote chain;
+#      triangle in-row edge explode + raw-edge persist; CC self-loop
+#      single-reference rounds; adaptive streaming state partitions via
+#      run_to_memory, which flips the whole run_to_memory family; jaccard
+#      window-df; IVF single-window witness; BPE driver-budget guard;
+#      e2e gram materialization) plus the round-14 rewrites whose
+#      snapshot entries are still r13-vintage (fuzzy, neardup, bfs,
+#      triangle, pagerank, clusters — hoisted again so their newest
+#      driver evidence matches the code that now ships). Every rewrite
+#      is oracle-verified at sf0.001/0.01/0.1 before landing
+#      (OPTIMIZATION_r15.md).
+#   3. two family canaries the window invariant requires beyond the
+#      flipped families: q_sink_sorted_layout (oldest sinks evidence,
+#      r11) and q_arrow_map_token_stats (oldest pandas-UDF evidence, r9).
+#
+# q_stream_tws_user_max also flipped (run_to_memory) but is
+# requirements-gated (google.protobuf, absent in every driver container
+# so far) and therefore excluded from the sweep view — hoisting it would
+# spend nothing and verify nothing; its protobuf-free twin
+# q_stream_apws_user_max carries the semantics into the window.
 #
 # The carryover mechanism stays DRAINED (empty since round 6); a future
 # overflow must repopulate it consciously, with the same three rules
@@ -294,73 +292,7 @@ _MODULE_ORDER = (
 _CARRYOVER: tuple[str, ...] = ()
 
 _HOISTED = (
-    # 1. the eight r7-vintage rows (the last of the r7 drain) lead
-    "q_value_histogram",
-    "q_bit_aggs",
-    "q_map_funcs",
-    "q_except_all_repeat_custkeys",
-    "q_intersect_all_statuses",
-    "q_window_distribution",
-    "q_window_lag_gap_days",
-    "q_window_moving_avg",
-    # 2. changed + new operators: the round-14 build additions, then the
-    #    round-14 OPTIMIZATION rewrites (fingerprints flip because the
-    #    physical plan changed; outputs proven oracle-identical in
-    #    OPTIMIZATION_r14.md — triangle family: adjacency-intersection
-    #    closure + basket pair expansion; fuzzy match: name-class
-    #    collapse + bounded levenshtein)
-    "q_bpe_train_merges",
-    "q_bpe_encode_corpus",
-    "q_dedup_minhash_incremental",
-    "q_triangle_count_parts",
-    "q_triangle_count_doulion",
-    "q_fuzzy_part_match",
-    "q_pagerank_copurchase",
-    "q_pagerank_converged",
-    "q_dedup_clusters",
-    "q_semantic_dedup_clusters",
-    "q_embedding_neardup_pairs",
-    # 3. the r8 vintage rotation (28 of 43; q11/q15/q16/q18/q19/q22/q2/q7
-    #    deferred past the boundary to make room for the optimization
-    #    hoists — TPC-H keeps q8/q9 plus the hoisted siblings in-window)
-    "als_implicit_top3",
-    "als_nonnegative_factor_bounds",
-    "als_top3_recs_per_user",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q_asof_last_order_before_event",
-    "q_bfs_part_distances",
-    "q_bucketed_colocated_join",
-    "q_cms_heavy_hitters",
-    "q_conditional_agg",
-    "q_events_tumbling_hourly",
-    "q_grouping_sets_orders",
-    "q_max_concurrent_sessions",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_range_join_purchase_context",
-    "q_ratings_stats",
-    "q_ratings_table",
-    "q_salted_skew_join",
-    "q_session_windows",
-    "q_shuffle_order",
-    "q_stream_dynamic_session_gap",
-    "q_stream_session_windows",
-    "q_stream_static_enrich",
-    "q_text_bpe_token_counts",
-    "q_text_fingerprints",
-    "q_time_weighted_value",
-    "q_two_phase_salted_agg",
-    # 4. family canaries (the window invariant keeps one row per
-    # extension family in the prefix): oldest sinks evidence (r10),
-    # oldest pandas-UDF-surface evidence (r9), oldest exact-oracled
-    # similarity evidence (r9)
-    "q_sink_csv_roundtrip",
-    "q_applyinpandas_top2_by_type",
-    "q_semantic_cluster_assign",
-    # --- 50-entry sweep-prefix boundary. The deferred r8 rows sit
-    # immediately past it and lead round 15 (see agenda note above; q11/
-    # q15/q16 joined them when the round-14 optimization hoists landed).
+    # 1. the fifteen deferred round-14 rows lead
     "q11_important_part_values",
     "q15_top_supplier_revenue",
     "q16_supplier_counts_by_part",
@@ -376,6 +308,50 @@ _HOISTED = (
     "q13_customer_order_distribution",
     "q_most_rated_items",
     "q12_late_shipment_priority",
+    # 2. the round-15 changed set: graph family
+    "q_pagerank_copurchase",
+    "q_pagerank_converged",
+    "q_label_propagation_communities",
+    "q_triangle_count_parts",
+    "q_triangle_count_doulion",
+    "q_bfs_part_distances",
+    # dedup/similarity family
+    "q_dedup_clusters",
+    "q_semantic_dedup_clusters",
+    "q_embedding_neardup_pairs",
+    "q_dedup_jaccard_prefix_join",
+    "q_dedup_tier_recall",
+    "q_fuzzy_part_match",
+    "q_ann_ivf_top10",
+    "q_ann_ivfpq_top10",
+    # text / pipeline family
+    "q_bpe_train_merges",
+    "q_bpe_encode_corpus",
+    "q_pipeline_e2e",
+    # streaming family (the run_to_memory adaptive-state-partition flip)
+    "q_stream_tumbling_hourly",
+    "q_stream_static_enrich",
+    "q_stream_stream_join",
+    "q_stream_stateful_threshold",
+    "q_stream_apws_user_max",
+    "q_stream_dedup_count",
+    "q_stream_dedup_within_watermark",
+    "q_stream_session_windows",
+    "q_stream_ohlc_hourly",
+    "q_stream_left_outer_join",
+    "q_stream_update_mode_totals",
+    "q_stream_late_data_drop",
+    "q_stream_join_then_window",
+    "q_stream_dynamic_session_gap",
+    "q_stream_full_outer_join",
+    "q_stream_static_left_enrich",
+    # 3. family canaries: oldest sinks evidence (r11), oldest
+    # pandas-UDF-surface evidence (r9)
+    "q_sink_sorted_layout",
+    "q_arrow_map_token_stats",
+    # --- 50-entry sweep-prefix boundary: exactly 50 names above
+    # (q_stream_sliding_halfhour serves both as a deferred row and as a
+    # member of the changed streaming family).
 )
 
 def load_all_queries() -> dict[str, Query]:

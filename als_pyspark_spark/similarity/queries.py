@@ -524,24 +524,52 @@ def _ivf_plan(spark: SparkSession, sf_dir: str):
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
+    # ONE window pass serves BOTH rankings (round 15, guide §2.4: the
+    # previous shape shuffled + sorted the (corpus × |q|) pair stream
+    # twice — once probed-filtered for the IVF top-k, once unfiltered
+    # for the brute-force witness). Both rankings share the identical
+    # total order (cos DESC, neighbor_id ASC), so the probed-subset
+    # row_number equals the running count of probed rows over the full
+    # ordering — a second window FUNCTION on the SAME window spec, not a
+    # second sort. The probed flag arrives via the same broadcast as the
+    # old semi-filter (left join + flag instead of inner join).
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    # ≤ _N_QUERIES × _TOP_K rows, read twice (output + recall witness):
-    # persisting it stops the whole candidate scan from running twice.
-    ivf = (
-        pairs.join(F.broadcast(probes), ["query_id", "cluster"])
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_rounded"))
-        .persist()
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probed_flag = probes.withColumn("probed", F.lit(True))
+    ranked = (
+        pairs.join(F.broadcast(probed_flag), ["query_id", "cluster"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos",
+            F.coalesce("probed", F.lit(False)).alias("probed"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos",
+            "probed",
+            F.row_number().over(w).alias("rk_all"),
+            F.sum(F.when(F.col("probed"), 1).otherwise(0))
+            .over(w_run)
+            .alias("rk_probed"),
+        )
+    )
+    # ≤ 2 · q · k survivor rows persist (output + witness both read them);
+    # the corpus-sized ranked stream itself is never cached.
+    surv = ranked.where(
+        (F.col("rk_all") <= _TOP_K)
+        | (F.col("probed") & (F.col("rk_probed") <= _TOP_K))
+    ).persist()
+    ivf = surv.where(F.col("probed") & (F.col("rk_probed") <= _TOP_K)).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos_rounded")
     )
 
     # In-row recall witness: brute-force top-10 over the same query set
-    # (bounded: |q| = _N_QUERIES), same tie-break as the IVF re-rank —
-    # the same pair stream, unfiltered.
-    truth = (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _TOP_K)
-        .select("query_id", F.col("neighbor_id").alias("true_id"))
+    # (bounded: |q| = _N_QUERIES), same tie-break — read off the same
+    # single window pass.
+    truth = surv.where(F.col("rk_all") <= _TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
     )
     hits = (
         ivf.join(
@@ -561,7 +589,7 @@ def _ivf_plan(spark: SparkSession, sf_dir: str):
     top = ivf.join(F.broadcast(witnessed), "query_id").select(
         "query_id", "neighbor_id", "cos_rounded", "recall10", "within_bound"
     )
-    return top, [assigned, ivf]
+    return top, [assigned, surv]
 
 
 _PQ_M = 8  # product-quantizer subspaces (64 dims → 8 × 8-dim)
@@ -627,18 +655,38 @@ def _fit_pq_codebooks(
     )
 
 
-def _pq_encode_batches(cents: np.ndarray, books: np.ndarray, q_units: np.ndarray):
+def _pq_encode_batches(
+    cents: np.ndarray,
+    books: np.ndarray,
+    q_units: np.ndarray,
+    q_ids: np.ndarray,
+    wit_k: int,
+):
     """Vectorized Arrow-batched IVF-PQ corpus pass (``mapInArrow``): per
     row, the nearest-coarse-centroid cluster id over the UNIT vector, the
     m_sub residual PQ codes (argmin per subspace codebook — the 8-byte
     compressed representation that is the entire point of PQ at 100 TB:
-    the inverted lists hold codes, not vectors), and the fused recall-
-    witness cosines against the |q| query units — same zero-copy Arrow
-    discipline and rationale as :func:`_assign_batches`."""
+    the inverted lists hold codes, not vectors), the fused recall-
+    witness cosines against the |q| query units, AND (round 15) the
+    per-BATCH witness top-k candidates as a pruned (qi, cos) list per
+    row — same zero-copy Arrow discipline and rationale as
+    :func:`_assign_batches`.
+
+    The ``wit`` column is what lets the recall witness skip the
+    (corpus × |q|)-row explode + full per-query window sort it used to
+    pay: a row is tagged for query qi iff its cosine is ≥ the batch's
+    ``wit_k``-th largest for qi (self rows masked; THRESHOLD selection,
+    not argpartition indices, so cos ties are all kept — a superset of
+    any tie-break). The global top-k of a total order is contained in
+    the union of per-batch top-k's, so ranking only the tagged rows
+    downstream reproduces the exact brute-force top-k, tie-break
+    included. Tagged volume: ≤ batches · |q| · (k + ties) rows instead
+    of corpus · |q|."""
     c64 = cents.astype(np.float64)
     qt = q_units.astype(np.float64).T
     n_q = qt.shape[1]
     m_sub, ksub, dsub = books.shape
+    qid_arr = q_ids.astype(np.int64)
 
     def encode(batches):
         import pyarrow as pa
@@ -668,6 +716,33 @@ def _pq_encode_batches(cents: np.ndarray, books: np.ndarray, q_units: np.ndarray
                 )
                 codes[:, j] = sd2.argmin(axis=1)
             scores = m @ qt
+            # per-batch witness candidates: for each query, rows whose
+            # cosine clears the batch's k-th largest (self rows masked
+            # with -inf so they never tag; ties at the threshold ALL
+            # kept — exactness needs a superset, not a tie-break)
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            masked = scores.copy()
+            for qi in range(n_q):
+                masked[ids == qid_arr[qi], qi] = -np.inf
+            kk = min(wit_k, n)
+            # k-th largest per column; np.partition is O(n) per query
+            thr = np.partition(masked, n - kk, axis=0)[n - kk, :]
+            # isfinite guard: on a batch smaller than k the threshold can
+            # itself be the -inf self mask, and -inf >= -inf would tag
+            # the self row
+            tag = (masked >= thr) & np.isfinite(masked)
+            counts = tag.sum(axis=1).astype(np.int32)
+            rows_i, qis = np.nonzero(tag)
+            wit_offsets = pa.array(
+                np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+            )
+            wit_structs = pa.StructArray.from_arrays(
+                [
+                    pa.array(qis.astype(np.int32)),
+                    pa.array(masked[rows_i, qis]),
+                ],
+                ["qi", "cos"],
+            )
             off_codes = pa.array(np.arange(0, (n + 1) * m_sub, m_sub, dtype=np.int32))
             off_scores = pa.array(np.arange(0, (n + 1) * n_q, n_q, dtype=np.int32))
             yield pa.RecordBatch.from_arrays(
@@ -676,8 +751,9 @@ def _pq_encode_batches(cents: np.ndarray, books: np.ndarray, q_units: np.ndarray
                     pa.array(cl.astype(np.int32)),
                     pa.ListArray.from_arrays(off_codes, pa.array(codes.ravel())),
                     pa.ListArray.from_arrays(off_scores, pa.array(scores.ravel())),
+                    pa.ListArray.from_arrays(wit_offsets, wit_structs),
                 ],
-                ["vec_id", "cluster", "codes", "scores"],
+                ["vec_id", "cluster", "codes", "scores", "wit"],
             )
 
     return encode
@@ -781,8 +857,15 @@ def _ivfpq_plan(spark: SparkSession, sf_dir: str):
         e.select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .mapInArrow(
-            _pq_encode_batches(cents, books, np.array(q_units)),
-            "vec_id long, cluster int, codes array<int>, scores array<double>",
+            _pq_encode_batches(
+                cents,
+                books,
+                np.array(q_units),
+                np.array([int(r.vec_id) for r in q_rows]),
+                _TOP_K,
+            ),
+            "vec_id long, cluster int, codes array<int>, "
+            "scores array<double>, wit array<struct<qi:int,cos:double>>",
         )
         .persist()
     )
@@ -828,20 +911,25 @@ def _ivfpq_plan(spark: SparkSession, sf_dir: str):
         .persist()
     )
 
-    # fused witness: exact cosine top-10 from the same corpus pass
+    # fused witness: exact cosine top-10 from the same corpus pass. Since
+    # round 15 the explode runs over the PRUNED per-batch candidate list
+    # the encode pass tagged (``wit``: ≤ batches · |q| · (k + ties) rows),
+    # not the full (corpus × |q|) score matrix — the global top-k of a
+    # total order is contained in the union of per-batch top-k's, so the
+    # final window over the tagged rows reproduces the identical
+    # brute-force ranking, tie-break (cos DESC, neighbor_id ASC) included,
+    # without shuffling and sorting corpus-sized pair streams.
     qids_lit = F.array(*[F.lit(int(r.vec_id)).cast("long") for r in q_rows])
     wt = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     truth = (
         assigned.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.posexplode("scores").alias("qi", "cos"),
+            F.col("vec_id").alias("neighbor_id"), F.explode("wit").alias("w")
         )
         .select(
-            F.element_at(qids_lit, F.col("qi") + 1).alias("query_id"),
+            F.element_at(qids_lit, F.col("w.qi") + 1).alias("query_id"),
             "neighbor_id",
-            "cos",
+            F.col("w.cos").alias("cos"),
         )
-        .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rk", F.row_number().over(wt))
         .where(F.col("rk") <= _TOP_K)
         .select("query_id", F.col("neighbor_id").alias("true_id"))

@@ -276,11 +276,65 @@ def stream_stream_purchase_click_outer(
     ).select("p_user", "purchase_id", "p_ts", "c_user", "click_id", "c_ts")
 
 
+# Target bytes of source data per streaming STATE partition (round 15).
+# Stateful operators pin their state partitioning to
+# spark.sql.shuffle.partitions at stream start, and every micro-batch —
+# including 0-row watermark-advance batches — pays a per-partition state
+# store open/commit cycle (4 stores per stream-stream join side). Measured
+# at sf0.1: a 0-row batch costs ~2.5s at 32 state partitions vs ~0.55s at
+# 4; the outer-join drain is 11.7s at 32 vs 5.3s at 4 with identical
+# output. The guide's rule (§2: derive partitioning from input size, not a
+# constant tuned for local mode or the cluster) applied to streaming:
+# state partitions = ceil(source_bytes / this target), clamped to
+# [1, 4·defaultParallelism] — grows with data, caps with the cluster.
+_STATE_TARGET_BYTES = 8 * 1024 * 1024
+
+
+def source_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the given source files/directories (staging
+    dirs count their part files; hidden/metadata files excluded) — the
+    input-size signal :func:`run_to_memory` sizes state partitions from."""
+    total = 0
+    for p in paths:
+        p = p.removeprefix("file:")
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        else:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    return total
+
+
+def events_source_bytes(spark: SparkSession, sf_dir: str) -> int:
+    """Source-size signal for streams read via :func:`read_events_stream`
+    (the events.parquet file inside the shared fixture dir)."""
+    return source_bytes(os.path.join(sf_dir, "events.parquet"))
+
+
+def adaptive_state_partitions(spark: SparkSession, nbytes: int) -> int:
+    """Scale-adaptive state partition count: one partition per
+    ``_STATE_TARGET_BYTES`` of source data, at least 1, at most
+    4 × defaultParallelism (the cluster-proportional cap — on a real
+    cluster parallelism scales with executors, so the cap does too)."""
+    cap = 4 * spark.sparkContext.defaultParallelism
+    return max(1, min(cap, -(-nbytes // _STATE_TARGET_BYTES)))
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
     mode: str = "append",
     expect_single_batch: bool = False,
+    state_source_bytes: int | None = None,
 ) -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink and
     return the materialized result.
@@ -298,15 +352,40 @@ def run_to_memory(
     which a file source with no maxFilesPerTrigger reads as one batch; this
     flag turns that assumption into a loud runtime check instead of a silent
     oracle divergence.
+
+    ``state_source_bytes``: when the caller knows its source size
+    (:func:`source_bytes` / :func:`events_source_bytes`), the stream runs
+    with ``spark.sql.shuffle.partitions`` set to
+    :func:`adaptive_state_partitions` for its duration (restored after the
+    drain — queries here run sequentially, matching the bench/driver
+    contract). Stateful operators pin state partitioning at stream start
+    and pay per-partition store open/commit on EVERY micro-batch, so
+    sizing state partitions to the data instead of the session constant
+    is the §2 scale-adaptive rule, not a local-mode tune: more data →
+    more partitions, capped in proportion to the cluster. Output is
+    partitioning-independent (keyed aggregates/joins/dedup-on-unique-key),
+    which the oracle gate re-proves per query.
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    old_parts: str | None = None
+    if state_source_bytes is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(adaptive_state_partitions(spark, state_source_bytes)),
+        )
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if expect_single_batch:
         fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
         if len(fed) != 1:

@@ -17,9 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from als_pyspark_spark.registry import query
 from als_pyspark_spark.streaming.events import (
+    events_source_bytes,
     read_events_stream,
     run_to_memory,
     running_user_value,
+    source_bytes,
     stream_static_segment_counts,
     stream_stream_purchase_click,
     streaming_dedup,
@@ -47,7 +49,12 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "mem_stream_tumbling_hourly"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = tumbling_hourly(read_events_stream(spark, sf_dir))
-    return run_to_memory(stream, name, mode="complete")
+    return run_to_memory(
+        stream,
+        name,
+        mode="complete",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
 
 
 @query(
@@ -71,7 +78,12 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     stream = stream_static_segment_counts(read_events_stream(spark, sf_dir), customer)
-    return run_to_memory(stream, name, mode="complete")
+    return run_to_memory(
+        stream,
+        name,
+        mode="complete",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
 
 
 @query(
@@ -100,7 +112,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = read_events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
     clicks = read_events_stream(spark, sf_dir).where(F.col("event_type") == "click")
     pairs = stream_stream_purchase_click(purchases, clicks)
-    drained = run_to_memory(pairs, name, mode="append", expect_single_batch=True)
+    drained = run_to_memory(
+        pairs,
+        name,
+        mode="append",
+        expect_single_batch=True,
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
     return drained.groupBy("p_user").agg(F.count("*").alias("n_pairs"))
 
 
@@ -132,7 +150,16 @@ def q_stream_stateful_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "mem_stream_stateful_threshold"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = running_user_value(read_events_stream(spark, sf_dir), threshold=1000.0)
-    return run_to_memory(stream, name, mode="append", expect_single_batch=True)
+    # no adaptive state-partition override: applyInPandasWithState is
+    # PYTHON-COMPUTE bound (per-group pandas work dominates the per-
+    # partition state-store cost the override targets) — measured
+    # 2.6s → 9.6s when the override squeezed it to 1 partition (round 15)
+    return run_to_memory(
+        stream,
+        name,
+        mode="append",
+        expect_single_batch=True,
+    )
 
 
 @query(
@@ -186,7 +213,14 @@ def q_stream_tws_user_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         stream = user_max_value_tws(read_events_stream(spark, sf_dir), threshold=400.0)
-        return run_to_memory(stream, name, mode="append", expect_single_batch=True)
+        # no adaptive state-partition override: Python-compute bound
+        # (see q_stream_stateful_threshold)
+        return run_to_memory(
+            stream,
+            name,
+            mode="append",
+            expect_single_batch=True,
+        )
     finally:
         if saved is None:
             spark.conf.unset(provider_key)
@@ -221,7 +255,14 @@ def q_stream_apws_user_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "mem_stream_apws_user_max"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = user_max_value_apws(read_events_stream(spark, sf_dir), threshold=400.0)
-    return run_to_memory(stream, name, mode="append", expect_single_batch=True)
+    # no adaptive state-partition override: Python-compute bound
+    # (see q_stream_stateful_threshold)
+    return run_to_memory(
+        stream,
+        name,
+        mode="append",
+        expect_single_batch=True,
+    )
 
 
 @query(
@@ -245,7 +286,12 @@ def q_stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "mem_stream_dedup_count"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = streaming_dedup(read_events_stream(spark, sf_dir))
-    drained = run_to_memory(stream, name, mode="append")
+    drained = run_to_memory(
+        stream,
+        name,
+        mode="append",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
     return drained.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
@@ -276,7 +322,12 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     name = "mem_stream_dedup_within_watermark"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = streaming_dedup_within_watermark(read_events_stream(spark, sf_dir))
-    drained = run_to_memory(stream, name, mode="append")
+    drained = run_to_memory(
+        stream,
+        name,
+        mode="append",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
     return drained.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
@@ -305,7 +356,12 @@ def q_stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "mem_stream_sliding_halfhour"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = sliding_counts(read_events_stream(spark, sf_dir))
-    return run_to_memory(stream, name, mode="complete")
+    return run_to_memory(
+        stream,
+        name,
+        mode="complete",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
 
 
 @query(
@@ -360,7 +416,12 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(stream, name, mode="complete")
+    return run_to_memory(
+        stream,
+        name,
+        mode="complete",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
 
 
 @query(
@@ -464,7 +525,12 @@ def q_stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "mem_stream_ohlc_hourly"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
     stream = ohlc_hourly(read_events_stream(spark, sf_dir))
-    return run_to_memory(stream, name, mode="complete")
+    return run_to_memory(
+        stream,
+        name,
+        mode="complete",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
 
 
 @query(
@@ -560,7 +626,12 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "mem_stream_left_outer_join"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-    drained = run_to_memory(joined, name, mode="append")
+    drained = run_to_memory(
+        joined,
+        name,
+        mode="append",
+        state_source_bytes=source_bytes(staged),
+    )
     return (
         drained.where(F.col("p_ts") <= F.lit(cutoff))
         .groupBy("purchase_id", "p_user")
@@ -627,7 +698,12 @@ def q_stream_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "mem_stream_update_mode_totals"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-    drained = run_to_memory(agg, name, mode="update")
+    drained = run_to_memory(
+        agg,
+        name,
+        mode="update",
+        state_source_bytes=source_bytes(staged),
+    )
     return drained.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
         F.expr("max_by(total_cents, n_events)").alias("total_cents"),
@@ -720,7 +796,12 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "mem_stream_late_data_drop"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-    drained = run_to_memory(stream, name, mode="append")
+    drained = run_to_memory(
+        stream,
+        name,
+        mode="append",
+        state_source_bytes=source_bytes(staged),
+    )
 
     closed = drained.where(
         F.col("ws") <= F.lit(wm1) - F.expr("INTERVAL 2 HOURS")
@@ -992,7 +1073,12 @@ def q_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "mem_stream_join_then_window"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-    drained = run_to_memory(agg, name, mode="append")
+    drained = run_to_memory(
+        agg,
+        name,
+        mode="append",
+        state_source_bytes=source_bytes(staged),
+    )
     return (
         drained.where(F.col("w.end") <= F.lit(cutoff))
         .select(
@@ -1078,7 +1164,12 @@ def q_stream_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(stream, name, mode="complete")
+    return run_to_memory(
+        stream,
+        name,
+        mode="complete",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
 
 
 @query(
@@ -1170,7 +1261,12 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "mem_stream_full_outer_join"
     spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
-    drained = run_to_memory(joined, name, mode="append")
+    drained = run_to_memory(
+        joined,
+        name,
+        mode="append",
+        state_source_bytes=source_bytes(staged),
+    )
     closed = drained.where(
         F.when(
             F.col("p_ts").isNotNull(), F.col("p_ts") <= F.lit(cutoff)
@@ -1241,7 +1337,12 @@ def q_stream_static_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
         "event_type",
     ).agg(F.count("*").alias("n_events"))
-    return run_to_memory(agg, name, mode="complete")
+    return run_to_memory(
+        agg,
+        name,
+        mode="complete",
+        state_source_bytes=events_source_bytes(spark, sf_dir),
+    )
 
 
 @query(

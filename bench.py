@@ -127,6 +127,13 @@ HEADLINE = [
     # salted per-group top-k)
     "q_label_propagation_communities",
     "q_sample_weighted_reservoir",
+    # round 15 (VERDICT r14 item 7): the suite's heaviest operator joins
+    # the headline so it is measured every round, not once per PERF.md
+    # probe. ADDITION-ONLY per the driver contract (existing entries
+    # unchanged); the raw headline_total grows by this query's cost, so
+    # round-over-round total comparisons must use the common-query set
+    # (the driver's per_query map already does).
+    "q_triangle_count_parts",
 ]
 
 
@@ -230,6 +237,11 @@ def main() -> int:
         # artifact itself distinguish host contention from regression
         # (the full 3-tuple + spread detail lives in BENCH_full_last.json)
         "load1": [round(loadavg_start[0], 1), round(os.getloadavg()[0], 1)],
+        # actual JVM task parallelism (round-14 VERDICT item 2: the scaling
+        # artifact must prove what parallelism the session really used —
+        # $SPARK_GRAFT_CPUS is honored by build_session, but that was
+        # invisible from the artifact alone)
+        "parallelism": spark.sparkContext.defaultParallelism,
     }
     full = dict(out)
     # epoch-comparison detail lives ONLY in the side file (round-9 ADVICE:
@@ -263,7 +275,10 @@ def main() -> int:
             f.write("\n")
     except OSError as exc:  # bench result still prints even if the FS is RO
         print(f"# could not write {full_path}: {exc}", file=sys.stderr)
-    line = json.dumps(out)
+    # compact separators: identical JSON to any parser, ~120 bytes lighter —
+    # headroom for the parallelism field and the round-15 headline addition
+    # under the driver's ~1800-byte tail-capture limit
+    line = json.dumps(out, separators=(",", ":"))
     # loud overflow guard (round-9 ADVICE): the driver captures only the
     # stdout TAIL and parses the final line, so silently outgrowing
     # ~1,800 bytes re-breaks parsing the way round 7 did. Failing the

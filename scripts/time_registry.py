@@ -50,9 +50,22 @@ def main() -> int:
         release_deferred()
         print(f"# {name}: {out[name]:.2f}s", file=sys.stderr)
     spark.sparkContext.setJobDescription(None)
-    for name, dt in sorted(out.items(), key=lambda kv: -kv[1]):
+    ok = {n: dt for n, dt in out.items() if dt >= 0}
+    errors = sorted(n for n, dt in out.items() if dt < 0)
+    for name, dt in sorted(ok.items(), key=lambda kv: -kv[1]):
         print(f"{dt:8.3f}  {name}")
-    print(json.dumps({"sf_dir": sf_dir, "total": round(sum(out.values()), 2)}))
+    for name in errors:
+        print(f"   ERROR  {name}")
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "total": round(sum(ok.values()), 2),
+                "n_ok": len(ok),
+                "errors": errors,
+            }
+        )
+    )
     spark.stop()
     return 0
 

@@ -120,6 +120,19 @@ def test_bpe_trainer_matches_sequential_reference(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_bpe_trainer_driver_budget_guard(spark, sf_dir, monkeypatch):
+    """The round-15 driver-collect guard: a distinct-word table over the
+    configured row budget must raise a clear error BEFORE collecting to
+    the driver (pointing at the archived in-plan trainer), never OOM."""
+    import pytest
+
+    from als_pyspark_spark.functions import text_queries
+
+    monkeypatch.setattr(text_queries, "_BPE_DRIVER_ROW_BUDGET", 1)
+    with pytest.raises(ValueError, match="driver collect budget"):
+        text_queries._bpe_train(spark, sf_dir)
+
+
 def test_bpe_encode_per_doc_bounds(spark, sf_dir):
     """Per document: every token encodes to at least 1 symbol and at most
     its character count, so n_words <= n_bpe_tokens <= n_chars."""
