@@ -1977,14 +1977,21 @@ def q_dedup_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tier_recall_oracle() -> str:
     """Compose the tier-recall oracle from the three tiers' own oracle
     strings (DuckDB allows WITH inside a CTE body), so the audit's ground
-    truth and probes can never drift from the queries they audit."""
+    truth and probes can never drift from the queries they audit.
+
+    ``truth`` is MATERIALIZED (round 15, VERDICT r14 item 10): it is
+    referenced twice (the recall join AND the n_truth count), and DuckDB
+    inlines a plain CTE per reference — at sf1 that re-ran the ~1300s
+    prefix-join ground-truth replay a second time inside the sweep's
+    single slowest chunk. The hint changes evaluation order only, never
+    results."""
     from als_pyspark_spark.registry import QUERIES
 
     truth = QUERIES["q_dedup_jaccard_prefix_join"].oracle
     mh = QUERIES["q_dedup_minhash_lsh"].oracle
     wn = QUERIES["q_dedup_ngram_jaccard"].oracle
     return f"""
-WITH truth AS (SELECT doc_a, doc_b FROM ({truth})),
+WITH truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ({truth})),
 mh AS (SELECT doc_a, doc_b FROM ({mh})),
 wn AS (SELECT doc_a, doc_b FROM ({wn})),
 tiers AS (
