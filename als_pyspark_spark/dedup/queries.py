@@ -379,17 +379,19 @@ def _prefix_join_plan(
         cls.select("gid", "docs", "hs", F.size("hs").alias("n")).persist()
     )
     tok = sets_.select("gid", "n", F.explode("hs").alias("h"))
-    # document frequency as a WINDOW COUNT over the gram key (round 15,
-    # guide §2.4): the previous shape aggregated a separate df table and
-    # sort-merge-joined it back onto the token stream — two exchanges +
-    # two sorts of the gram-grain stream, plus a second explode of the
-    # cached shingle table to feed the aggregate. One partitionBy(h)
-    # window computes the identical per-gram count in a single
-    # exchange+sort pass.
-    w_df = Window.partitionBy("h")
+    # Document frequency stays a groupBy + join, NOT a window count over
+    # the gram key (round-15 A/B): a partitionBy(h) window looked like
+    # the §2.4 shared-exchange move but measured ~1.4× SLOWER (8-9s →
+    # 12-13s isolated at sf0.1) — h is a maximal-cardinality key, so
+    # WindowExec pays per-group buffering over millions of 1-3-row
+    # groups, where the hash aggregate + join handles the same keys in
+    # one hash table. The shared-exchange window trick needs FEW, LARGE
+    # partitions (the PageRank degree window's node key), not a
+    # gram-grain key.
+    dfq = tok.groupBy("h").agg(F.count("*").alias("df"))
     w = Window.partitionBy("gid").orderBy(F.asc("df"), F.asc("h"))
     pre = (
-        tok.withColumn("df", F.count("*").over(w_df))
+        tok.join(dfq, "h")
         .withColumn("rn", F.row_number().over(w))
         .where(
             F.col("rn")

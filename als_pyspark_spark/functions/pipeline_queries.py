@@ -1573,36 +1573,22 @@ def _e2e_plan(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    # Materialize the train-side 5-gram arrays (and the token count the
-    # chunk stage needs) behind a persist BEFORE exploding — the
-    # q_decontaminate lesson applied to the composition (round 15):
-    # exploding an array built by an expensive inline HOF pipeline
-    # re-pays that pipeline ~per OUTPUT row (measured 18× on the
-    # standalone query), and the optimizer re-inlines a bare projection,
-    # so only a materialization barrier holds the array. The bench side
-    # stays inline (≈1 % of docs — too small to matter). The same cached
-    # row carries m = |tokens|, so the chunk stage stops re-tokenizing
-    # the text a third time.
-    grams_n = (
+    contam = (
         kept_n.where(F.col("doc_id") % 97 != 0)
         .select(
             "doc_id",
-            "source",
-            F.array_distinct(
-                word_ngrams(tokens(F.col("text")), _DECONTAM_N)
-            ).alias("gs"),
-            F.size(tokens(F.col("text"))).alias("m"),
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col("text")), _DECONTAM_N))
+            ).alias("g"),
         )
-        .persist()
-    )
-    contam = (
-        grams_n.select("doc_id", F.explode("gs").alias("g"))
         .join(F.broadcast(bench), "g")
         .select("doc_id")
         .distinct()
     )
-    kept_c = grams_n.join(contam, "doc_id", "anti").select(
-        "doc_id", "source", "m"
+    kept_c = (
+        kept_n.where(F.col("doc_id") % 97 != 0)
+        .join(contam, "doc_id", "anti")
+        .select("doc_id", "source", F.size(tokens(F.col("text"))).alias("m"))
     )
     m = F.col("m")
     last_chunk = F.floor(
@@ -1677,4 +1663,4 @@ def _e2e_plan(spark: SparkSession, sf_dir: str):
             .alias("token_share"),
         )
     )
-    return out, [base, shingled, kept_n, grams_n, chunks]
+    return out, [base, shingled, kept_n, chunks]
