@@ -717,12 +717,16 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _copurchase_edges(spark, sf_dir).persist()
     try:
-        # the oriented lists no longer persist (round 15): since the
-        # in-row edge explode in _tri_intersections, each oriented list
-        # is consumed exactly once (the adjacency groupBy) — only the
-        # raw edge set has multiple readers (degree union + edge probe
-        # per tier, both tiers)
-        n_exact = _tri_total(_oriented_edges(e))
+        # materialize the shared edge cache ONCE with a narrow action,
+        # then run the two independent tier jobs CONCURRENTLY (guide
+        # §2.6 "overlap independent jobs"): the sampled tier's tasks
+        # back-fill executor slots freed by the exact tier's stragglers
+        # instead of waiting for the whole tier to drain. The oriented
+        # lists no longer persist (round 15): since the in-row edge
+        # explode in _tri_intersections, each oriented list is consumed
+        # exactly once (the adjacency groupBy) — only the raw edge set
+        # has multiple readers (degree union + edge probe per tier).
+        e.count()
 
         p_den = 2  # keep-probability 1/p_den
         edge_key = F.concat_ws(
@@ -733,7 +737,13 @@ def q_triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             % p_den
             == 0
         )
-        n_samp = _tri_total(_oriented_edges(kept))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_exact = pool.submit(_tri_total, _oriented_edges(e))
+            f_samp = pool.submit(_tri_total, _oriented_edges(kept))
+            n_exact = f_exact.result()
+            n_samp = f_samp.result()
     finally:
         e.unpersist()
 
