@@ -524,52 +524,35 @@ def _ivf_plan(spark: SparkSession, sf_dir: str):
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
-    # ONE window pass serves BOTH rankings (round 15, guide §2.4: the
-    # previous shape shuffled + sorted the (corpus × |q|) pair stream
-    # twice — once probed-filtered for the IVF top-k, once unfiltered
-    # for the brute-force witness). Both rankings share the identical
-    # total order (cos DESC, neighbor_id ASC), so the probed-subset
-    # row_number equals the running count of probed rows over the full
-    # ordering — a second window FUNCTION on the SAME window spec, not a
-    # second sort. The probed flag arrives via the same broadcast as the
-    # old semi-filter (left join + flag instead of inner join).
+    # Two window passes — one over the probed subset (the IVF top-k),
+    # one over the full stream (the brute-force witness). A round-15
+    # attempt merged them into ONE pass (row_number + a running count of
+    # probed rows over the same total order — provably identical output,
+    # verified by sorted-row diff) but the BENCH measured it 0.60× — a
+    # confirmed ~1.6s regression at sf0.1 — so the split form stays; the
+    # probed-side window sorts only ~nprobe/k of the stream, and the two
+    # jobs read the persisted corpus pass independently. Lesson recorded
+    # in OPTIMIZATION_r15.md: fewer logical passes is not fewer seconds
+    # when the merged pass carries extra columns + functions through the
+    # full-stream sort.
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    probed_flag = probes.withColumn("probed", F.lit(True))
-    ranked = (
-        pairs.join(F.broadcast(probed_flag), ["query_id", "cluster"], "left")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos",
-            F.coalesce("probed", F.lit(False)).alias("probed"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos",
-            "probed",
-            F.row_number().over(w).alias("rk_all"),
-            F.sum(F.when(F.col("probed"), 1).otherwise(0))
-            .over(w_run)
-            .alias("rk_probed"),
-        )
-    )
-    # ≤ 2 · q · k survivor rows persist (output + witness both read them);
-    # the corpus-sized ranked stream itself is never cached.
-    surv = ranked.where(
-        (F.col("rk_all") <= _TOP_K)
-        | (F.col("probed") & (F.col("rk_probed") <= _TOP_K))
-    ).persist()
-    ivf = surv.where(F.col("probed") & (F.col("rk_probed") <= _TOP_K)).select(
-        "query_id", "neighbor_id", F.round("cos", 4).alias("cos_rounded")
+    # ≤ _N_QUERIES × _TOP_K rows, read twice (output + recall witness):
+    # persisting it stops the whole candidate scan from running twice.
+    ivf = (
+        pairs.join(F.broadcast(probes), ["query_id", "cluster"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_rounded"))
+        .persist()
     )
 
     # In-row recall witness: brute-force top-10 over the same query set
-    # (bounded: |q| = _N_QUERIES), same tie-break — read off the same
-    # single window pass.
-    truth = surv.where(F.col("rk_all") <= _TOP_K).select(
-        "query_id", F.col("neighbor_id").alias("true_id")
+    # (bounded: |q| = _N_QUERIES), same tie-break as the IVF re-rank —
+    # the same pair stream, unfiltered.
+    truth = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("true_id"))
     )
     hits = (
         ivf.join(
@@ -589,7 +572,7 @@ def _ivf_plan(spark: SparkSession, sf_dir: str):
     top = ivf.join(F.broadcast(witnessed), "query_id").select(
         "query_id", "neighbor_id", "cos_rounded", "recall10", "within_bound"
     )
-    return top, [assigned, surv]
+    return top, [assigned, ivf]
 
 
 _PQ_M = 8  # product-quantizer subspaces (64 dims → 8 × 8-dim)
